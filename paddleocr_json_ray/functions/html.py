@@ -26,7 +26,7 @@ import re
 _BOILER_TOKENS = r"(?:sidebar|banner|advert|ads|cookie|menu|breadcrumb|promo)"
 
 _RE_DROP_ELEMS = re.compile(
-    r"<(script|style|template|nav|header|footer|aside)\b[^>]*>.*?</\1\s*>",
+    r"<(script|style|template|nav|header|footer|aside|head|title)\b[^>]*>.*?</\1\s*>",
     re.IGNORECASE | re.DOTALL,
 )
 _RE_DROP_CLASSED = re.compile(

@@ -1,0 +1,216 @@
+"""Per-span OCR math shared by the Ray actor stages and the golden oracle.
+
+This module holds the *geometry/decode* semantics — everything that
+determines output values.  The Ray stages add the physical execution around
+it (Arrow batches, actor state, raster preprocessing through the real
+resize/normalize/warp kernels); the oracle calls these functions
+sequentially, skipping raster work (which by construction does not alter
+outputs — pixel content never feeds back into the synthetic backends).
+
+Reference semantics carried here:
+  * media-ref resolution with the error-code contract
+    (path codes 200/202/203 — cpp/src/task_linux.cpp:67-122; base64 codes
+    300/301 — cpp/src/task.cpp:111-138);
+  * det post: BoxesFromBitmap int rounding + clamp to the det input,
+    FilterTagDetRes clockwise ordering, truncating rescale by 1/ratio, clamp
+    to [0, orig-1], drop boxes with int side <= 4
+    (cpp/src/postprocess_op.cpp:246-352);
+  * sorted_boxes ordering (O1);
+  * crop shape + >=1.5 aspect rotation (M6, cpp/src/utility.cpp:163-221);
+  * cls flip decision label%2==1 && score>cls_thresh
+    (cpp/src/paddleocr.cpp:126-137);
+  * rec aspect-ratio micro-batching (O2) + CTC greedy decode with NaN skip
+    (P6, cpp/src/ocr_rec.cpp:94-132);
+  * sink filters: drop empty-box rows when det is on, drop score<=0 / empty
+    text when rec is on (M9, cpp/src/task.cpp:73-90); empty result => code
+    101 (cpp/src/task.cpp:101-105).
+"""
+
+from __future__ import annotations
+
+import base64
+import math
+import os
+from typing import NamedTuple
+
+import numpy as np
+
+from .. import errors
+from ..config import PipelineConfig
+from ..functions.ctc import aspect_ratio_argsort, ctc_greedy_decode
+from ..functions.geometry import order_points_clockwise, sorted_boxes_order
+from ..functions.imageops import det_resize_shape
+from ..functions.layout import PARSERS, render_text
+from ..synth import imaging
+from ..synth.backend import SynthClsBackend, SynthDetBackend, SynthRecBackend
+
+
+class ResolvedMedia(NamedTuple):
+    code: int
+    msg: str
+    payload: bytes | None
+    path: str  # for MSG_OK_NONE parity ("" for base64 refs)
+
+
+def resolve_media_ref(ref: str) -> ResolvedMedia:
+    """media_ref -> payload bytes with the reference's error-code contract.
+
+    ``b64:<data>`` is the image_base64 path, ``file:<path>`` the image_path
+    path; anything else is a no-valid-task error (cpp/src/task.cpp:141-212).
+    """
+    if ref.startswith("b64:"):
+        try:
+            payload = base64.b64decode(ref[4:], validate=True)
+        except Exception:
+            return ResolvedMedia(errors.CODE_ERR_BASE64_DECODE, errors.MSG_BASE64_DECODE, None, "")
+        return ResolvedMedia(0, "", payload, "")
+    if ref.startswith("file:"):
+        path = ref[5:]
+        if not os.path.exists(path):
+            return ResolvedMedia(errors.CODE_ERR_PATH_EXIST, errors.msg_path_exist(path), None, path)
+        try:
+            with open(path, "rb") as fh:
+                payload = fh.read()
+        except OSError:
+            return ResolvedMedia(errors.CODE_ERR_PATH_READ, errors.msg_path_read(path), None, path)
+        return ResolvedMedia(0, "", payload, path)
+    return ResolvedMedia(errors.CODE_ERR_NO_TASK, errors.MSG_NO_TASK, None, "")
+
+
+def decode_payload(payload: bytes, path: str) -> tuple[int, str, imaging.SimgImage | None]:
+    """imdecode equivalent; failure code differs by source kind
+    (203 for paths, 301 for base64)."""
+    simg = imaging.decode(payload)
+    if simg is None:
+        if path:
+            return errors.CODE_ERR_PATH_DECODE, errors.msg_path_decode(path), None
+        return errors.CODE_ERR_BASE64_IM_DECODE, errors.MSG_BASE64_IM_DECODE, None
+    return 0, "", simg
+
+
+class DetItem(NamedTuple):
+    quad: list          # 4x2 int, TL,TR,BR,BL
+    det_score: float
+    truth_text: str
+    flip180: bool
+
+
+def det_items(simg: imaging.SimgImage, cfg: PipelineConfig,
+              backend: SynthDetBackend) -> list[DetItem]:
+    """Detection candidates -> filtered, reference-ordered box items."""
+    h, w = simg.height, simg.width
+    resize_h, resize_w, ratio_h, ratio_w = det_resize_shape(h, w, cfg.limit_side_len)
+    survivors: list[DetItem] = []
+    for (quad, prob), blk in zip(backend.infer(simg, ratio_h, ratio_w), simg.blocks):
+        if prob < cfg.det_db_box_thresh:
+            continue
+        # BoxesFromBitmap int rounding, clamp to det-input extent
+        int_quad = [[int(min(max(round(x), 0), resize_w)), int(min(max(round(y), 0), resize_h))]
+                    for x, y in quad]
+        # FilterTagDetRes: order, truncating rescale, clamp to source extent
+        oq = order_points_clockwise(int_quad)
+        oq = [[int(min(max(int(x / ratio_w), 0), w - 1)), int(min(max(int(y / ratio_h), 0), h - 1))]
+              for x, y in oq]
+        side_w = int(math.sqrt((oq[0][0] - oq[1][0]) ** 2 + (oq[0][1] - oq[1][1]) ** 2))
+        side_h = int(math.sqrt((oq[0][0] - oq[3][0]) ** 2 + (oq[0][1] - oq[3][1]) ** 2))
+        if side_w <= 4 or side_h <= 4:
+            continue
+        survivors.append(DetItem(oq, float(prob), blk.text, blk.flip180))
+    order = sorted_boxes_order([it.quad for it in survivors])
+    return [survivors[i] for i in order]
+
+
+EMPTY_BOX = [[-1, -1], [-1, -1], [-1, -1], [-1, -1]]
+
+
+def items_for_simg(simg: imaging.SimgImage, cfg: PipelineConfig,
+                   backend: SynthDetBackend) -> list[DetItem]:
+    """Det-enabled: full det path.  Det-disabled: the whole image becomes one
+    crop with the empty-box sentinel (cpp/src/task.cpp:73-81); the synthetic
+    whole-image "recognition" is the concatenation of the image's lines."""
+    if cfg.det:
+        return det_items(simg, cfg, backend)
+    joined = " ".join(b.text for b in simg.blocks if b.text)
+    return [DetItem([list(p) for p in EMPTY_BOX], 1.0, joined, False)]
+
+
+def crop_shape(quad) -> tuple[int, int, bool]:
+    """(width, height, rotated90) of the perspective crop for ``quad`` —
+    analytically identical to get_rotate_crop_image's output shape."""
+    q = np.asarray(quad, dtype=np.float64)
+    cw = max(int(max(np.linalg.norm(q[0] - q[1]), np.linalg.norm(q[2] - q[3]))), 1)
+    ch = max(int(max(np.linalg.norm(q[0] - q[3]), np.linalg.norm(q[1] - q[2]))), 1)
+    if ch >= cw * 1.5:
+        return ch, cw, True
+    return cw, ch, False
+
+
+def rec_blocks(items: list[DetItem], cfg: PipelineConfig,
+               rec_backend: SynthRecBackend,
+               cls_backend: SynthClsBackend | None) -> list[dict]:
+    """cls + rec over the ordered det items; returns reference-shaped block
+    dicts after the sink filters (M9/M10)."""
+    n = len(items)
+    texts = [""] * n
+    scores = [-1.0] * n
+    cls_labels = [-1] * n
+    cls_scores = [0.0] * n
+
+    flips = [it.flip180 for it in items]
+    if cfg.cls and cls_backend is not None and n:
+        labels, conf = cls_backend.infer([(it.truth_text, it.flip180) for it in items])
+        for i in range(n):
+            cls_labels[i] = int(labels[i])
+            cls_scores[i] = float(conf[i])
+            if labels[i] % 2 == 1 and conf[i] > cfg.cls_thresh:
+                flips[i] = not flips[i]  # rotate crop 180deg -> flip corrected
+
+    if cfg.rec and n:
+        shapes = [crop_shape(it.quad) for it in items]
+        ratios = [wv / hv for wv, hv, _ in shapes]
+        order = aspect_ratio_argsort(ratios)
+        for beg in range(0, n, cfg.rec_batch_num):
+            for pos in order[beg:beg + cfg.rec_batch_num]:
+                effective = items[pos].truth_text[::-1] if flips[pos] else items[pos].truth_text
+                logits = rec_backend.logits_for(effective)
+                text, score = ctc_greedy_decode(logits, rec_backend.label_list)
+                if math.isnan(score):
+                    continue  # slot stays empty (cpp/src/ocr_rec.cpp:124-127)
+                texts[pos] = text
+                scores[pos] = score
+
+    blocks = []
+    for i, it in enumerate(items):
+        if cfg.rec and (scores[i] <= 0 or texts[i] == ""):
+            continue  # cpp/src/task.cpp:82-90
+        blk = {"box": [list(p) for p in it.quad],
+               "score": scores[i] if cfg.rec else float(it.det_score),
+               "text": texts[i]}
+        if cls_labels[i] != -1:
+            blk["cls_label"] = cls_labels[i]
+            blk["cls_score"] = cls_scores[i]
+        blocks.append(blk)
+    return blocks
+
+
+def ocr_media_ref(ref: str, cfg: PipelineConfig,
+                  det_backend: SynthDetBackend,
+                  rec_backend: SynthRecBackend,
+                  cls_backend: SynthClsBackend | None) -> tuple[int, str, list[dict], str]:
+    """Full single-span OCR: returns (code, msg, blocks-with-end, text).
+
+    This is the oracle's entry point; the Ray pipeline computes the same
+    values via the staged det/rec actors."""
+    resolved = resolve_media_ref(ref)
+    if resolved.code != 0:
+        return resolved.code, resolved.msg, [], ""
+    code, msg, simg = decode_payload(resolved.payload, resolved.path)
+    if code != 0:
+        return code, msg, [], ""
+    items = items_for_simg(simg, cfg, det_backend)
+    blocks = rec_blocks(items, cfg, rec_backend, cls_backend)
+    if not blocks:
+        return errors.CODE_OK_NONE, errors.msg_ok_none(resolved.path), [], ""
+    if cfg.rec:  # layout parse needs text; with rec off blocks are box-only
+        blocks = PARSERS[cfg.parser](blocks)
+    return errors.CODE_OK, "", blocks, render_text(blocks)

@@ -1,0 +1,90 @@
+"""Deterministic synthetic model backends (det / cls / rec).
+
+Same interfaces and post-processing math as the real model stages — only the
+NN inference itself is synthesized from the SIMG ground truth (SURVEY.md
+§7.4: "deterministic synthetic backend, same interfaces, same
+post-processing math").  A Paddle/ONNX backend would implement the same
+three classes against real tensors.
+
+  * ``SynthDetBackend``  — stands in for DBDetector (cpp/src/ocr_det.cpp:80-166):
+    consumes the det-resized input geometry, emits candidate boxes in
+    resized-image coordinates with per-box probabilities.
+  * ``SynthClsBackend``  — Classifier (cpp/src/ocr_cls.cpp:20-105): per-crop
+    angle label + confidence.
+  * ``SynthRecBackend``  — CRNN logits (cpp/src/ocr_rec.cpp:20-137): [T, C]
+    probability matrix per crop whose greedy-CTC decode yields the crop's
+    text; repeats and blanks are woven in deterministically so the decode
+    path (P6) is genuinely exercised.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.ctc import build_label_list
+
+
+def _hash32(s: str, salt: int = 0) -> int:
+    h = 2166136261 ^ salt
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+class SynthDetBackend:
+    """Emit (quad, prob) candidates in det-input (resized) coordinates from
+    the decoded SIMG truth; the det stage then runs the real FilterTagDetRes
+    rescale/clamp/min-size path (P5) and sorted_boxes (O1) on them."""
+
+    def infer(self, simg, ratio_h: float, ratio_w: float):
+        out = []
+        for b in simg.blocks:
+            quad = [[p[0] * ratio_w, p[1] * ratio_h] for p in b.quad]
+            out.append((quad, float(b.det_prob)))
+        return out
+
+
+class SynthClsBackend:
+    """Angle classifier: flipped crops score high on label 1; a deterministic
+    ~10% slice scores below the 0.9 cls_thresh so the not-confident branch
+    (crop left unrotated, cpp/src/paddleocr.cpp:126-137) is exercised."""
+
+    def infer(self, texts_flips: list[tuple[str, bool]]):
+        labels = np.empty(len(texts_flips), dtype=np.int32)
+        scores = np.empty(len(texts_flips), dtype=np.float32)
+        for i, (text, flip) in enumerate(texts_flips):
+            h = _hash32(text, salt=0xC15)
+            low_conf = (h % 10) == 0
+            labels[i] = 1 if flip else 0
+            scores[i] = 0.80 + (h % 50) / 1000.0 if low_conf else 0.91 + (h % 80) / 1000.0
+        return labels, scores
+
+
+class SynthRecBackend:
+    """Builds a [T, C] probability matrix whose greedy decode equals the
+    crop's effective text.  Chars absent from the dictionary produce blank
+    frames (the real model cannot emit out-of-dict chars either)."""
+
+    def __init__(self, dict_chars: list[str]):
+        self.label_list = build_label_list(dict_chars)
+        self.char_to_idx = {c: i for i, c in enumerate(self.label_list)}
+        self.num_classes = len(self.label_list)
+
+    def logits_for(self, text: str) -> np.ndarray:
+        h = _hash32(text, salt=0x2EC)
+        frames: list[tuple[int, float]] = [(0, 0.99)]  # leading blank
+        prev_idx = 0
+        for ci, ch in enumerate(text):
+            idx = self.char_to_idx.get(ch, 0)
+            conf = 0.90 + ((h >> (ci % 16)) % 90) / 1000.0
+            if idx != 0 and idx == prev_idx:
+                frames.append((0, 0.98))  # blank to split genuine repeats
+            frames.append((idx, conf))
+            if (h >> (ci % 8)) & 1 and idx != 0:
+                frames.append((idx, conf))  # duplicated frame -> collapse path
+            prev_idx = idx
+        frames.append((0, 0.99))
+        logits = np.full((len(frames), self.num_classes), 1e-4, dtype=np.float32)
+        for t, (idx, conf) in enumerate(frames):
+            logits[t, idx] = conf
+        return logits
