@@ -1,16 +1,11 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native extraction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship interleaved-document extraction pipeline at sf0.001.
+``queries()`` — one entry per implemented pipeline/operator family
+(SURVEY.md §2 + the training-data ops layer).  ``oracle_sql()`` — exact
+DuckDB equivalents for every SQL-expressible query (same column names).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller; nothing here calls ray.init()/shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +15,142 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from paddleocr_json_ray.pipelines.ocr import run_extraction
+
+    return run_extraction("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from paddleocr_json_ray.ops import dedup, multimodal, relational, similarity, text_ops
+    from paddleocr_json_ray.pipelines.ocr import run_extraction, span_level_results
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def ocr_spans(sf_dir: str):
+        # blocks are nested Arrow; project to flat envelope columns for checks
+        ds = span_level_results(sf_dir)
+        return ds.select_columns(["doc_id", "offset", "kind", "code", "span_text"])
+
+    return {
+        # ---- extraction / OCR family (non-SQL; golden-checked in pytest) ----
+        "ocr_e2e": lambda sf: run_extraction(sf).select_columns(
+            ["doc_id", "n_spans", "n_media", "n_errors"]),
+        "ocr_spans": ocr_spans,
+        # ---- multimodal plumbing ----
+        "media_meta": multimodal.media_meta,
+        "media_thumbnails": multimodal.media_thumbnails,
+        "frame_sample": multimodal.frame_sample,
+        # ---- text analysis (SQL-oracle-matched unless noted) ----
+        "text_clean": text_ops.text_clean,
+        "token_counts": text_ops.token_counts,
+        "quality_scores": text_ops.quality_scores,
+        "lang_id": text_ops.lang_id_ds,           # heuristic, rows-only
+        "fingerprints": text_ops.fingerprints,    # rolling-hash, rows-only
+        # ---- dedup family ----
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash": dedup.dedup_minhash,     # rows-only (LSH)
+        "dedup_simhash": dedup.dedup_simhash,     # rows-only
+        "dedup_ngram": dedup.dedup_ngram,         # rows-only
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "dedup_embedding": dedup.dedup_embedding,
+        # ---- similarity search ----
+        "knn_brute": similarity.knn_brute,
+        "knn_ivf": similarity.knn_ivf,            # ANN, rows-only by design
+        # ---- relational surface ----
+        "agg_pricing": relational.agg_pricing,
+        "top_orders": relational.top_orders,
+        "cust_revenue": relational.cust_revenue,
+        "events_by_type": relational.events_by_type,
+        "lineitem_recent": relational.lineitem_recent,
+        "suppliers_per_region": relational.suppliers_per_region,
+        "revenue_by_priority": relational.revenue_by_priority,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = "regexp_extract_all(text, '\\S+')"
+    quality_cte = f"""
+WITH comp AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len({tok}) AS n_tokens,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(text) - length(replace(text, ' ', '')) AS n_space,
+         coalesce(list_max(list_transform({tok}, t -> length(t))), 0) AS max_token_len
+  FROM documents
+), derived AS (
+  SELECT *,
+         CASE WHEN n_tokens = 0 THEN 0 ELSE (n_chars - n_space) * 1000 // n_tokens END AS avg_tok_len_milli,
+         CASE WHEN n_chars = 0 THEN 0 ELSE n_punct * 1000 // n_chars END AS punct_ratio_milli,
+         CASE WHEN n_chars = 0 THEN 0 ELSE n_digit * 1000 // n_chars END AS digit_ratio_milli
+  FROM comp
+)
+SELECT doc_id, n_chars, n_tokens, n_punct, n_digit, n_space, max_token_len,
+       greatest(0, 1000
+         - CASE WHEN n_tokens < 5 THEN 500 ELSE 0 END
+         - CASE WHEN avg_tok_len_milli < 2000 OR avg_tok_len_milli > 12000 THEN 250 ELSE 0 END
+         - CASE WHEN punct_ratio_milli > 100 THEN 150 ELSE 0 END
+         - CASE WHEN digit_ratio_milli > 300 THEN 100 ELSE 0 END
+         - CASE WHEN max_token_len > 40 THEN 100 ELSE 0 END) AS quality_milli
+FROM derived
+"""
+    return {
+        "text_clean": "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean_text FROM documents",
+        "token_counts": f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({tok}) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpeish
+FROM documents""",
+        "quality_scores": quality_cte,
+        "dedup_exact": """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn = 1""",
+        "embedding_dup_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35""",
+        "knn_brute": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+sims AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.qid)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims) t
+WHERE rank <= 5""",
+        "agg_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "top_orders": """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+        "cust_revenue": """
+SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey LIMIT 10""",
+        "events_by_type": """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type""",
+        "lineitem_recent": """
+SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' GROUP BY l_returnflag""",
+        "suppliers_per_region": """
+SELECT r.r_name AS region_name, count(*) AS n_suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name""",
+        "revenue_by_priority": """
+SELECT o.o_orderpriority, count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority""",
+    }

@@ -1,0 +1,197 @@
+"""Relational demo pipelines over the TPC-H-ish tables — the engine's
+general query surface (filter / groupby-aggregate / sort-limit / broadcast
+join / shuffle hash join), each with an exact DuckDB SQL oracle.
+
+Scale notes baked in:
+  * columns pruned at the read (``read_parquet(columns=...)``);
+  * predicates pushed into the read where possible;
+  * aggregations use Ray Data's native partial-aggregate groupby (combiner
+    before the exchange);
+  * small dimension tables are broadcast driver-side (ray.put / plain
+    capture), never shuffle-joined;
+  * the one genuinely big join (lineitem x orders) uses Dataset.join's
+    partitioned hash join.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _round2(x: float) -> float:
+    # DuckDB ROUND is half-away-from-zero; emulate for non-negative values
+    import math
+
+    return math.floor(x * 100 + 0.5) / 100 if x >= 0 else -math.floor(-x * 100 + 0.5) / 100
+
+
+def _read(sf_dir: str, table: str, columns=None, **kw) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns, **kw)
+
+
+def agg_pricing(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped pricing summary over lineitem."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def add_disc(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return batch.append_column("disc_price", disc)
+
+    agg = (ds.map_batches(add_disc, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("l_quantity"), Sum("l_extendedprice"),
+                        Sum("disc_price"), Count()))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pa.array([_round2(v) for v in batch.column("sum(l_quantity)").to_pylist()]),
+            "sum_base_price": pa.array([_round2(v) for v in batch.column("sum(l_extendedprice)").to_pylist()]),
+            "sum_disc_price": pa.array([_round2(v) for v in batch.column("sum(disc_price)").to_pylist()]),
+            "count_order": pa.array(batch.column("count()").to_pylist(), type=pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_orders(sf_dir: str, n: int = 20) -> ray.data.Dataset:
+    """Sort + limit: the n most expensive orders."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    top = ds.sort(key=["o_totalprice", "o_orderkey"], descending=[True, False]).limit(n)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_custkey": batch.column("o_custkey"),
+            "total_price": pa.array([_round2(v) for v in batch.column("o_totalprice").to_pylist()]),
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def cust_revenue(sf_dir: str, n: int = 10) -> ray.data.Dataset:
+    """Groupby + broadcast dimension join + top-n: revenue per customer."""
+    agg = (_read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+           .groupby("o_custkey").aggregate(Sum("o_totalprice"), Count()))
+    # customer is a small dimension: load once driver-side, capture in the task
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+    names = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist()))
+    names_ref = ray.put(names)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        keys = batch.column("o_custkey").to_pylist()
+        return pa.table({
+            "c_custkey": pa.array(keys, type=pa.int64()),
+            "c_name": pa.array([nm.get(k, "") for k in keys], type=pa.string()),
+            "revenue": pa.array([_round2(v) for v in batch.column("sum(o_totalprice)").to_pylist()]),
+            "n_orders": pa.array(batch.column("count()").to_pylist(), type=pa.int64()),
+        })
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+               .sort(key=["revenue", "c_custkey"], descending=[True, False])
+               .limit(n))
+
+
+def events_by_type(sf_dir: str) -> ray.data.Dataset:
+    agg = (_read(sf_dir, "events", columns=["event_type", "value"])
+           .groupby("event_type").aggregate(Count(), Sum("value")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": pa.array(batch.column("count()").to_pylist(), type=pa.int64()),
+            "sum_value": pa.array([_round2(v) for v in batch.column("sum(value)").to_pylist()]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def lineitem_recent(sf_dir: str, cutoff: str = "1995-01-01") -> ray.data.Dataset:
+    """Predicate pushed into the parquet read (row-group pruning at scale)."""
+    import datetime
+
+    cut = datetime.datetime.fromisoformat(cutoff)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice", "l_shipdate"],
+        filter=pc.field("l_shipdate") >= pa.scalar(cut, type=pa.timestamp("us")),
+    )
+    agg = ds.groupby("l_returnflag").aggregate(Count(), Sum("l_extendedprice"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "n_items": pa.array(batch.column("count()").to_pylist(), type=pa.int64()),
+            "sum_price": pa.array([_round2(v) for v in batch.column("sum(l_extendedprice)").to_pylist()]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def suppliers_per_region(sf_dir: str) -> ray.data.Dataset:
+    """Two broadcast dimension hops (nation -> region), then count."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    r_names = dict(zip(region.column("r_regionkey").to_pylist(),
+                       region.column("r_name").to_pylist()))
+    n_to_r = {n: r_names.get(r, "") for n, r in zip(nation.column("n_nationkey").to_pylist(),
+                                                    nation.column("n_regionkey").to_pylist())}
+    map_ref = ray.put(n_to_r)
+
+    def add_region(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        return pa.table({
+            "region_name": pa.array([m.get(k, "") for k in batch.column("s_nationkey").to_pylist()],
+                                    type=pa.string()),
+        })
+
+    agg = (_read(sf_dir, "supplier", columns=["s_nationkey"])
+           .map_batches(add_region, batch_format="pyarrow")
+           .groupby("region_name").aggregate(Count()))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "region_name": batch.column("region_name"),
+            "n_suppliers": pa.array(batch.column("count()").to_pylist(), type=pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def revenue_by_priority(sf_dir: str) -> ray.data.Dataset:
+    """Partitioned hash join lineitem x orders (Dataset.join), then groupby."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, "inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def add_rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"o_orderpriority": batch.column("o_orderpriority"),
+                         "rev": rev})
+
+    agg = (joined.map_batches(add_rev, batch_format="pyarrow")
+                 .groupby("o_orderpriority").aggregate(Count(), Sum("rev")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "n_items": pa.array(batch.column("count()").to_pylist(), type=pa.int64()),
+            "revenue": pa.array([_round2(v) for v in batch.column("sum(rev)").to_pylist()]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,86 @@
+"""Text-analysis ops over the ``documents`` table — language ID, quality
+scoring, token counting, fingerprinting (large-scale training-data pipeline
+components; kernels in functions/textstats.py).
+
+All ops are single-pass ``map_batches`` transforms: no shuffle, columns
+pruned at the read.  The SQL-oracle-matched ops (clean/token/quality) use
+only semantics DuckDB can replicate exactly (integer outputs, RE2-compatible
+regexes).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow as pa
+import ray.data
+
+from ..functions.textstats import (
+    count_bpeish_tokens,
+    count_tokens,
+    doc_fingerprint,
+    lang_id,
+    quality_stats,
+    simhash64,
+)
+
+_RE_WS = re.compile(r"\s+")
+
+
+def _read_documents(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=list(columns))
+
+
+def text_clean(sf_dir: str) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        cleaned = [_RE_WS.sub(" ", t).strip() for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "clean_text": pa.array(cleaned, type=pa.string())})
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def token_counts(sf_dir: str) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            "n_tokens": pa.array([count_tokens(t) for t in texts], type=pa.int64()),
+            "n_bpeish": pa.array([count_bpeish_tokens(t) for t in texts], type=pa.int64()),
+        })
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        stats = [quality_stats(t) for t in texts]
+        cols = {"doc_id": batch.column("doc_id")}
+        for key in ("n_chars", "n_tokens", "n_punct", "n_digit", "n_space",
+                    "max_token_len", "quality_milli"):
+            cols[key] = pa.array([s[key] for s in stats], type=pa.int64())
+        return pa.table(cols)
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id_ds(sf_dir: str) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array([lang_id(t) for t in batch.column("text").to_pylist()],
+                                  type=pa.string()),
+        })
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprints(sf_dir: str) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array([doc_fingerprint(t) for t in texts], type=pa.int64()),
+            "simhash": pa.array([simhash64(t) for t in texts], type=pa.int64()),
+        })
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
