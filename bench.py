@@ -1,0 +1,155 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) in one Ray session with $RAY_GRAFT_CPUS CPUs (default
+32) and print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "media_spans_per_sec": ...}
+
+--scaling: run the flagship extraction twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) over the same input and report both
+throughputs + scaling efficiency = (thr_32 / thr_8) / (32 / 8) — the
+sandbox proxy for the N vs 4N cluster-size criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    return ray
+
+
+def _prebuild_corpus():
+    # corpus generation is a deterministic one-time cost; exclude from timings
+    from paddleocr_json_ray.synth.corpus import build_corpus
+
+    return build_corpus(SF_DIR)
+
+
+def run_flagship(num_cpus: int) -> dict:
+    """Flagship: full interleaved-document extraction; returns throughputs."""
+    _init_ray(num_cpus)
+    from paddleocr_json_ray.config import PipelineConfig
+    from paddleocr_json_ray.pipelines.ocr import run_extraction
+
+    paths = _prebuild_corpus()
+    cfg = PipelineConfig(det_concurrency=num_cpus, rec_concurrency=num_cpus)
+    t0 = time.time()
+    # consume streaming: count + sum media spans without materializing docs
+    n_docs = 0
+    n_media = 0
+    for batch in run_extraction(SF_DIR, cfg).iter_batches(batch_format="pandas", batch_size=4096):
+        n_docs += len(batch)
+        n_media += int(batch["n_media"].sum())
+    dt = time.time() - t0
+    return {"elapsed_s": dt, "n_docs": n_docs, "n_media_spans": n_media,
+            "docs_per_sec": n_docs / dt, "media_spans_per_sec": n_media / dt,
+            "corpus": paths.root}
+
+
+def run_suite() -> dict:
+    _init_ray(NUM_CPUS)
+    import __ray_entry__ as entrymod
+
+    _prebuild_corpus()
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    headline = ["ocr_e2e", "dedup_minhash", "dedup_exact", "knn_brute",
+                "agg_pricing", "revenue_by_priority", "quality_scores",
+                "media_thumbnails"]
+    flag = run_flagship(NUM_CPUS)
+    timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
+    for name in headline:
+        if name == "ocr_e2e":
+            continue  # flagship already measures the full pipeline
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        # consume
+        try:
+            import ray.data
+
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+            else:
+                len(res)
+        except Exception:
+            pass
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "end-to-end documents/sec + media-spans/sec, interleaved corpus extraction",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": flag["n_docs"],
+        "n_media_spans": flag["n_media_spans"],
+        "docs_per_sec": round(flag["docs_per_sec"], 2),
+        "media_spans_per_sec": round(flag["media_spans_per_sec"], 2),
+    }
+
+
+def run_scaling() -> dict:
+    """Two fresh processes at num_cpus=8 and 32 over the identical input."""
+    # ensure the corpus exists before timing anything
+    _init_ray(8)
+    _prebuild_corpus()
+    import ray
+
+    ray.shutdown()
+    results = {}
+    for cpus in (8, 32):
+        code = (
+            "import json,sys;"
+            "sys.path.insert(0, '" + os.path.dirname(os.path.abspath(__file__)) + "');"
+            "from bench import run_flagship;"
+            f"print('RESULT'+json.dumps(run_flagship({cpus})))"
+        )
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                             timeout=3600, check=False)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT")]
+        if not line:
+            raise RuntimeError(f"scaling run cpus={cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+        results[cpus] = json.loads(line[-1][6:])
+    thr8 = results[8]["docs_per_sec"]
+    thr32 = results[32]["docs_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, fresh processes, same input)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "sf": SF_DIR,
+        "thr_docs_per_sec": {"8": round(thr8, 2), "32": round(thr32, 2)},
+        "thr_media_spans_per_sec": {"8": round(results[8]["media_spans_per_sec"], 2),
+                                    "32": round(results[32]["media_spans_per_sec"], 2)},
+        "elapsed_s": {"8": round(results[8]["elapsed_s"], 2),
+                      "32": round(results[32]["elapsed_s"], 2)},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_suite()))

@@ -109,8 +109,9 @@ def embedding_lsh_buckets(sf_dir: str) -> ray.data.Dataset:
 
 
 def knn_ivf(sf_dir: str, n_queries: int = 8, k: int = 5) -> ray.data.Dataset:
-    """ANN top-k probing only the query's LSH bucket plus all buckets at
-    hamming distance 1 (bounded candidate set; recall < 1 by design).
+    """ANN top-k probing only the query's LSH bucket plus all buckets within
+    hamming distance 2 (~14% of a uniform corpus at 8 planes — bounded
+    candidate set; recall < 1 by design, the exact baseline is knn_brute).
     Output (query_id, neighbor_id, rank, bucket)."""
     ids, mat = _load_matrix(sf_dir)
     planes = _plane_matrix(mat.shape[1])
@@ -122,7 +123,11 @@ def knn_ivf(sf_dir: str, n_queries: int = 8, k: int = 5) -> ray.data.Dataset:
     probes: dict[int, set[int]] = {}
     for qi in np.where(q_sel)[0]:
         b = int(buckets[qi])
-        probe = {b} | {b ^ (1 << p) for p in range(_N_PLANES)}
+        probe = {b}
+        for p in range(_N_PLANES):
+            probe.add(b ^ (1 << p))
+            for p2 in range(p + 1, _N_PLANES):
+                probe.add(b ^ (1 << p) ^ (1 << p2))
         probes[int(ids[qi])] = probe
     q_ref = ray.put((ids[q_sel], norm[q_sel], probes))
 

@@ -1,0 +1,51 @@
+"""Resumable partitioned output: interrupted run -> resume skips complete
+shards; final output equals golden."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from paddleocr_json_ray.config import PipelineConfig
+from paddleocr_json_ray.state.checkpoint import is_shard_complete, manifest_path, run_resumable
+from paddleocr_json_ray.synth.corpus import build_corpus
+
+
+def test_resume_skips_complete_shards(ray_session, sf0001_dir, tmp_path):
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig()
+    s1 = run_resumable(sf0001_dir, out, cfg, n_shards=4)
+    assert s1["skipped"] == [] and len(s1["ran"]) >= 2
+
+    # corrupt one shard: drop its manifest -> that shard alone must rerun
+    victim = s1["ran"][1]
+    os.remove(manifest_path(out, victim))
+    s2 = run_resumable(sf0001_dir, out, cfg, n_shards=4)
+    assert s2["ran"] == [victim]
+    assert sorted(s2["skipped"] + s2["ran"]) == sorted(s1["ran"])
+
+    # manifests carry lineage
+    with open(manifest_path(out, victim), encoding="utf-8") as fh:
+        m = json.load(fh)
+    assert m["complete"] and m["input_files"] and m["n_docs"] > 0 and m["config_digest"]
+
+    # full output equals golden doc set with equal span sequences
+    paths = build_corpus(sf0001_dir, cfg)
+    golden = pq.read_table(paths.golden_parquet)
+    written = pq.read_table(out)
+    assert written.num_rows == golden.num_rows
+    g = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+         for r in golden.to_pylist()}
+    w = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+         for r in written.to_pylist()}
+    assert g == w
+
+
+def test_config_change_invalidates(ray_session, sf0001_dir, tmp_path):
+    out = str(tmp_path / "out2")
+    run_resumable(sf0001_dir, out, PipelineConfig(), n_shards=2)
+    # different parser -> different digest -> shards not considered complete
+    other = PipelineConfig(parser="single_line")
+    from paddleocr_json_ray.state.checkpoint import _config_digest
+
+    assert not is_shard_complete(out, 0, _config_digest(other))

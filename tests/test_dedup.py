@@ -1,0 +1,117 @@
+"""Dedup ops verified against brute-force oracles on controlled corpora."""
+
+import itertools
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from paddleocr_json_ray.functions.textstats import (
+    char_shingles,
+    hamming64,
+    jaccard,
+    simhash64,
+    word_ngrams,
+)
+from paddleocr_json_ray.ops import dedup
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+
+@pytest.fixture(scope="module")
+def controlled_docs(tmp_path_factory):
+    """60 docs: 40 distinct, 10 exact dups, 10 near-dups (1-word edits)."""
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(40):
+        texts.append(" ".join(rng.choice(WORDS, size=30)))
+    for i in range(10):  # exact duplicates of docs 0..9
+        texts.append(texts[i])
+    for i in range(10):  # near duplicates of docs 10..19 (one word changed)
+        toks = texts[10 + i].split()
+        toks[5] = "zulu"
+        texts.append(" ".join(toks))
+    d = tmp_path_factory.mktemp("docs")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }), os.path.join(str(d), "documents.parquet"))
+    return str(d), texts
+
+
+def test_dedup_exact(ray_session, controlled_docs):
+    d, texts = controlled_docs
+    got = sorted(dedup.dedup_exact(d).to_pandas()["doc_id"])
+    first = {}
+    for i, t in enumerate(texts):
+        first.setdefault(t, i)
+    assert got == sorted(first.values())
+
+
+def test_minhash_pairs_vs_bruteforce(ray_session, controlled_docs):
+    d, texts = controlled_docs
+    got = dedup.minhash_candidate_pairs(d, threshold=0.7).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    # brute-force true jaccard over char shingles
+    sh = [set(char_shingles(t).tolist()) for t in texts]
+    true_pairs = {(i, j) for i, j in itertools.combinations(range(len(texts)), 2)
+                  if jaccard(sh[i], sh[j]) >= 0.85}
+    # every true near/exact dup must be caught (LSH with 16 bands @ sim>0.85
+    # has essentially unit recall); no pair below 0.5 may appear
+    assert true_pairs <= got_pairs
+    for (a, b) in got_pairs:
+        assert jaccard(sh[a], sh[b]) >= 0.5
+
+
+def test_dedup_minhash_survivors(ray_session, controlled_docs):
+    d, texts = controlled_docs
+    survivors = sorted(dedup.dedup_minhash(d, threshold=0.7).to_pandas()["doc_id"])
+    # exact dups (40..49) and near-dups (50..59) must be gone
+    assert all(s < 40 for s in survivors)
+    assert len(survivors) == 40
+
+
+def test_dedup_simhash_vs_bruteforce(ray_session, controlled_docs):
+    d, texts = controlled_docs
+    survivors = set(dedup.dedup_simhash(d, max_hamming=3).to_pandas()["doc_id"])
+    sigs = [simhash64(t) for t in texts]
+    # brute-force: compute losers via same union-find semantics
+    pairs = [(i, j) for i, j in itertools.combinations(range(len(texts)), 2)
+             if hamming64(sigs[i], sigs[j]) <= 3]
+    roots = dedup._union_find(pairs)
+    losers = {m for m, r in roots.items() if r != m}
+    assert survivors == set(range(len(texts))) - losers
+
+
+def test_dedup_ngram_vs_bruteforce(ray_session, controlled_docs):
+    d, texts = controlled_docs
+    got = dedup.ngram_dup_pairs(d, n=3, threshold=0.6).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    grams = [word_ngrams(t, 3) for t in texts]
+    true_pairs = {(i, j) for i, j in itertools.combinations(range(len(texts)), 2)
+                  if jaccard(grams[i], grams[j]) >= 0.6}
+    assert got_pairs == true_pairs
+
+
+def test_embedding_pairs(ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    base[20] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near-dup of 0
+    base[21] = base[5]  # exact dup of 5
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(30), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              type=pa.list_(pa.float32())),
+    }), os.path.join(str(tmp_path), "embeddings.parquet"))
+    got = dedup.embedding_dup_pairs(str(tmp_path), threshold=0.95).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    assert (0, 20) in pairs and (5, 21) in pairs
+    # brute force check: no spurious pairs
+    m = base.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    expected = {(i, j) for i, j in itertools.combinations(range(30), 2) if sims[i, j] > 0.95}
+    assert pairs == expected

