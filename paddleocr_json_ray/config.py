@@ -42,11 +42,16 @@ class PipelineConfig:
 
     # ---- Ray execution knobs (no reference equivalent) ----
     backend: str = "synthetic"          # 'synthetic' | 'paddle' (paddle = stub, no model libs here)
+    fuse_ocr_stages: bool = True        # one actor holds det+cls+rec (reference process shape)
     det_concurrency: int = 8            # actor-pool size for the det stage
     rec_concurrency: int = 8            # actor-pool size for cls+rec stage
     det_batch_size: int = 16            # media spans per det batch (images are heavy)
     rec_batch_size: int = 32            # spans per rec batch (crops flattened inside)
-    text_batch_size: int = 1024         # text spans per normalizer batch
+    # doc rows per explode/normalizer batch.  NOTE: this also sets the fused
+    # upstream operator's task granularity (Ray bundles input rows per task
+    # to the largest fused batch_size) — keep it small enough that
+    # concurrency x batch covers the pool, or the actor pool starves.
+    text_batch_size: int = 64
     num_cpus_per_actor: float = 1.0
     explode_override_num_blocks: int | None = None  # repartition after read, if set
 

@@ -5,13 +5,22 @@ Ray-Data lifecycle (SURVEY.md §3, "Ray-Data lifecycle equivalent"):
   read_parquet(interleaved)                        # streaming blocks
     -> explode spans + inline text-span extraction  (stateless task)
     -> media ref resolve + payload validation       (stateless task)
-    -> det actor pool                               (stateful, A1)
-    -> cls+rec+layout actor pool                    (stateful, A2/A3 + tbpu)
+    -> OCR actor pool: det + cls + rec + layout     (stateful, A1-A3 + tbpu;
+       fused by default — one actor owns all model state, the reference's
+       process shape; cfg.fuse_ocr_stages=False splits det and rec pools)
     -> groupby(doc_id).map_groups(assemble)         # THE shuffle (O3)
 
 No stage materializes the dataset; consumers stream via write_parquet /
 iter_batches.  Text rows pass through the media stages untouched, keeping
 the whole job a single pass over the input (no branch + union re-read).
+
+Parallelism notes (measured, BENCH):
+  * block count bounds task parallelism -> read with override_num_blocks;
+  * Ray bundles input rows per actor task up to the largest fused
+    batch_size, so cfg.text_batch_size (doc rows) is the effective task
+    grain for the fused explode->decode->OCR chain;
+  * actor pools autoscale (min = concurrency//4) so small test clusters
+    never block waiting for a full pool.
 """
 
 from __future__ import annotations
@@ -23,7 +32,55 @@ from ..stages.assemble import assemble_document
 from ..stages.decode import decode_media
 from ..stages.det import DetStage
 from ..stages.explode import explode_and_clean
+from ..stages.ocr_fused import OcrStage
 from ..stages.rec import RecStage
+
+
+def _pool_size(want: int) -> int:
+    """Fixed-size pool capped to the cluster: Ray Data's autoscaling pool
+    ramps too slowly for second-scale tasks (measured ~12/32 actors busy),
+    so we pin min=max but leave headroom for read/shuffle tasks."""
+    try:
+        import ray as _ray
+
+        avail = int(_ray.cluster_resources().get("CPU", want))
+    except Exception:
+        avail = want
+    return max(1, min(want, avail - 2))
+
+
+def _span_stage(ds: ray.data.Dataset, cfg: PipelineConfig, dict_path: str) -> ray.data.Dataset:
+    """explode -> decode -> OCR actor pool(s); returns span-level results."""
+    spans = ds.map_batches(explode_and_clean, batch_format="pyarrow",
+                           batch_size=cfg.text_batch_size)
+    decoded = spans.map_batches(decode_media, batch_format="pyarrow",
+                                batch_size=cfg.det_batch_size * 4)
+    if cfg.fuse_ocr_stages:
+        pool = _pool_size(cfg.det_concurrency)
+        return decoded.map_batches(
+            OcrStage,
+            fn_constructor_args=(cfg, dict_path),
+            concurrency=(pool, pool),
+            batch_size=cfg.det_batch_size,
+            batch_format="pyarrow",
+            num_cpus=cfg.num_cpus_per_actor,
+        )
+    det = decoded.map_batches(
+        DetStage,
+        fn_constructor_args=(cfg,),
+        concurrency=(max(1, cfg.det_concurrency // 4), cfg.det_concurrency),
+        batch_size=cfg.det_batch_size,
+        batch_format="pyarrow",
+        num_cpus=cfg.num_cpus_per_actor,
+    )
+    return det.map_batches(
+        RecStage,
+        fn_constructor_args=(cfg, dict_path),
+        concurrency=(max(1, cfg.rec_concurrency // 4), cfg.rec_concurrency),
+        batch_size=cfg.rec_batch_size,
+        batch_format="pyarrow",
+        num_cpus=cfg.num_cpus_per_actor,
+    )
 
 
 def build_pipeline(cfg: PipelineConfig | None = None, dict_path: str | None = None):
@@ -40,30 +97,21 @@ def build_pipeline(cfg: PipelineConfig | None = None, dict_path: str | None = No
     def run(ds: ray.data.Dataset) -> ray.data.Dataset:
         if cfg.explode_override_num_blocks:
             ds = ds.repartition(cfg.explode_override_num_blocks)
-        spans = ds.map_batches(explode_and_clean, batch_format="pyarrow",
-                               batch_size=cfg.text_batch_size)
-        decoded = spans.map_batches(decode_media, batch_format="pyarrow",
-                                    batch_size=cfg.det_batch_size * 4)
-        det = decoded.map_batches(
-            DetStage,
-            fn_constructor_args=(cfg,),
-            concurrency=(1, cfg.det_concurrency),
-            batch_size=cfg.det_batch_size,
-            batch_format="pyarrow",
-            num_cpus=cfg.num_cpus_per_actor,
-        )
-        rec = det.map_batches(
-            RecStage,
-            fn_constructor_args=(cfg, dpath),
-            concurrency=(1, cfg.rec_concurrency),
-            batch_size=cfg.rec_batch_size,
-            batch_format="pyarrow",
-            num_cpus=cfg.num_cpus_per_actor,
-        )
-        docs = rec.groupby("doc_id").map_groups(assemble_document, batch_format="pyarrow")
-        return docs
+        rec = _span_stage(ds, cfg, dpath)
+        # span results are tiny vs the media they came from; coalesce before
+        # the sort-shuffle — its overhead scales with block count, and the
+        # OCR stage leaves one small block per task (measured: 2x tail win)
+        rec = rec.repartition(_pool_size(cfg.det_concurrency))
+        return rec.groupby("doc_id").map_groups(assemble_document, batch_format="pyarrow")
 
     return run
+
+
+def _read_blocks_for(cfg: PipelineConfig) -> int:
+    """Read with enough blocks that the actor pools can actually spread:
+    block count bounds task parallelism in Ray Data, and corpus files are
+    few — ~8 docs-per-task granularity at the default pool size."""
+    return max(64, cfg.det_concurrency * 8)
 
 
 def run_extraction(sf_dir: str, cfg: PipelineConfig | None = None) -> ray.data.Dataset:
@@ -73,7 +121,8 @@ def run_extraction(sf_dir: str, cfg: PipelineConfig | None = None) -> ray.data.D
 
     cfg = (cfg or PipelineConfig()).validated()
     paths = build_corpus(sf_dir, cfg)
-    ds = ray.data.read_parquet(paths.interleaved_dir)
+    ds = ray.data.read_parquet(paths.interleaved_dir,
+                               override_num_blocks=_read_blocks_for(cfg))
     return build_pipeline(cfg, paths.dict_path)(ds)
 
 
@@ -85,16 +134,6 @@ def span_level_results(sf_dir: str, cfg: PipelineConfig | None = None) -> ray.da
 
     cfg = (cfg or PipelineConfig()).validated()
     paths = build_corpus(sf_dir, cfg)
-    ds = ray.data.read_parquet(paths.interleaved_dir)
-    spans = ds.map_batches(explode_and_clean, batch_format="pyarrow",
-                           batch_size=cfg.text_batch_size)
-    decoded = spans.map_batches(decode_media, batch_format="pyarrow",
-                                batch_size=cfg.det_batch_size * 4)
-    det = decoded.map_batches(DetStage, fn_constructor_args=(cfg,),
-                              concurrency=(1, cfg.det_concurrency),
-                              batch_size=cfg.det_batch_size, batch_format="pyarrow",
-                              num_cpus=cfg.num_cpus_per_actor)
-    return det.map_batches(RecStage, fn_constructor_args=(cfg, paths.dict_path),
-                           concurrency=(1, cfg.rec_concurrency),
-                           batch_size=cfg.rec_batch_size, batch_format="pyarrow",
-                           num_cpus=cfg.num_cpus_per_actor)
+    ds = ray.data.read_parquet(paths.interleaved_dir,
+                               override_num_blocks=_read_blocks_for(cfg))
+    return _span_stage(ds, cfg, paths.dict_path)
