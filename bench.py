@@ -55,12 +55,15 @@ def run_flagship(num_cpus: int) -> dict:
     paths = _prebuild_corpus()
     cfg = PipelineConfig(det_concurrency=num_cpus, rec_concurrency=num_cpus)
     t0 = time.time()
-    # consume streaming: count + sum media spans without materializing docs
+    # consume streaming as zero-copy Arrow: count + sum media spans without
+    # materializing documents or converting nested columns to pandas
+    import pyarrow.compute as pc
+
     n_docs = 0
     n_media = 0
-    for batch in run_extraction(SF_DIR, cfg).iter_batches(batch_format="pandas", batch_size=4096):
-        n_docs += len(batch)
-        n_media += int(batch["n_media"].sum())
+    for batch in run_extraction(SF_DIR, cfg).iter_batches(batch_format="pyarrow", batch_size=4096):
+        n_docs += batch.num_rows
+        n_media += int(pc.sum(batch.column("n_media")).as_py() or 0)
     dt = time.time() - t0
     return {"elapsed_s": dt, "n_docs": n_docs, "n_media_spans": n_media,
             "docs_per_sec": n_docs / dt, "media_spans_per_sec": n_media / dt,

@@ -43,6 +43,11 @@ class PipelineConfig:
     # ---- Ray execution knobs (no reference equivalent) ----
     backend: str = "synthetic"          # 'synthetic' | 'paddle' (paddle = stub, no model libs here)
     fuse_ocr_stages: bool = True        # one actor holds det+cls+rec (reference process shape)
+    # 'auto': zero-shuffle block-local assembly (valid for the interleaved
+    # one-row-per-doc input, whose spans stay block-contiguous end to end);
+    # 'shuffle': general groupby(doc_id) + sort-within-group re-assembly for
+    # inputs with scattered spans.  Both paths are equality-tested.
+    assemble_mode: str = "auto"
     det_concurrency: int = 8            # actor-pool size for the det stage
     rec_concurrency: int = 8            # actor-pool size for cls+rec stage
     det_batch_size: int = 16            # media spans per det batch (images are heavy)
@@ -76,6 +81,8 @@ class PipelineConfig:
             raise ValueError("det_db_score_mode must be 'slow' or 'fast'")
         if self.backend not in ("synthetic", "paddle"):
             raise ValueError("backend must be 'synthetic' or 'paddle'")
+        if self.assemble_mode not in ("auto", "shuffle"):
+            raise ValueError("assemble_mode must be 'auto' or 'shuffle'")
         if not self.det and not self.rec:
             raise ValueError("at least one of det/rec must be enabled")
         return self

@@ -28,7 +28,7 @@ from __future__ import annotations
 import ray.data
 
 from ..config import PipelineConfig
-from ..stages.assemble import assemble_document
+from ..stages.assemble import assemble_block, assemble_document
 from ..stages.decode import decode_media
 from ..stages.det import DetStage
 from ..stages.explode import explode_and_clean
@@ -98,9 +98,14 @@ def build_pipeline(cfg: PipelineConfig | None = None, dict_path: str | None = No
         if cfg.explode_override_num_blocks:
             ds = ds.repartition(cfg.explode_override_num_blocks)
         rec = _span_stage(ds, cfg, dpath)
-        # span results are tiny vs the media they came from; coalesce before
-        # the sort-shuffle — its overhead scales with block count, and the
-        # OCR stage leaves one small block per task (measured: 2x tail win)
+        if cfg.assemble_mode == "auto":
+            # spans stay doc-contiguous per block for the one-row-per-doc
+            # input -> block-local assembly, no all-to-all (see assemble.py)
+            return rec.map_batches(assemble_block, batch_size=None,
+                                   batch_format="pyarrow")
+        # general path: span results are tiny vs the media they came from;
+        # coalesce before the sort-shuffle — its overhead scales with block
+        # count, and the OCR stage leaves one small block per task
         rec = rec.repartition(_pool_size(cfg.det_concurrency))
         return rec.groupby("doc_id").map_groups(assemble_document, batch_format="pyarrow")
 

@@ -34,10 +34,11 @@ from ..functions.html import strip_boilerplate
 from .imaging import SimgBlock, SimgImage, encode
 
 CORPUS_ROOT = os.environ.get("PJR_CORPUS_ROOT", "/tmp/pjr_corpus")
-CORPUS_VERSION = "v2"
+CORPUS_VERSION = "v3"
 
-# interleaved docs per source document row, by scale name
-_REPEAT = {"sf0.001": 1, "sf0.01": 4, "sf0.1": 4}
+# interleaved docs per source document row, by scale name (bench scale sized
+# so per-run compute amortizes fixed pool-spawn/read overhead at 32 CPUs)
+_REPEAT = {"sf0.001": 1, "sf0.01": 4, "sf0.1": 8}
 
 SPAN_STRUCT = pa.struct([
     ("kind", pa.string()),
