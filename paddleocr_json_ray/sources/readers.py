@@ -1,0 +1,56 @@
+"""Input readers (S5/S6 equivalents).
+
+The reference parses one JSON task line per request (``imread_json``,
+cpp/src/task.cpp:141-212) and has an unused directory walker
+(``GetAllFiles``, cpp/src/utility.cpp:123-160); here the unit of ingest is a
+table.  ``read_interleaved`` accepts a file, a directory of parquet parts,
+or a glob — path expansion is Ray Data's native reader behaviour."""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+import ray.data
+
+
+def expand_paths(path: str) -> list[str]:
+    """GetAllFiles parity: file -> [file]; dir -> its parquet files; glob ->
+    matches.  Deterministic (sorted)."""
+    if os.path.isdir(path):
+        return sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    if any(ch in path for ch in "*?["):
+        return sorted(_glob.glob(path))
+    return [path]
+
+
+def read_interleaved(path: str, override_num_blocks: int | None = None) -> ray.data.Dataset:
+    files = expand_paths(path)
+    if not files:
+        raise FileNotFoundError(f"no parquet inputs under {path!r}")
+    return ray.data.read_parquet(files, override_num_blocks=override_num_blocks)
+
+
+def tasks_from_json_lines(lines: list[str]) -> ray.data.Dataset:
+    """S5 parity: a batch of reference-style request lines
+    ``{"image_path": p}`` / ``{"image_base64": b}`` becomes a one-doc-per-line
+    interleaved dataset (errors 401/402/403 surface as error-code spans
+    downstream via invalid refs)."""
+    import json
+
+    rows = []
+    for i, line in enumerate(lines):
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            ref = "invalid:json_parse"  # -> CODE_ERR_NO_TASK downstream
+        else:
+            if "image_path" in obj:
+                ref = f"file:{obj['image_path']}"
+            elif "image_base64" in obj:
+                ref = f"b64:{obj['image_base64']}"
+            else:
+                ref = "invalid:no_task"
+        rows.append({"doc_id": f"task-{i:06d}",
+                     "spans": [{"kind": "media", "text": "", "media_ref": ref, "offset": 0}]})
+    return ray.data.from_items(rows)
