@@ -24,14 +24,14 @@ from ..config import PipelineConfig
 from ..functions.geometry import get_rotate_crop_image
 from ..functions.imageops import DET_MEAN, DET_SCALE, det_resize_shape, normalize, resize_image, to_chw
 from ..synth import imaging
-from ..synth.backend import SynthDetBackend
+from ..synth.backend import make_backends
 from .span_ocr import items_for_simg
 
 
 class DetStage:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
-        self.backend = SynthDetBackend()
+        self.backend = make_backends(cfg, [])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg

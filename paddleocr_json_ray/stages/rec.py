@@ -21,7 +21,7 @@ from .. import errors
 from ..config import PipelineConfig
 from ..functions.imageops import REC_MEAN, REC_SCALE, crnn_resize, normalize
 from ..synth import imaging
-from ..synth.backend import SynthClsBackend, SynthRecBackend
+from ..synth.backend import make_backends
 from .span_ocr import DetItem, rec_blocks
 
 BLOCK_STRUCT = pa.struct([
@@ -40,8 +40,8 @@ class RecStage:
         from ..synth.oracle import load_dict_chars
 
         self.cfg = cfg
-        self.rec_backend = SynthRecBackend(list(load_dict_chars(dict_path)))
-        self.cls_backend = SynthClsBackend() if cfg.cls else None
+        _, self.rec_backend, self.cls_backend = make_backends(
+            cfg, list(load_dict_chars(dict_path)))
         from ..functions.layout import PARSERS, render_text
 
         self.parser = PARSERS[cfg.parser]

@@ -31,6 +31,22 @@ def _hash32(s: str, salt: int = 0) -> int:
     return h
 
 
+def make_backends(cfg, dict_chars: list[str]):
+    """Backend factory — the seam where a real-model backend plugs in.
+
+    ``backend='synthetic'`` returns the deterministic trio below;
+    ``backend='paddle'`` is the drop-in slot for Paddle-Inference/ONNX
+    weights (``cfg.models_path``), unavailable in this container."""
+    if cfg.backend == "paddle":
+        raise NotImplementedError(
+            "paddle backend requires paddle-inference/onnxruntime + model "
+            "weights (cfg.models_path); this environment ships neither — "
+            "the synthetic backend exercises the same interfaces and all "
+            "pre/post-processing math (SURVEY.md §7.4)")
+    return (SynthDetBackend(), SynthRecBackend(dict_chars),
+            SynthClsBackend() if cfg.cls else None)
+
+
 class SynthDetBackend:
     """Emit (quad, prob) candidates in det-input (resized) coordinates from
     the decoded SIMG truth; the det stage then runs the real FilterTagDetRes

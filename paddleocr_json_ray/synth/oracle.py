@@ -13,7 +13,6 @@ from functools import lru_cache
 
 from ..config import PipelineConfig
 from ..stages.span_ocr import ocr_media_ref
-from .backend import SynthClsBackend, SynthDetBackend, SynthRecBackend
 
 
 @lru_cache(maxsize=8)
@@ -22,15 +21,16 @@ def load_dict_chars(dict_path: str) -> tuple[str, ...]:
         return tuple(line.rstrip("\n") for line in fh if line != "\n")
 
 
-@lru_cache(maxsize=8)
-def backends_for(dict_path: str):
-    return (SynthDetBackend(), SynthRecBackend(list(load_dict_chars(dict_path))), SynthClsBackend())
+def backends_for(dict_path: str, cfg: PipelineConfig):
+    from .backend import make_backends
+
+    return make_backends(cfg, list(load_dict_chars(dict_path)))
 
 
 def golden_for_truths(truths: list[tuple], cfg: PipelineConfig, dict_path: str):
     """truths: generator span descriptions in TRUE offset order (corpus._generate_doc).
     Returns (golden spans list, per-span codes list)."""
-    det_b, rec_b, cls_b = backends_for(dict_path)
+    det_b, rec_b, cls_b = backends_for(dict_path, cfg)
     spans = []
     codes = []
     for order, t in enumerate(truths):
