@@ -35,7 +35,15 @@ def assemble_block(batch: pa.Table) -> pa.Table:
     sort + list re-slice with NO all-to-all exchange
     (cfg.assemble_mode='auto').  The general groupby(doc_id) path
     (assemble_document) remains for inputs where one document's spans may be
-    scattered across blocks; both paths are asserted equal in tests."""
+    scattered across blocks; both paths are asserted equal in tests.
+
+    Validity bound: Ray splits a task's output into multiple blocks only
+    past DataContext.target_max_block_size (128 MiB default).  A task here
+    holds cfg.text_batch_size (64) docs of span-result rows (~KB each, the
+    heavy payload/crop columns are dropped before this stage), orders of
+    magnitude under the split threshold — so a document never straddles a
+    block boundary.  Inputs that violate this (giant documents, tiny block
+    size) must use assemble_mode='shuffle'."""
     if batch.num_rows == 0:
         return pa.Table.from_pylist([], schema=DOC_SCHEMA)
     tab = batch.sort_by([("doc_id", "ascending"), ("offset", "ascending")]).combine_chunks()
