@@ -21,7 +21,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from paddleocr_json_ray.ops import dedup, multimodal, relational, similarity, text_ops
+    from paddleocr_json_ray.ops import dedup, multimodal, relational, similarity, text_ops, windows
     from paddleocr_json_ray.pipelines.ocr import run_extraction, span_level_results
 
     def ocr_spans(sf_dir: str):
@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_recent": relational.lineitem_recent,
         "suppliers_per_region": relational.suppliers_per_region,
         "revenue_by_priority": relational.revenue_by_priority,
+        # ---- windowed / streaming-style ops over the events table ----
+        "events_tumbling": windows.events_tumbling,
+        "user_sessions": windows.user_sessions,
     }
 
 
@@ -153,4 +156,27 @@ SELECT o.o_orderpriority, count(*) AS n_items,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority""",
+        "events_tumbling": """
+SELECT event_type,
+       epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "user_sessions": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us
+FROM numbered GROUP BY user_id, session_id""",
     }

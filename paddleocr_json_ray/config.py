@@ -79,8 +79,8 @@ class PipelineConfig:
             raise ValueError(f"unknown parser {self.parser!r}; choose from {sorted(PARSERS)}")
         if self.det_db_score_mode not in ("slow", "fast"):
             raise ValueError("det_db_score_mode must be 'slow' or 'fast'")
-        if self.backend not in ("synthetic", "paddle"):
-            raise ValueError("backend must be 'synthetic' or 'paddle'")
+        if self.backend not in ("synthetic", "bitmap", "paddle"):
+            raise ValueError("backend must be 'synthetic', 'bitmap' or 'paddle'")
         if self.assemble_mode not in ("auto", "shuffle"):
             raise ValueError("assemble_mode must be 'auto' or 'shuffle'")
         if not self.det and not self.rec:

@@ -101,7 +101,8 @@ def det_items(simg: imaging.SimgImage, cfg: PipelineConfig,
     h, w = simg.height, simg.width
     resize_h, resize_w, ratio_h, ratio_w = det_resize_shape(h, w, cfg.limit_side_len)
     survivors: list[DetItem] = []
-    for (quad, prob), blk in zip(backend.infer(simg, ratio_h, ratio_w), simg.blocks):
+    for quad, prob, truth_idx in backend.infer(simg, ratio_h, ratio_w):
+        blk = simg.blocks[truth_idx] if truth_idx is not None else None
         if prob < cfg.det_db_box_thresh:
             continue
         # BoxesFromBitmap int rounding, clamp to det-input extent
@@ -115,7 +116,9 @@ def det_items(simg: imaging.SimgImage, cfg: PipelineConfig,
         side_h = int(math.sqrt((oq[0][0] - oq[3][0]) ** 2 + (oq[0][1] - oq[3][1]) ** 2))
         if side_w <= 4 or side_h <= 4:
             continue
-        survivors.append(DetItem(oq, float(prob), blk.text, blk.flip180))
+        survivors.append(DetItem(oq, float(prob),
+                                 blk.text if blk is not None else "",
+                                 blk.flip180 if blk is not None else False))
     order = sorted_boxes_order([it.quad for it in survivors])
     return [survivors[i] for i in order]
 

@@ -43,20 +43,79 @@ def make_backends(cfg, dict_chars: list[str]):
             "weights (cfg.models_path); this environment ships neither — "
             "the synthetic backend exercises the same interfaces and all "
             "pre/post-processing math (SURVEY.md §7.4)")
-    return (SynthDetBackend(), SynthRecBackend(dict_chars),
+    det = BitmapDetBackend(cfg) if cfg.backend == "bitmap" else SynthDetBackend()
+    return (det, SynthRecBackend(dict_chars),
             SynthClsBackend() if cfg.cls else None)
 
 
 class SynthDetBackend:
-    """Emit (quad, prob) candidates in det-input (resized) coordinates from
-    the decoded SIMG truth; the det stage then runs the real FilterTagDetRes
-    rescale/clamp/min-size path (P5) and sorted_boxes (O1) on them."""
+    """Emit (quad, prob, truth_idx) candidates in det-input (resized)
+    coordinates straight from the decoded SIMG truth; the det stage then
+    runs the real FilterTagDetRes rescale/clamp/min-size path (P5) and
+    sorted_boxes (O1) on them."""
 
     def infer(self, simg, ratio_h: float, ratio_w: float):
         out = []
-        for b in simg.blocks:
+        for i, b in enumerate(simg.blocks):
             quad = [[p[0] * ratio_w, p[1] * ratio_h] for p in b.quad]
-            out.append((quad, float(b.det_prob)))
+            out.append((quad, float(b.det_prob), i))
+        return out
+
+
+class BitmapDetBackend:
+    """DB-style detection through the REAL bitmap post-processing chain
+    (functions/db_postprocess.py): render a DB-shrunk probability map from
+    the truth, threshold it, and recover boxes via connected components ->
+    min-area rect -> score -> unclip — exactly BoxesFromBitmap
+    (cpp/src/postprocess_op.cpp:246-321).  Candidates are associated back to
+    truth blocks by IoU for the synthetic rec stage."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def infer(self, simg, ratio_h: float, ratio_w: float):
+        from ..functions.db_postprocess import boxes_from_bitmap, shrink_distance
+
+        cfg = self.cfg
+        rh = max(int(round(simg.height * ratio_h)), 1)
+        rw = max(int(round(simg.width * ratio_w)), 1)
+        pred = np.zeros((rh, rw), dtype=np.float32)
+        truth_bboxes = []
+        for b in simg.blocks:
+            xs = [p[0] * ratio_w for p in b.quad]
+            ys = [p[1] * ratio_h for p in b.quad]
+            x0, x1 = min(xs), max(xs)
+            y0, y1 = min(ys), max(ys)
+            truth_bboxes.append((x0, y0, x1, y1))
+            d = shrink_distance(x1 - x0, y1 - y0)
+            sx0 = int(np.clip(round(x0 + d), 0, rw - 1))
+            sx1 = int(np.clip(round(x1 - d), 0, rw))
+            sy0 = int(np.clip(round(y0 + d), 0, rh - 1))
+            sy1 = int(np.clip(round(y1 - d), 0, rh))
+            if sx1 > sx0 and sy1 > sy0:
+                np.maximum(pred[sy0:sy1, sx0:sx1], b.det_prob,
+                           out=pred[sy0:sy1, sx0:sx1])
+        bitmap = pred > cfg.det_db_thresh
+        cands = boxes_from_bitmap(pred, bitmap, 0.0, cfg.det_db_unclip_ratio,
+                                  cfg.det_db_score_mode)
+        out = []
+        for quad, score in cands:
+            qx = [p[0] for p in quad]
+            qy = [p[1] for p in quad]
+            cb = (min(qx), min(qy), max(qx), max(qy))
+            best_idx, best_iou = None, 0.0
+            for i, tb in enumerate(truth_bboxes):
+                ix0, iy0 = max(cb[0], tb[0]), max(cb[1], tb[1])
+                ix1, iy1 = min(cb[2], tb[2]), min(cb[3], tb[3])
+                if ix1 <= ix0 or iy1 <= iy0:
+                    continue
+                inter = (ix1 - ix0) * (iy1 - iy0)
+                ua = ((cb[2] - cb[0]) * (cb[3] - cb[1])
+                      + (tb[2] - tb[0]) * (tb[3] - tb[1]) - inter)
+                i_iou = inter / ua if ua > 0 else 0.0
+                if i_iou > best_iou:
+                    best_iou, best_idx = i_iou, i
+            out.append(([list(map(float, p)) for p in quad], score, best_idx))
         return out
 
 

@@ -215,16 +215,18 @@ def _generate_doc(doc_key: str, seed_key: str, words: list[str], paths: CorpusPa
     return spans, truths
 
 
-def corpus_dir_for(sf_dir: str, parser: str = "multi_para", cls: bool = False) -> str:
+def corpus_dir_for(sf_dir: str, parser: str = "multi_para", cls: bool = False,
+                   backend: str = "synthetic") -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(CORPUS_ROOT, f"{name}-{parser}-cls{int(cls)}-{CORPUS_VERSION}")
+    return os.path.join(CORPUS_ROOT,
+                        f"{name}-{parser}-cls{int(cls)}-{backend}-{CORPUS_VERSION}")
 
 
 def build_corpus(sf_dir: str, cfg: PipelineConfig | None = None, force: bool = False,
                  n_files: int = 8) -> CorpusPaths:
     """Generate (or reuse cached) corpus for an sf dir.  Deterministic."""
     cfg = cfg or PipelineConfig()
-    paths = CorpusPaths(corpus_dir_for(sf_dir, cfg.parser, cfg.cls))
+    paths = CorpusPaths(corpus_dir_for(sf_dir, cfg.parser, cfg.cls, cfg.backend))
     if os.path.exists(paths.marker) and not force:
         return paths
     from .oracle import golden_for_truths  # late import: oracle needs backends

@@ -1,0 +1,128 @@
+"""DB bitmap post-processing chain (P1-P5 math) + bitmap det backend e2e."""
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from paddleocr_json_ray.config import PipelineConfig
+from paddleocr_json_ray.functions.db_postprocess import (
+    boxes_from_bitmap,
+    connected_components,
+    convex_hull,
+    get_mini_boxes,
+    min_area_rect,
+    shrink_distance,
+    unclip_distance,
+    unclip_rect,
+)
+
+
+def test_connected_components_8conn():
+    bm = np.zeros((10, 10), dtype=bool)
+    bm[1, 1] = True
+    bm[2, 2] = True          # diagonal -> same component
+    bm[5:7, 5:8] = True      # separate blob
+    comps = connected_components(bm)
+    assert sorted(len(c) for c in comps) == [2, 6]
+
+
+def test_connected_components_u_shape():
+    bm = np.zeros((6, 6), dtype=bool)
+    bm[0:5, 0] = True
+    bm[0:5, 4] = True
+    bm[4, 0:5] = True        # U: two arms joined at the bottom
+    comps = connected_components(bm)
+    assert len(comps) == 1
+
+
+def test_min_area_rect_axis_aligned():
+    pts = np.array([[x, y] for x in range(5, 40) for y in range(10, 20)])
+    (cx, cy), (w, h), ang = min_area_rect(pts)
+    assert {round(w), round(h)} == {34, 9}
+    assert abs(cx - 22.0) < 0.6 and abs(cy - 14.5) < 0.6
+
+
+def test_min_area_rect_rotated():
+    # 45-degree line of square blocks
+    base = np.array([[i, i] for i in range(20)], dtype=float)
+    pts = np.concatenate([base + [dx, -dx] for dx in range(4)])
+    _, (w, h), ang = min_area_rect(pts)
+    long_side, short_side = max(w, h), min(w, h)
+    assert long_side > 3 * short_side
+    assert abs(abs(math.degrees(ang)) % 90 - 45) < 1.0
+
+
+def test_get_mini_boxes_order_and_ssid():
+    box, ssid = get_mini_boxes(((10, 10), (8, 4), 0.0))
+    assert ssid == 8
+    assert box == [[6, 8], [14, 8], [14, 12], [6, 12]]  # TL,TR,BR,BL
+
+
+def test_unclip_geometry():
+    box = [[0, 0], [30, 0], [30, 10], [0, 10]]
+    d = unclip_distance(box, 1.5)
+    assert abs(d - (300 * 1.5 / 80)) < 1e-6
+    (c, (w, h), a) = unclip_rect(((15, 5), (30, 10), 0.0), d)
+    assert (w, h) == (30 + 2 * d, 10 + 2 * d)
+
+
+def test_boxes_from_bitmap_thresholds():
+    pred = np.zeros((40, 60), dtype=np.float32)
+    pred[5:15, 5:45] = 0.9      # strong box
+    pred[25:28, 5:12] = 0.4     # weak box (below box_thresh)
+    bitmap = pred > 0.3
+    boxes = boxes_from_bitmap(pred, bitmap, 0.6, 1.5, "slow")
+    assert len(boxes) == 1
+    quad, score = boxes[0]
+    assert score == pytest.approx(0.9, abs=1e-5)
+    xs = [p[0] for p in quad]
+    assert min(xs) < 5 and max(xs) > 45  # unclip expanded
+
+
+def test_fast_score_lower_than_slow():
+    pred = np.zeros((30, 30), dtype=np.float32)
+    pred[10:20, 10:20] = 0.8
+    bitmap = pred > 0.3
+    s_slow = boxes_from_bitmap(pred, bitmap, 0.0, 1.5, "slow")[0][1]
+    s_fast = boxes_from_bitmap(pred, bitmap, 0.0, 1.5, "fast")[0][1]
+    assert s_slow == pytest.approx(0.8, abs=1e-5)
+    assert s_fast <= s_slow + 1e-6
+
+
+def test_shrink_distance():
+    assert shrink_distance(100, 20) == pytest.approx(100 * 20 * 0.84 / 240)
+
+
+def test_convex_hull_is_subset():
+    rng = np.random.default_rng(5)
+    pts = rng.integers(0, 50, size=(200, 2))
+    hull = convex_hull(pts)
+    pt_set = {tuple(p) for p in pts.tolist()}
+    assert all(tuple(map(int, p)) in pt_set for p in hull.tolist())
+
+
+def _spans_map(tab):
+    return {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"])
+                          for s in r["spans"]] for r in tab.to_pylist()}
+
+
+def test_bitmap_backend_e2e_golden(ray_session, sf0001_dir):
+    """Full pipeline with the bitmap det backend matches ITS golden (the
+    oracle runs the same real DB chain sequentially)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from paddleocr_json_ray.pipelines.ocr import run_extraction
+    from paddleocr_json_ray.synth.corpus import build_corpus
+
+    cfg = PipelineConfig(backend="bitmap")
+    paths = build_corpus(sf0001_dir, cfg)
+    got = pa.concat_tables(_ray.get(run_extraction(sf0001_dir, cfg).to_arrow_refs()))
+    golden = pq.read_table(paths.golden_parquet)
+    assert _spans_map(got) == _spans_map(golden)
+    # and the bitmap chain actually recovers text on real spans
+    n_with_text = sum(1 for r in golden.to_pylist()
+                      for s in r["spans"] if s["kind"] == "media" and s["text"])
+    assert n_with_text > 100
