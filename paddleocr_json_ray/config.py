@@ -64,10 +64,17 @@ class PipelineConfig:
         """Config-file semantics: a file value only applies where this config
         still holds the dataclass default (CLI/constructor wins), matching
         SET_FLAG_IF_DEFAULT (cpp/src/args.cpp:109-163)."""
+        def coerce(default, raw):
+            if isinstance(default, bool):  # bool("false") is True — parse properly
+                return str(raw).strip().lower() in ("1", "true", "yes", "on")
+            if default is None:
+                return raw
+            return type(default)(raw)
+
         updates = {}
         for f in fields(self):
             if f.name in file_values and getattr(self, f.name) == f.default:
-                updates[f.name] = type(f.default)(file_values[f.name]) if f.default is not None else file_values[f.name]
+                updates[f.name] = coerce(f.default, file_values[f.name])
         return replace(self, **updates) if updates else self
 
     def validated(self) -> "PipelineConfig":

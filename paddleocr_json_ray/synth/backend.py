@@ -96,6 +96,13 @@ class BitmapDetBackend:
                 np.maximum(pred[sy0:sy1, sx0:sx1], b.det_prob,
                            out=pred[sy0:sy1, sx0:sx1])
         bitmap = pred > cfg.det_db_thresh
+        if cfg.use_dilation:
+            # 2x2 structuring element dilation (cpp/src/ocr_det.cpp dilation path)
+            d = bitmap.copy()
+            d[1:, :] |= bitmap[:-1, :]
+            d[:, 1:] |= bitmap[:, :-1]
+            d[1:, 1:] |= bitmap[:-1, :-1]
+            bitmap = d
         cands = boxes_from_bitmap(pred, bitmap, 0.0, cfg.det_db_unclip_ratio,
                                   cfg.det_db_score_mode)
         out = []

@@ -126,3 +126,18 @@ def test_bitmap_backend_e2e_golden(ray_session, sf0001_dir):
     n_with_text = sum(1 for r in golden.to_pylist()
                       for s in r["spans"] if s["kind"] == "media" and s["text"])
     assert n_with_text > 100
+
+
+def test_dilation_merges_nearby():
+    from paddleocr_json_ray.synth.backend import BitmapDetBackend
+    from paddleocr_json_ray.synth.imaging import SimgBlock, SimgImage
+
+    img = SimgImage(width=200, height=60, blocks=[
+        SimgBlock(quad=[[10, 10], [90, 10], [90, 32], [10, 32]], text="a", det_prob=0.9)])
+    plain = BitmapDetBackend(PipelineConfig(backend="bitmap")).infer(img, 1.0, 1.0)
+    dil = BitmapDetBackend(PipelineConfig(backend="bitmap", use_dilation=True)).infer(img, 1.0, 1.0)
+    assert len(plain) == 1 and len(dil) == 1
+    # dilated bitmap -> slightly larger recovered box
+    area = lambda q: (max(p[0] for p in q) - min(p[0] for p in q)) * (max(p[1] for p in q) - min(p[1] for p in q))
+    assert area(dil[0][0]) >= area(plain[0][0])
+

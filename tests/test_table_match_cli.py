@@ -78,3 +78,8 @@ def test_config_file_merge(tmp_path):
         {"parser": "single_code", "limit_side_len": "640"})
     assert cfg.parser == "multi_line"        # explicitly set -> file ignored
     assert cfg.limit_side_len == 640         # default -> file applies
+
+
+def test_config_file_bool_false_parses():
+    cfg = PipelineConfig().merge_defaults({"cls": "false", "det": "true", "use_dilation": "1"})
+    assert cfg.cls is False and cfg.det is True and cfg.use_dilation is True
