@@ -22,6 +22,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from paddleocr_json_ray.ops import dedup, multimodal, relational, similarity, text_ops, windows
+    from paddleocr_json_ray.pipelines.curation import curate
     from paddleocr_json_ray.pipelines.ocr import run_extraction, span_level_results
 
     def ocr_spans(sf_dir: str):
@@ -65,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- windowed / streaming-style ops over the events table ----
         "events_tumbling": windows.events_tumbling,
         "user_sessions": windows.user_sessions,
+        # ---- composed curation pipeline (extraction -> score -> filter -> dedup) ----
+        "curate_corpus": curate,
     }
 
 
