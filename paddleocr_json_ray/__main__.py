@@ -77,7 +77,12 @@ def single_image(ref: str, cfg: PipelineConfig) -> str:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_argparser().parse_args(argv)
-    cfg = config_from_args(args)
+    try:
+        cfg = config_from_args(args)
+    except (ValueError, OSError) as exc:
+        # check_flags parity: fail fast with a clean message, nonzero exit
+        print(f"config error: {exc}", file=sys.stderr)
+        return 2
 
     if args.image_path or args.image_base64:
         ref = f"file:{args.image_path}" if args.image_path else f"b64:{args.image_base64}"
