@@ -33,11 +33,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--config_path", default="", help="key=value config file")
     p.add_argument("--num_cpus", type=int, default=0, help="ray num_cpus (0 = ray default)")
+    def strict_bool(v: str) -> bool:
+        low = v.strip().lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
     # expose every PipelineConfig field as a flag with the reference's names
     for f in dataclasses.fields(PipelineConfig):
         if f.type in ("bool", bool):
-            p.add_argument(f"--{f.name}", type=lambda v: v.lower() in ("1", "true", "yes"),
-                           default=None)
+            p.add_argument(f"--{f.name}", type=strict_bool, default=None)
         elif f.type in ("int", int):
             p.add_argument(f"--{f.name}", type=int, default=None)
         elif f.type in ("float", float):
@@ -48,20 +55,26 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args: argparse.Namespace) -> PipelineConfig:
+    """CLI wins over the config file by PRESENCE (gflags tracks whether a
+    flag was set, not whether its value equals the default): file values
+    apply only for fields the command line did not provide, even when the
+    CLI value equals the field default."""
     overrides = {f.name: getattr(args, f.name)
                  for f in dataclasses.fields(PipelineConfig)
                  if getattr(args, f.name, None) is not None}
-    cfg = PipelineConfig(**overrides)
     if args.config_path:
-        cfg = cfg.merge_defaults(read_config_file(args.config_path))
-    return cfg.validated()
+        file_cfg = PipelineConfig().merge_defaults(read_config_file(args.config_path))
+        base = {f.name: getattr(file_cfg, f.name) for f in dataclasses.fields(PipelineConfig)}
+        base.update(overrides)
+        return PipelineConfig(**base).validated()
+    return PipelineConfig(**overrides).validated()
 
 
 def single_image(ref: str, cfg: PipelineConfig) -> str:
     """E1 equivalence: one envelope line, no Ray session needed."""
     from .stages.envelope import result_to_json_line
     from .stages.span_ocr import ocr_media_ref
-    from .synth.backend import SynthClsBackend, SynthDetBackend, SynthRecBackend
+    from .synth.backend import make_backends
 
     if cfg.rec_char_dict_path:
         from .synth.oracle import load_dict_chars
@@ -69,9 +82,8 @@ def single_image(ref: str, cfg: PipelineConfig) -> str:
         chars = list(load_dict_chars(cfg.rec_char_dict_path))
     else:
         chars = [chr(c) for c in range(32, 127)]
-    code, msg, blocks, _text = ocr_media_ref(
-        ref, cfg, SynthDetBackend(), SynthRecBackend(chars),
-        SynthClsBackend() if cfg.cls else None)
+    det_b, rec_b, cls_b = make_backends(cfg, chars)  # honors cfg.backend
+    code, msg, blocks, _text = ocr_media_ref(ref, cfg, det_b, rec_b, cls_b)
     return result_to_json_line(code, msg, blocks, cfg.ensure_ascii)
 
 

@@ -125,14 +125,15 @@ def min_area_rect(points: np.ndarray) -> tuple[tuple[float, float], tuple[float,
     for i in range(len(hull)):
         edge = hull[(i + 1) % len(hull)] - hull[i]
         ang = math.atan2(edge[1], edge[0])
-        c, s = math.cos(-ang), math.sin(-ang)
-        rot = hull @ np.array([[c, s], [-s, c]])
+        c, s = math.cos(ang), math.sin(ang)
+        # rotate hull by -ang: p' = (x*c + y*s, -x*s + y*c)
+        rot = hull @ np.array([[c, -s], [s, c]])
         x0, y0 = rot.min(axis=0)
         x1, y1 = rot.max(axis=0)
         area = (x1 - x0) * (y1 - y0)
         if best is None or area < best[0]:
             cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
-            # rotate center back
+            # inverse-rotate the center back to input coordinates
             bx = cx * c - cy * s
             by = cx * s + cy * c
             best = (area, (bx, by), (x1 - x0, y1 - y0), ang)
@@ -145,7 +146,8 @@ def rect_points(rect) -> np.ndarray:
     c, s = math.cos(ang), math.sin(ang)
     dx, dy = w / 2, h / 2
     corners = np.array([[-dx, -dy], [dx, -dy], [dx, dy], [-dx, dy]])
-    rot = corners @ np.array([[c, s], [-s, c]]).T
+    # world = R(ang) @ local, as row vectors: (x*c - y*s, x*s + y*c)
+    rot = corners @ np.array([[c, s], [-s, c]])
     return rot + np.array([cx, cy])
 
 
@@ -219,8 +221,9 @@ def boxes_from_bitmap(pred: np.ndarray, bitmap: np.ndarray, box_thresh: float,
         clip_box, ssid2 = get_mini_boxes(clip_rect)
         if ssid2 < MIN_SIZE + 2:
             continue
-        int_box = [[int(np.clip(round(p[0]), 0, width)),
-                    int(np.clip(round(p[1]), 0, height))] for p in clip_box]
+        # roundf semantics: half away from zero (coords are non-negative here)
+        int_box = [[int(np.clip(math.floor(p[0] + 0.5), 0, width)),
+                    int(np.clip(math.floor(p[1] + 0.5), 0, height))] for p in clip_box]
         out.append((int_box, score))
     return out
 

@@ -137,7 +137,9 @@ def get_rotate_crop_image(img: np.ndarray, quad) -> np.ndarray:
     np.clip(sy, 0, h - 1, out=sy)
     crop = img[sy, sx].reshape((crop_h, crop_w) + img.shape[2:])
     if crop_h >= crop_w * 1.5:
-        crop = np.rot90(crop, k=-1)  # clockwise, matching cv2 ROTATE_90_CLOCKWISE path
+        # reference does transpose + flip(axis=0) == 90deg counter-clockwise
+        # (cpp/src/utility.cpp:210-215)
+        crop = np.rot90(crop, k=1)
     return np.ascontiguousarray(crop)
 
 

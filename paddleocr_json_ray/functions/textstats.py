@@ -11,9 +11,14 @@ import re
 
 import numpy as np
 
-_RE_TOKEN = re.compile(r"\S+")
+# ASCII whitespace classes, matching RE2 semantics (\s = [\t\n\f\r\v ]) so
+# the DuckDB SQL oracles agree on Unicode input (Python's \s/isdigit() are
+# Unicode-aware and would diverge on NBSP / non-ASCII digits)
+_ASCII_WS = " \t\n\r\f\v"
+_RE_TOKEN = re.compile(r"[^ \t\n\r\f\v]+")
 # BPE-ish word/number/punct splitter for subword-style token counting
-_RE_BPEISH = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+_RE_BPEISH = re.compile(r"[A-Za-z]+|[0-9]+|[^ \t\n\r\f\vA-Za-z0-9]")
+_ASCII_DIGITS = set("0123456789")
 
 _ASCII_PUNCT = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
 
@@ -44,7 +49,7 @@ def quality_stats(text: str) -> dict[str, int]:
     tokens = _RE_TOKEN.findall(text)
     n_tokens = len(tokens)
     n_punct = sum(1 for c in text if c in _ASCII_PUNCT)
-    n_digit = sum(1 for c in text if c.isdigit())
+    n_digit = sum(1 for c in text if c in _ASCII_DIGITS)
     n_space = text.count(" ")
     max_tok = max((len(t) for t in tokens), default=0)
     # score in integer millis: balance of word length, punctuation and digits

@@ -154,7 +154,13 @@ def knn_ivf(sf_dir: str, n_queries: int = 8, k: int = 5) -> ray.data.Dataset:
                 rows["neighbor_id"].append(int(bids[c]))
                 rows["sim"].append(float(sims[qi, c]))
                 rows["bucket"].append(int(bbuckets[c]))
-        return pa.table({k2: pa.array(v) for k2, v in rows.items()})
+        # explicit types: empty batches must not degrade to null-typed columns
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+            "sim": pa.array(rows["sim"], type=pa.float64()),
+            "bucket": pa.array(rows["bucket"], type=pa.int64()),
+        })
 
     def merge(group: pa.Table) -> pa.Table:
         qid = group.column("query_id")[0].as_py()

@@ -45,6 +45,11 @@ from ..synth import imaging
 from ..synth.backend import SynthClsBackend, SynthDetBackend, SynthRecBackend
 
 
+def _roundf(x: float) -> int:
+    """C roundf: half away from zero (Python round() is half-to-even)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
 class ResolvedMedia(NamedTuple):
     code: int
     msg: str
@@ -105,8 +110,10 @@ def det_items(simg: imaging.SimgImage, cfg: PipelineConfig,
         blk = simg.blocks[truth_idx] if truth_idx is not None else None
         if prob < cfg.det_db_box_thresh:
             continue
-        # BoxesFromBitmap int rounding, clamp to det-input extent
-        int_quad = [[int(min(max(round(x), 0), resize_w)), int(min(max(round(y), 0), resize_h))]
+        # BoxesFromBitmap int rounding (roundf = half away from zero, NOT
+        # Python's banker's rounding), clamp to det-input extent
+        int_quad = [[int(min(max(_roundf(x), 0), resize_w)),
+                     int(min(max(_roundf(y), 0), resize_h))]
                     for x, y in quad]
         # FilterTagDetRes: order, truncating rescale, clamp to source extent
         oq = order_points_clockwise(int_quad)

@@ -41,14 +41,23 @@ def manifest_path(out_dir: str, shard_id: int) -> str:
     return os.path.join(out_dir, f"shard={shard_id:04d}", "_MANIFEST.json")
 
 
-def is_shard_complete(out_dir: str, shard_id: int, cfg_digest: str) -> bool:
+def is_shard_complete(out_dir: str, shard_id: int, cfg_digest: str,
+                      expected_files: list[str] | None = None) -> bool:
+    """A shard counts as done only if its manifest is complete, was produced
+    under the same config digest AND covered exactly the same input files —
+    re-running with a different --shards value must not silently skip data
+    (the shard->file assignment changes with the shard count)."""
     p = manifest_path(out_dir, shard_id)
     if not os.path.exists(p):
         return False
     try:
         with open(p, encoding="utf-8") as fh:
             m = json.load(fh)
-        return m.get("complete") is True and m.get("config_digest") == cfg_digest
+        if m.get("complete") is not True or m.get("config_digest") != cfg_digest:
+            return False
+        if expected_files is not None and sorted(m.get("input_files", [])) != sorted(expected_files):
+            return False
+        return True
     except (OSError, json.JSONDecodeError):
         return False
 
@@ -73,8 +82,21 @@ def run_resumable(sf_dir: str, out_dir: str, cfg: PipelineConfig | None = None,
     total_docs = 0
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
+    # shards from a previous run with a different --shards value would leave
+    # stale data beyond the current layout — remove them so readers of
+    # out_dir never see duplicated/orphaned documents
+    import shutil
+
+    for entry in os.listdir(out_dir):
+        if entry.startswith("shard="):
+            try:
+                sid = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if sid >= len(shards):
+                shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
     for sid, shard in enumerate(shards):
-        if is_shard_complete(out_dir, sid, digest):
+        if is_shard_complete(out_dir, sid, digest, expected_files=shard):
             skipped.append(sid)
             continue
         shard_dir = os.path.join(out_dir, f"shard={sid:04d}")

@@ -215,18 +215,41 @@ def _generate_doc(doc_key: str, seed_key: str, words: list[str], paths: CorpusPa
     return spans, truths
 
 
+# config fields the golden oracle output depends on — the cache key must
+# cover ALL of them (execution knobs like concurrency/batch sizes are
+# deliberately excluded: they must never change results, and keying on them
+# would regenerate the corpus between bench parallelism levels)
+_SEMANTIC_FIELDS = (
+    "det", "cls", "rec", "use_angle_cls", "limit_side_len", "det_db_thresh",
+    "det_db_box_thresh", "det_db_unclip_ratio", "det_db_score_mode",
+    "use_dilation", "cls_thresh", "cls_batch_num", "rec_batch_num",
+    "rec_img_h", "rec_img_w", "parser", "backend", "rec_char_dict_path",
+)
+
+
+def semantic_digest(cfg: PipelineConfig) -> str:
+    import hashlib
+
+    blob = "|".join(f"{f}={getattr(cfg, f)}" for f in _SEMANTIC_FIELDS)
+    return hashlib.sha256(blob.encode()).hexdigest()[:10]
+
+
 def corpus_dir_for(sf_dir: str, parser: str = "multi_para", cls: bool = False,
-                   backend: str = "synthetic") -> str:
+                   backend: str = "synthetic",
+                   cfg: PipelineConfig | None = None) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(CORPUS_ROOT,
-                        f"{name}-{parser}-cls{int(cls)}-{backend}-{CORPUS_VERSION}")
+    cfg = cfg or PipelineConfig(parser=parser, cls=cls, backend=backend)
+    return os.path.join(
+        CORPUS_ROOT,
+        f"{name}-{cfg.parser}-cls{int(cfg.cls)}-{cfg.backend}-"
+        f"{semantic_digest(cfg)}-{CORPUS_VERSION}")
 
 
 def build_corpus(sf_dir: str, cfg: PipelineConfig | None = None, force: bool = False,
                  n_files: int = 8) -> CorpusPaths:
     """Generate (or reuse cached) corpus for an sf dir.  Deterministic."""
     cfg = cfg or PipelineConfig()
-    paths = CorpusPaths(corpus_dir_for(sf_dir, cfg.parser, cfg.cls, cfg.backend))
+    paths = CorpusPaths(corpus_dir_for(sf_dir, cfg=cfg))
     if os.path.exists(paths.marker) and not force:
         return paths
     from .oracle import golden_for_truths  # late import: oracle needs backends

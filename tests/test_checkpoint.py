@@ -49,3 +49,17 @@ def test_config_change_invalidates(ray_session, sf0001_dir, tmp_path):
     from paddleocr_json_ray.state.checkpoint import _config_digest
 
     assert not is_shard_complete(out, 0, _config_digest(other))
+
+
+def test_shard_count_change_invalidates(ray_session, sf0001_dir, tmp_path):
+    """Re-running with a different --shards value must not skip stale shards
+    or leave orphaned shard dirs."""
+    import pyarrow.parquet as pq2
+
+    out = str(tmp_path / "out3")
+    cfg = PipelineConfig()
+    run_resumable(sf0001_dir, out, cfg, n_shards=6)
+    s2 = run_resumable(sf0001_dir, out, cfg, n_shards=2)
+    assert s2["skipped"] == [] and sorted(s2["ran"]) == [0, 1]
+    assert sorted(os.listdir(out)) == ["shard=0000", "shard=0001"]
+    assert pq2.read_table(out).num_rows == 500  # no duplicated docs

@@ -83,3 +83,25 @@ def test_config_file_merge(tmp_path):
 def test_config_file_bool_false_parses():
     cfg = PipelineConfig().merge_defaults({"cls": "false", "det": "true", "use_dilation": "1"})
     assert cfg.cls is False and cfg.det is True and cfg.use_dilation is True
+
+
+def test_cli_wins_by_presence(tmp_path):
+    """Explicit CLI flag equal to the default must still beat the file."""
+    from paddleocr_json_ray.__main__ import build_argparser, config_from_args
+
+    p = tmp_path / "c.txt"
+    p.write_text("rec=false\nparser=single_code\n")
+    args = build_argparser().parse_args(
+        ["--rec", "true", "--config_path", str(p)])
+    cfg = config_from_args(args)
+    assert cfg.rec is True                # CLI present -> wins despite == default
+    assert cfg.parser == "single_code"    # file fills unset field
+
+
+def test_cli_strict_bool_rejects_garbage():
+    import pytest as _pytest
+
+    from paddleocr_json_ray.__main__ import build_argparser
+
+    with _pytest.raises(SystemExit):
+        build_argparser().parse_args(["--use_dilation", "maybe"])
