@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_recent": relational.lineitem_recent,
         "suppliers_per_region": relational.suppliers_per_region,
         "revenue_by_priority": relational.revenue_by_priority,
+        "distinct_sources": relational.distinct_sources,
         # ---- windowed / streaming-style ops over the events table ----
         "events_tumbling": windows.events_tumbling,
         "user_sessions": windows.user_sessions,
@@ -159,6 +160,7 @@ SELECT o.o_orderpriority, count(*) AS n_items,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority""",
+        "distinct_sources": "SELECT DISTINCT source FROM documents",
         "events_tumbling": """
 SELECT event_type,
        epoch_us(date_trunc('hour', ts)) AS window_start_us,

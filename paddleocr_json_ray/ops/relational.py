@@ -171,6 +171,14 @@ def suppliers_per_region(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def distinct_sources(sf_dir: str) -> ray.data.Dataset:
+    """DISTINCT via groupby (Dataset.unique materializes to the driver;
+    the grouped form stays distributed)."""
+    ds = _read(sf_dir, "documents", columns=["source"])
+    return (ds.groupby("source")
+              .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+
+
 def revenue_by_priority(sf_dir: str) -> ray.data.Dataset:
     """Partitioned hash join lineitem x orders (Dataset.join), then groupby."""
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
