@@ -1,6 +1,13 @@
 """Deduplication ops — exact, MinHash+LSH, SimHash, n-gram Jaccard and
 embedding-cosine near-dup (large-scale training-data pipeline components).
 
+Algorithms from the public literature: MinHash resemblance sketching
+(Broder, "On the resemblance and containment of documents", 1997) with
+banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3);
+SimHash (Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002) with the 4-chunk pigeonhole probe of Manku et al.
+(WWW 2007).
+
 Scale shape of every variant:
   1. per-batch vectorized signature computation (``map_batches``, no state);
   2. candidate generation via a key-partitioned ``groupby`` (band hash /

@@ -1,5 +1,9 @@
 """Similarity search over the embeddings table.
 
+Random-hyperplane (angular) LSH per Charikar (STOC 2002); IVF-style coarse
+probing follows the inverted-file ANN pattern (Jegou et al., "Product
+quantization for nearest neighbor search", 2011 — coarse quantizer only).
+
   * ``knn_brute`` — brute-force cosine top-k: the (small) query matrix is
     broadcast via ray.put; every batch does one [B, Q] float64 matmul and a
     partial top-k; partial results are merged with a final per-query groupby.

@@ -107,3 +107,27 @@ def test_order_points_clockwise():
 
 def test_quad_to_bbox():
     assert quad_to_bbox([[3, 4], [9, 2], [9, 11], [3, 12]]) == (3, 2, 9, 12)
+
+
+def test_det_resize_cap_and_box_rescale():
+    """Images beyond limit_side_len must be capped (x32-rounded) and det
+    boxes rescaled back into source coordinates (M1 + P5 interplay)."""
+    from paddleocr_json_ray.config import PipelineConfig
+    from paddleocr_json_ray.functions.imageops import det_resize_shape
+    from paddleocr_json_ray.stages.span_ocr import items_for_simg
+    from paddleocr_json_ray.synth.backend import SynthDetBackend
+    from paddleocr_json_ray.synth.imaging import SimgBlock, SimgImage
+
+    rh, rw, ratio_h, ratio_w = det_resize_shape(1600, 2000, 960)
+    assert rw <= 960 and rw % 32 == 0 and rh % 32 == 0
+    assert ratio_w < 1 and ratio_h < 1
+
+    img = SimgImage(width=2000, height=1600, blocks=[
+        SimgBlock(quad=[[100, 100], [900, 100], [900, 144], [100, 144]],
+                  text="big page line", det_prob=0.9)])
+    items = items_for_simg(img, PipelineConfig(), SynthDetBackend())
+    assert len(items) == 1
+    q = items[0].quad
+    # box must land back near source coordinates despite the resize round-trip
+    assert abs(q[0][0] - 100) <= 3 and abs(q[1][0] - 900) <= 3
+    assert abs(q[0][1] - 100) <= 3 and abs(q[2][1] - 144) <= 3
