@@ -139,12 +139,23 @@ def doc_fingerprint(text: str, window: int = 8) -> int:
 
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """k-char shingle hash set (uint64, unique) of normalized text."""
-    s = re.sub(r"\s+", " ", text.lower()).strip()
+    """k-byte shingle hash set (uint64, unique) of normalized text,
+    vectorized: polynomial rolling hash over UTF-8 byte windows (identical
+    gram boundaries to char shingles for ASCII; multi-byte chars simply
+    span several windows)."""
+    s = re.sub(r"\s+", " ", text.lower()).strip().encode("utf-8")
+    if not s:
+        return np.empty(0, dtype=np.uint64)
     if len(s) < k:
-        return fnv1a64_tokens([s]) if s else np.empty(0, dtype=np.uint64)
-    grams = [s[i:i + k] for i in range(len(s) - k + 1)]
-    return np.unique(fnv1a64_tokens(grams))
+        return np.array([fnv1a64(s) & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    arr = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+    n = len(s) - k + 1
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n, dtype=np.uint64)
+        mult = np.uint64(1099511628211)
+        for j in range(k):
+            acc = acc * mult + arr[j:j + n]
+    return np.unique(acc)
 
 
 def word_ngrams(text: str, n: int = 3) -> set[str]:
