@@ -25,6 +25,17 @@ def expand_paths(path: str) -> list[str]:
 
 
 def read_interleaved(path: str, override_num_blocks: int | None = None) -> ray.data.Dataset:
+    """Read the interleaved table.  Lance datasets (the north rule's
+    preferred format) are used when the path is a .lance dataset AND the
+    lance reader is available; this sandbox ships no lance, so parquet is
+    the tested path — the seam is this one function."""
+    if path.rstrip("/").endswith(".lance"):
+        try:
+            return ray.data.read_lance(path)
+        except (AttributeError, ImportError) as exc:
+            raise NotImplementedError(
+                "lance reader unavailable in this environment; store the "
+                "interleaved table as parquet") from exc
     files = expand_paths(path)
     if not files:
         raise FileNotFoundError(f"no parquet inputs under {path!r}")

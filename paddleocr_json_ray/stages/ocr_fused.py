@@ -21,8 +21,14 @@ from .rec import RecStage
 
 class OcrStage:
     def __init__(self, cfg: PipelineConfig, dict_path: str):
+        from ..state.memwatch import MemoryWatchdog
+
         self.det = DetStage(cfg)
         self.rec = RecStage(cfg, dict_path)
+        # A8 parity: RSS check after every batch, gc past cpu_mem MB
+        self.watchdog = MemoryWatchdog(cfg.cpu_mem)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self.rec(self.det(batch))
+        out = self.rec(self.det(batch))
+        self.watchdog.maybe_trim()
+        return out

@@ -113,12 +113,22 @@ def run_resumable(sf_dir: str, out_dir: str, cfg: PipelineConfig | None = None,
         # count written rows from parquet metadata (cheap footer read)
         import pyarrow.parquet as pq
 
-        n_docs = sum(pq.ParquetFile(os.path.join(shard_dir, f)).metadata.num_rows
-                     for f in os.listdir(shard_dir) if f.endswith(".parquet"))
+        n_docs = 0
+        n_bytes = 0
+        out_files = []
+        for f in os.listdir(shard_dir):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(shard_dir, f)
+            n_docs += pq.ParquetFile(fp).metadata.num_rows
+            n_bytes += os.path.getsize(fp)
+            out_files.append(f)
         manifest = {
             "shard_id": sid,
             "input_files": shard,
+            "output_files": sorted(out_files),
             "n_docs": n_docs,
+            "output_bytes": n_bytes,
             "wall_s": round(time.time() - t_shard, 3),
             "config_digest": digest,
             "complete": True,

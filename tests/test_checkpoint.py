@@ -63,3 +63,13 @@ def test_shard_count_change_invalidates(ray_session, sf0001_dir, tmp_path):
     assert s2["skipped"] == [] and sorted(s2["ran"]) == [0, 1]
     assert sorted(os.listdir(out)) == ["shard=0000", "shard=0001"]
     assert pq2.read_table(out).num_rows == 500  # no duplicated docs
+
+
+def test_memwatch():
+    from paddleocr_json_ray.state.memwatch import MemoryWatchdog, rss_mb
+
+    assert rss_mb() > 10  # this process certainly uses >10MB
+    wd = MemoryWatchdog(limit_mb=1)   # absurdly low -> always trims
+    assert wd.maybe_trim() is True and wd.trims == 1
+    wd2 = MemoryWatchdog(limit_mb=10**6)  # absurdly high -> never trims
+    assert wd2.maybe_trim() is False and wd2.peak_mb > 0
