@@ -39,10 +39,14 @@ def knn_brute(sf_dir: str, n_queries: int = 8, k: int = 5) -> ray.data.Dataset:
     """Top-k cosine neighbours for the first ``n_queries`` vec_ids (self
     excluded).  Output: (query_id, neighbor_id, rank) — integer-only so the
     DuckDB oracle matches hash-exactly; ties broken by (sim desc, vec_id)."""
-    ids, mat = _load_matrix(sf_dir)
-    q_mask = ids < n_queries
-    q_ids = ids[q_mask]
-    q_mat = mat[q_mask]
+    # prune at the read: only the query vectors come to the driver
+    import pyarrow.parquet as pq
+
+    qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", n_queries)])
+    q_ids = np.asarray(qtab.column("vec_id").to_pylist(), dtype=np.int64)
+    q_mat = np.asarray(qtab.column("embedding").to_pylist(), dtype=np.float64)
     q_mat = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)
     q_ref = ray.put((q_ids, q_mat))
 

@@ -54,6 +54,9 @@ class RecStage:
         if not crop_blobs:
             return
         crops = [imaging.bytes_to_array(b) for b in crop_blobs]
+        # aspect-sorted micro-batches, like the decode path (O2): sorting
+        # minimizes right-padding inside each [N, 48, W] batch
+        crops.sort(key=lambda c: c.shape[1] / c.shape[0])
         for beg in range(0, len(crops), self.cfg.rec_batch_num):
             group = crops[beg:beg + self.cfg.rec_batch_num]
             max_ratio = max(c.shape[1] / c.shape[0] for c in group)

@@ -168,12 +168,17 @@ def rec_blocks(items: list[DetItem], cfg: PipelineConfig,
 
     flips = [it.flip180 for it in items]
     if cfg.cls and cls_backend is not None and n:
-        labels, conf = cls_backend.infer([(it.truth_text, it.flip180) for it in items])
-        for i in range(n):
-            cls_labels[i] = int(labels[i])
-            cls_scores[i] = float(conf[i])
-            if labels[i] % 2 == 1 and conf[i] > cfg.cls_thresh:
-                flips[i] = not flips[i]  # rotate crop 180deg -> flip corrected
+        # cls runs in micro-batches of cls_batch_num (default 1,
+        # cpp/src/args.cpp:57) — batching never changes per-crop results
+        for beg in range(0, n, max(cfg.cls_batch_num, 1)):
+            chunk = items[beg:beg + max(cfg.cls_batch_num, 1)]
+            labels, conf = cls_backend.infer([(it.truth_text, it.flip180) for it in chunk])
+            for off in range(len(chunk)):
+                i = beg + off
+                cls_labels[i] = int(labels[off])
+                cls_scores[i] = float(conf[off])
+                if labels[off] % 2 == 1 and conf[off] > cfg.cls_thresh:
+                    flips[i] = not flips[i]  # rotate crop 180deg -> corrected
 
     if cfg.rec and n:
         shapes = [crop_shape(it.quad) for it in items]
