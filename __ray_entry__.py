@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": text_ops.quality_scores,
         "lang_id": text_ops.lang_id_ds,           # heuristic, rows-only
         "fingerprints": text_ops.fingerprints,    # rolling-hash, rows-only
+        "compression_ratio": text_ops.compression_ratio,  # zlib signal, rows-only
         # ---- dedup family ----
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,     # rows-only (LSH)

@@ -75,6 +75,23 @@ def lang_id_ds(sf_dir: str) -> ray.data.Dataset:
     return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def compression_ratio(sf_dir: str) -> ray.data.Dataset:
+    """zlib compression ratio per document (x1000, integer) — the classic
+    repetitive/boilerplate-text signal in web-scale curation (highly
+    repetitive text compresses far below natural prose)."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ratios = []
+        for t in batch.column("text").to_pylist():
+            raw = t.encode("utf-8")
+            ratios.append(len(zlib.compress(raw, 6)) * 1000 // len(raw) if raw else 1000)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "compress_milli": pa.array(ratios, type=pa.int64())})
+
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 def fingerprints(sf_dir: str) -> ray.data.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
