@@ -181,7 +181,7 @@ WITH flagged AS (
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts)) AS session_end_us
 FROM numbered GROUP BY user_id, session_id""",
