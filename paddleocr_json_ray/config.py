@@ -41,7 +41,7 @@ class PipelineConfig:
     parser: str = "multi_para"          # tbpu parser key (api/python/tbpu/__init__.py:14-29)
 
     # ---- Ray execution knobs (no reference equivalent) ----
-    backend: str = "synthetic"          # 'synthetic' | 'paddle' (paddle = stub, no model libs here)
+    backend: str = "pixel"              # 'pixel' (raster-driven stand-in) | 'paddle' (stub, no model libs here)
     fuse_ocr_stages: bool = True        # one actor holds det+cls+rec (reference process shape)
     # 'auto': zero-shuffle block-local assembly (valid for the interleaved
     # one-row-per-doc input, whose spans stay block-contiguous end to end);
@@ -86,8 +86,8 @@ class PipelineConfig:
             raise ValueError(f"unknown parser {self.parser!r}; choose from {sorted(PARSERS)}")
         if self.det_db_score_mode not in ("slow", "fast"):
             raise ValueError("det_db_score_mode must be 'slow' or 'fast'")
-        if self.backend not in ("synthetic", "bitmap", "paddle"):
-            raise ValueError("backend must be 'synthetic', 'bitmap' or 'paddle'")
+        if self.backend not in ("pixel", "paddle"):
+            raise ValueError("backend must be 'pixel' or 'paddle'")
         if self.assemble_mode not in ("auto", "shuffle"):
             raise ValueError("assemble_mode must be 'auto' or 'shuffle'")
         if not self.det and not self.rec:

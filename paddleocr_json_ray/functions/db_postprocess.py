@@ -89,10 +89,22 @@ def connected_components(bitmap: np.ndarray) -> list[np.ndarray]:
 
 
 # ------------------------------------------------------------- min-area rect
+def _row_extremes(points: np.ndarray) -> np.ndarray:
+    """Reduce a dense pixel set to per-row x extremes — every hull vertex of
+    a rasterized region is extreme in x within its row, so the hull (and
+    min-area rect) over the reduction is exact while the point count drops
+    from O(area) to O(rows)."""
+    order = np.lexsort((points[:, 0], points[:, 1]))
+    p = points[order]
+    first = np.flatnonzero(np.r_[True, np.diff(p[:, 1]) != 0])
+    last = np.r_[first[1:] - 1, len(p) - 1]
+    return np.unique(np.concatenate([p[first], p[last]]), axis=0)
+
+
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew's monotone chain; returns hull vertices CCW (y up ambivalent —
     consistent for caliper use)."""
-    pts = np.unique(points.astype(np.float64), axis=0)
+    pts = _row_extremes(np.asarray(points)).astype(np.float64)
     if len(pts) <= 2:
         return pts
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
@@ -100,7 +112,11 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     def half(seq):
         out: list[np.ndarray] = []
         for p in seq:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+            while len(out) >= 2:
+                ax, ay = out[-1][0] - out[-2][0], out[-1][1] - out[-2][1]
+                bx, by = p[0] - out[-2][0], p[1] - out[-2][1]
+                if ax * by - ay * bx > 0:
+                    break
                 out.pop()
             out.append(p)
         return out

@@ -4,9 +4,11 @@ per-span layout parse (tbpu) and envelope build (W1).
 
 The recognizer dictionary (A4) and backends load once per actor in
 ``__init__``.  Value semantics come from the shared ``span_ocr.rec_blocks``
-(aspect-sorted micro-batches, CTC greedy decode with NaN skip, sink filters);
-the physical crop tensors additionally flow through the real CrnnResize +
-Normalize kernels (M4/M2) batch-wise, like the real model input build.
+(pixel cls + 180° crop correction, aspect-sorted micro-batches, glyph decode
++ CTC greedy decode with NaN skip, sink filters); the crop tensors
+additionally flow through the real CrnnResize + Normalize kernels (M4/M2)
+batch-wise — the input-build the real CRNN would consume (the pixel decode
+reads the pre-resize crop; a real backend reads this tensor).
 
 Output: ``blocks`` (nested Arrow list<struct>), ``span_text``, final
 ``code``/``msg`` per span; intermediate crop columns are dropped.
@@ -47,19 +49,16 @@ class RecStage:
         self.parser = PARSERS[cfg.parser]
         self.render_text = render_text
 
-    def _exercise_crop_tensors(self, crop_blobs: list[bytes]) -> None:
+    def _build_rec_tensors(self, crops: list[np.ndarray]) -> None:
         """Build the real rec input tensor batch (M4 + M2): aspect-grouped
-        resize to (48, batch_w) and normalisation.  Output feeds the synthetic
-        backend's stand-in for the NN forward pass."""
-        if not crop_blobs:
+        resize to (48, batch_w) and normalisation — the tensor a real CRNN
+        backend consumes (the pixel stand-in decodes the raw crop)."""
+        if not crops:
             return
-        crops = [imaging.bytes_to_array(b) for b in crop_blobs]
-        # aspect-sorted micro-batches, like the decode path (O2): sorting
-        # minimizes right-padding inside each [N, 48, W] batch
-        crops.sort(key=lambda c: c.shape[1] / c.shape[0])
-        for beg in range(0, len(crops), self.cfg.rec_batch_num):
-            group = crops[beg:beg + self.cfg.rec_batch_num]
-            max_ratio = max(c.shape[1] / c.shape[0] for c in group)
+        srt = sorted(crops, key=lambda c: c.shape[1] / max(c.shape[0], 1))
+        for beg in range(0, len(srt), self.cfg.rec_batch_num):
+            group = srt[beg:beg + self.cfg.rec_batch_num]
+            max_ratio = max(c.shape[1] / max(c.shape[0], 1) for c in group)
             batch = [normalize(crnn_resize(c, self.cfg.rec_img_h, max_ratio), REC_MEAN, REC_SCALE)
                      for c in group]
             np.stack(batch)  # the [N,48,W,3] model input
@@ -73,8 +72,6 @@ class RecStage:
         quads = batch.column("det_quads").to_pylist()
         scores = batch.column("det_scores").to_pylist()
         crop_blobs = batch.column("crop_blobs").to_pylist()
-        truths = batch.column("truth_texts").to_pylist()
-        flips = batch.column("flips").to_pylist()
         texts_out = batch.column("span_text").to_pylist()
 
         n = len(kinds)
@@ -82,11 +79,11 @@ class RecStage:
         for i in range(n):
             if kinds[i] != "media" or codes[i] != 0:
                 continue
-            items = [DetItem([[q[0], q[1]], [q[2], q[3]], [q[4], q[5]], [q[6], q[7]]],
-                             s, t, f)
-                     for q, s, t, f in zip(quads[i], scores[i], truths[i], flips[i])]
-            self._exercise_crop_tensors(crop_blobs[i] or [])
-            blocks = rec_blocks(items, cfg, self.rec_backend, self.cls_backend)
+            items = [DetItem([[q[0], q[1]], [q[2], q[3]], [q[4], q[5]], [q[6], q[7]]], s)
+                     for q, s in zip(quads[i], scores[i])]
+            crops = [imaging.bytes_to_array(b) for b in (crop_blobs[i] or [])]
+            self._build_rec_tensors(crops)
+            blocks = rec_blocks(items, crops, cfg, self.rec_backend, self.cls_backend)
             if not blocks:
                 codes[i] = errors.CODE_OK_NONE
                 msgs[i] = errors.msg_ok_none(paths[i])
@@ -106,8 +103,8 @@ class RecStage:
                 "cls_score": float(b.get("cls_score", 0.0)),
             } for b in blocks]
 
-        out = batch.drop_columns(["det_quads", "det_scores", "crop_blobs", "truth_texts",
-                                  "flips", "span_text", "code", "msg", "src_path"])
+        out = batch.drop_columns(["det_quads", "det_scores", "crop_blobs",
+                                  "span_text", "code", "msg", "src_path"])
         return out.append_column("span_text", pa.array(texts_out, type=pa.string())) \
                   .append_column("code", pa.array(codes, type=pa.int32())) \
                   .append_column("msg", pa.array(msgs, type=pa.string())) \

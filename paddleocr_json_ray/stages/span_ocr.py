@@ -2,10 +2,11 @@
 
 This module holds the *geometry/decode* semantics — everything that
 determines output values.  The Ray stages add the physical execution around
-it (Arrow batches, actor state, raster preprocessing through the real
-resize/normalize/warp kernels); the oracle calls these functions
-sequentially, skipping raster work (which by construction does not alter
-outputs — pixel content never feeds back into the synthetic backends).
+it (Arrow batches, actor state); the oracle calls these functions
+sequentially.  Both paths are PIXEL-DRIVEN: the rendered raster flows
+through the real resize kernel into the det backend, crops are warped out
+of the raster by the real perspective kernel, and cls/rec read only those
+crop pixels (synth/pixelcode) — no ground-truth side channel.
 
 Reference semantics carried here:
   * media-ref resolution with the error-code contract
@@ -38,11 +39,11 @@ import numpy as np
 from .. import errors
 from ..config import PipelineConfig
 from ..functions.ctc import aspect_ratio_argsort, ctc_greedy_decode
-from ..functions.geometry import order_points_clockwise, sorted_boxes_order
-from ..functions.imageops import det_resize_shape
+from ..functions.geometry import get_rotate_crop_image, order_points_clockwise, sorted_boxes_order
+from ..functions.imageops import det_resize_shape, resize_image
 from ..functions.layout import PARSERS, render_text
 from ..synth import imaging
-from ..synth.backend import SynthClsBackend, SynthDetBackend, SynthRecBackend
+from ..synth.backend import PixelClsBackend, PixelDetBackend, PixelRecBackend
 
 
 def _roundf(x: float) -> int:
@@ -96,18 +97,20 @@ def decode_payload(payload: bytes, path: str) -> tuple[int, str, imaging.SimgIma
 class DetItem(NamedTuple):
     quad: list          # 4x2 int, TL,TR,BR,BL
     det_score: float
-    truth_text: str
-    flip180: bool
 
 
-def det_items(simg: imaging.SimgImage, cfg: PipelineConfig,
-              backend: SynthDetBackend) -> list[DetItem]:
-    """Detection candidates -> filtered, reference-ordered box items."""
-    h, w = simg.height, simg.width
+def det_items(raster, cfg: PipelineConfig,
+              backend: PixelDetBackend) -> list[DetItem]:
+    """Detection candidates -> filtered, reference-ordered box items.
+
+    Runs the real det input build (ResizeImgType0, M1) on the raster, feeds
+    the resized raster to the backend (the stand-in for the DB forward
+    pass), then the shared FilterTagDetRes path (P5) + sorted_boxes (O1)."""
+    h, w = raster.shape[:2]
     resize_h, resize_w, ratio_h, ratio_w = det_resize_shape(h, w, cfg.limit_side_len)
+    resized = resize_image(raster, resize_h, resize_w)
     survivors: list[DetItem] = []
-    for quad, prob, truth_idx in backend.infer(simg, ratio_h, ratio_w):
-        blk = simg.blocks[truth_idx] if truth_idx is not None else None
+    for quad, prob in backend.infer(resized):
         if prob < cfg.det_db_box_thresh:
             continue
         # BoxesFromBitmap int rounding (roundf = half away from zero, NOT
@@ -123,9 +126,7 @@ def det_items(simg: imaging.SimgImage, cfg: PipelineConfig,
         side_h = int(math.sqrt((oq[0][0] - oq[3][0]) ** 2 + (oq[0][1] - oq[3][1]) ** 2))
         if side_w <= 4 or side_h <= 4:
             continue
-        survivors.append(DetItem(oq, float(prob),
-                                 blk.text if blk is not None else "",
-                                 blk.flip180 if blk is not None else False))
+        survivors.append(DetItem(oq, float(prob)))
     order = sorted_boxes_order([it.quad for it in survivors])
     return [survivors[i] for i in order]
 
@@ -133,15 +134,22 @@ def det_items(simg: imaging.SimgImage, cfg: PipelineConfig,
 EMPTY_BOX = [[-1, -1], [-1, -1], [-1, -1], [-1, -1]]
 
 
-def items_for_simg(simg: imaging.SimgImage, cfg: PipelineConfig,
-                   backend: SynthDetBackend) -> list[DetItem]:
+def items_for_raster(raster, cfg: PipelineConfig,
+                     backend: PixelDetBackend) -> list[DetItem]:
     """Det-enabled: full det path.  Det-disabled: the whole image becomes one
-    crop with the empty-box sentinel (cpp/src/task.cpp:73-81); the synthetic
-    whole-image "recognition" is the concatenation of the image's lines."""
+    crop with the empty-box sentinel (cpp/src/task.cpp:73-81); whole-image
+    recognition then reads every kernel segment of the raster in order."""
     if cfg.det:
-        return det_items(simg, cfg, backend)
-    joined = " ".join(b.text for b in simg.blocks if b.text)
-    return [DetItem([list(p) for p in EMPTY_BOX], 1.0, joined, False)]
+        return det_items(raster, cfg, backend)
+    return [DetItem([list(p) for p in EMPTY_BOX], 1.0)]
+
+
+def crops_for_items(raster, items: list[DetItem], cfg: PipelineConfig) -> list:
+    """Perspective-warp each det quad out of the raster (M6); det-disabled
+    passes the whole raster as the single 'crop'."""
+    if not cfg.det:
+        return [raster for _ in items]
+    return [get_rotate_crop_image(raster, it.quad) for it in items]
 
 
 def crop_shape(quad) -> tuple[int, int, bool]:
@@ -155,39 +163,41 @@ def crop_shape(quad) -> tuple[int, int, bool]:
     return cw, ch, False
 
 
-def rec_blocks(items: list[DetItem], cfg: PipelineConfig,
-               rec_backend: SynthRecBackend,
-               cls_backend: SynthClsBackend | None) -> list[dict]:
-    """cls + rec over the ordered det items; returns reference-shaped block
-    dicts after the sink filters (M9/M10)."""
+def rec_blocks(items: list[DetItem], crops: list, cfg: PipelineConfig,
+               rec_backend: PixelRecBackend,
+               cls_backend: PixelClsBackend | None) -> list[dict]:
+    """cls + rec over the ordered det items and their warped crops; returns
+    reference-shaped block dicts after the sink filters (M9/M10).  Crops are
+    the only information channel: cls reads the orientation cue from pixels
+    and physically rotates the crop 180° on a confident hit
+    (cpp/src/paddleocr.cpp:126-137); rec decodes the corrected pixels."""
     n = len(items)
     texts = [""] * n
     scores = [-1.0] * n
     cls_labels = [-1] * n
     cls_scores = [0.0] * n
 
-    flips = [it.flip180 for it in items]
+    crops = list(crops)
     if cfg.cls and cls_backend is not None and n:
         # cls runs in micro-batches of cls_batch_num (default 1,
         # cpp/src/args.cpp:57) — batching never changes per-crop results
         for beg in range(0, n, max(cfg.cls_batch_num, 1)):
-            chunk = items[beg:beg + max(cfg.cls_batch_num, 1)]
-            labels, conf = cls_backend.infer([(it.truth_text, it.flip180) for it in chunk])
+            chunk = crops[beg:beg + max(cfg.cls_batch_num, 1)]
+            labels, conf = cls_backend.infer(chunk)
             for off in range(len(chunk)):
                 i = beg + off
                 cls_labels[i] = int(labels[off])
                 cls_scores[i] = float(conf[off])
                 if labels[off] % 2 == 1 and conf[off] > cfg.cls_thresh:
-                    flips[i] = not flips[i]  # rotate crop 180deg -> corrected
+                    crops[i] = np.ascontiguousarray(np.rot90(crops[i], 2))
 
     if cfg.rec and n:
-        shapes = [crop_shape(it.quad) for it in items]
-        ratios = [wv / hv for wv, hv, _ in shapes]
+        ratios = [c.shape[1] / max(c.shape[0], 1) for c in crops]
         order = aspect_ratio_argsort(ratios)
         for beg in range(0, n, cfg.rec_batch_num):
             for pos in order[beg:beg + cfg.rec_batch_num]:
-                effective = items[pos].truth_text[::-1] if flips[pos] else items[pos].truth_text
-                logits = rec_backend.logits_for(effective)
+                raw = rec_backend.read_crop(crops[pos], whole_image=not cfg.det)
+                logits = rec_backend.logits_for(raw)
                 text, score = ctc_greedy_decode(logits, rec_backend.label_list)
                 if math.isnan(score):
                     continue  # slot stays empty (cpp/src/ocr_rec.cpp:124-127)
@@ -209,21 +219,25 @@ def rec_blocks(items: list[DetItem], cfg: PipelineConfig,
 
 
 def ocr_media_ref(ref: str, cfg: PipelineConfig,
-                  det_backend: SynthDetBackend,
-                  rec_backend: SynthRecBackend,
-                  cls_backend: SynthClsBackend | None) -> tuple[int, str, list[dict], str]:
+                  det_backend: PixelDetBackend,
+                  rec_backend: PixelRecBackend,
+                  cls_backend: PixelClsBackend | None) -> tuple[int, str, list[dict], str]:
     """Full single-span OCR: returns (code, msg, blocks-with-end, text).
 
     This is the oracle's entry point; the Ray pipeline computes the same
-    values via the staged det/rec actors."""
+    values via the staged det/rec actors.  Render -> det over the resized
+    raster -> warp crops -> cls/rec over crop pixels: the struct is dead
+    after rendering."""
     resolved = resolve_media_ref(ref)
     if resolved.code != 0:
         return resolved.code, resolved.msg, [], ""
     code, msg, simg = decode_payload(resolved.payload, resolved.path)
     if code != 0:
         return code, msg, [], ""
-    items = items_for_simg(simg, cfg, det_backend)
-    blocks = rec_blocks(items, cfg, rec_backend, cls_backend)
+    raster = imaging.render_raster(simg, imaging.raster_seed(resolved.payload))
+    items = items_for_raster(raster, cfg, det_backend)
+    crops = crops_for_items(raster, items, cfg)
+    blocks = rec_blocks(items, crops, cfg, rec_backend, cls_backend)
     if not blocks:
         return errors.CODE_OK_NONE, errors.msg_ok_none(resolved.path), [], ""
     if cfg.rec:  # layout parse needs text; with rec off blocks are box-only

@@ -34,7 +34,7 @@ from ..functions.html import strip_boilerplate
 from .imaging import SimgBlock, SimgImage, encode
 
 CORPUS_ROOT = os.environ.get("PJR_CORPUS_ROOT", "/tmp/pjr_corpus")
-CORPUS_VERSION = "v3"
+CORPUS_VERSION = "v4"  # v4: pixel-driven backends (raster is the only channel)
 
 # interleaved docs per source document row, by scale name (bench scale sized
 # so per-run compute amortizes fixed pool-spawn/read overhead at 32 CPUs)
@@ -235,7 +235,7 @@ def semantic_digest(cfg: PipelineConfig) -> str:
 
 
 def corpus_dir_for(sf_dir: str, parser: str = "multi_para", cls: bool = False,
-                   backend: str = "synthetic",
+                   backend: str = "pixel",
                    cfg: PipelineConfig | None = None) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
     cfg = cfg or PipelineConfig(parser=parser, cls=cls, backend=backend)

@@ -78,20 +78,13 @@ def decode(data: bytes) -> SimgImage | None:
 
 
 def render_raster(img: SimgImage, seed: int) -> np.ndarray:
-    """Deterministic uint8 HxWx3 raster: noise background with darker filled
-    block regions.  Pixel content is a stand-in for real scans — the model
-    backends read geometry/text from the decoded struct, but the raster flows
-    through the genuine resize/normalize/warp kernels."""
-    rng = np.random.Generator(np.random.Philox(seed))
-    raster = rng.integers(210, 255, size=(img.height, img.width, 3), dtype=np.uint8)
-    for b in img.blocks:
-        xs = [p[0] for p in b.quad]
-        ys = [p[1] for p in b.quad]
-        x0, x1 = max(min(xs), 0), min(max(xs), img.width)
-        y0, y1 = max(min(ys), 0), min(max(ys), img.height)
-        if x1 > x0 and y1 > y0:
-            raster[y0:y1, x0:x1] //= 3
-    return raster
+    """Deterministic uint8 HxWx3 raster (synth/pixelcode layout).  After
+    rendering, the pixels are the ONLY information channel: det probability,
+    glyph content, orientation and cls confidence are all painted in, and
+    the model backends read them back from rasters/crops alone."""
+    from .pixelcode import render_raster as _render
+
+    return _render(img, seed)
 
 
 def raster_seed(data: bytes) -> int:

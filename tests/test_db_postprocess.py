@@ -108,16 +108,16 @@ def _spans_map(tab):
                           for s in r["spans"]] for r in tab.to_pylist()}
 
 
-def test_bitmap_backend_e2e_golden(ray_session, sf0001_dir):
-    """Full pipeline with the bitmap det backend matches ITS golden (the
-    oracle runs the same real DB chain sequentially)."""
+def test_pixel_backend_e2e_golden(ray_session, sf0001_dir):
+    """Full pipeline with the (default) pixel det backend matches ITS golden
+    (the oracle runs the same real DB chain sequentially over the raster)."""
     import pyarrow as pa
     import ray as _ray
 
     from paddleocr_json_ray.pipelines.ocr import run_extraction
     from paddleocr_json_ray.synth.corpus import build_corpus
 
-    cfg = PipelineConfig(backend="bitmap")
+    cfg = PipelineConfig()
     paths = build_corpus(sf0001_dir, cfg)
     got = pa.concat_tables(_ray.get(run_extraction(sf0001_dir, cfg).to_arrow_refs()))
     golden = pq.read_table(paths.golden_parquet)
@@ -129,13 +129,14 @@ def test_bitmap_backend_e2e_golden(ray_session, sf0001_dir):
 
 
 def test_dilation_merges_nearby():
-    from paddleocr_json_ray.synth.backend import BitmapDetBackend
-    from paddleocr_json_ray.synth.imaging import SimgBlock, SimgImage
+    from paddleocr_json_ray.synth.backend import PixelDetBackend
+    from paddleocr_json_ray.synth.imaging import SimgBlock, SimgImage, render_raster
 
     img = SimgImage(width=200, height=60, blocks=[
         SimgBlock(quad=[[10, 10], [90, 10], [90, 32], [10, 32]], text="a", det_prob=0.9)])
-    plain = BitmapDetBackend(PipelineConfig(backend="bitmap")).infer(img, 1.0, 1.0)
-    dil = BitmapDetBackend(PipelineConfig(backend="bitmap", use_dilation=True)).infer(img, 1.0, 1.0)
+    raster = render_raster(img, seed=7)
+    plain = PixelDetBackend(PipelineConfig()).infer(raster)
+    dil = PixelDetBackend(PipelineConfig(use_dilation=True)).infer(raster)
     assert len(plain) == 1 and len(dil) == 1
     # dilated bitmap -> slightly larger recovered box
     area = lambda q: (max(p[0] for p in q) - min(p[0] for p in q)) * (max(p[1] for p in q) - min(p[1] for p in q))

@@ -11,13 +11,15 @@ from paddleocr_json_ray import errors
 from paddleocr_json_ray.config import PipelineConfig
 from paddleocr_json_ray.stages.envelope import result_to_json_line
 from paddleocr_json_ray.stages.span_ocr import decode_payload, ocr_media_ref, resolve_media_ref
-from paddleocr_json_ray.synth.backend import SynthClsBackend, SynthDetBackend, SynthRecBackend
+from paddleocr_json_ray.synth.backend import PixelClsBackend, PixelDetBackend, PixelRecBackend
 from paddleocr_json_ray.synth.imaging import SimgImage, encode
 
 
 @pytest.fixture(scope="module")
 def backends():
-    return SynthDetBackend(), SynthRecBackend(list("abcdefghijklmnopqrstuvwxyz ")), SynthClsBackend()
+    return (PixelDetBackend(PipelineConfig()),
+            PixelRecBackend(list("abcdefghijklmnopqrstuvwxyz ")),
+            PixelClsBackend())
 
 
 def test_bad_base64_is_300():

@@ -114,9 +114,9 @@ def test_det_resize_cap_and_box_rescale():
     boxes rescaled back into source coordinates (M1 + P5 interplay)."""
     from paddleocr_json_ray.config import PipelineConfig
     from paddleocr_json_ray.functions.imageops import det_resize_shape
-    from paddleocr_json_ray.stages.span_ocr import items_for_simg
-    from paddleocr_json_ray.synth.backend import SynthDetBackend
-    from paddleocr_json_ray.synth.imaging import SimgBlock, SimgImage
+    from paddleocr_json_ray.stages.span_ocr import items_for_raster
+    from paddleocr_json_ray.synth.backend import make_backends
+    from paddleocr_json_ray.synth.imaging import SimgBlock, SimgImage, render_raster
 
     rh, rw, ratio_h, ratio_w = det_resize_shape(1600, 2000, 960)
     assert rw <= 960 and rw % 32 == 0 and rh % 32 == 0
@@ -125,9 +125,14 @@ def test_det_resize_cap_and_box_rescale():
     img = SimgImage(width=2000, height=1600, blocks=[
         SimgBlock(quad=[[100, 100], [900, 100], [900, 144], [100, 144]],
                   text="big page line", det_prob=0.9)])
-    items = items_for_simg(img, PipelineConfig(), SynthDetBackend())
+    det_b = make_backends(PipelineConfig(), [])[0]
+    items = items_for_raster(render_raster(img, seed=3), PipelineConfig(), det_b)
     assert len(items) == 1
     q = items[0].quad
     # box must land back near source coordinates despite the resize round-trip
-    assert abs(q[0][0] - 100) <= 3 and abs(q[1][0] - 900) <= 3
-    assert abs(q[0][1] - 100) <= 3 and abs(q[2][1] - 144) <= 3
+    # (the pixel det recovers unclip(shrunk kernel), so allow the DB margin)
+    assert abs(q[0][0] - 100) <= 25 and abs(q[1][0] - 900) <= 25
+    assert abs(q[0][1] - 100) <= 25 and abs(q[2][1] - 144) <= 25
+    # and it must genuinely come from the downscaled map: width back at
+    # source scale, not resized scale
+    assert q[1][0] - q[0][0] > 700
