@@ -20,25 +20,34 @@ from ..synth.corpus import build_corpus
 
 
 def decode_real_image(payload: bytes) -> "np.ndarray":
-    """Drop-in for cv2.imdecode/PIL for real image bytes (PNG/JPEG).  The
-    container ships no image codec; a deployment with cv2 or PIL installed
-    gets the real decode via this single seam."""
+    """Real-image decode seam: cv2 when present; otherwise the
+    dependency-free PNG/BMP codecs (functions/imagecodecs).  Only formats
+    neither path can read (JPEG/WebP/...) raise."""
     try:
         import cv2  # type: ignore
 
         arr = cv2.imdecode(np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_COLOR)
         if arr is None:
             raise ValueError("imdecode failed")
-        return arr
-    except ImportError as exc:
+        return arr[..., ::-1]  # BGR -> RGB
+    except ImportError:
+        pass
+    from ..functions.imagecodecs import decode_image
+
+    arr = decode_image(payload)
+    if arr is None:
         raise NotImplementedError(
-            "real image codecs unavailable in this environment; SIMG payloads "
-            "are decoded via synth.imaging.decode") from exc
+            "only PNG/BMP decode without cv2/PIL in this environment "
+            "(functions/imagecodecs); other formats need a real codec lib")
+    return arr
 
 
 def _read_blobs(sf_dir: str) -> ray.data.Dataset:
+    # single-file table: without override_num_blocks the block count (1)
+    # would bound task parallelism and starve any downstream actor pool
     paths = build_corpus(sf_dir)
-    return ray.data.read_parquet(paths.media_blobs_parquet)
+    return ray.data.read_parquet(paths.media_blobs_parquet,
+                                 override_num_blocks=64)
 
 
 def media_meta(sf_dir: str) -> ray.data.Dataset:
@@ -88,9 +97,15 @@ class ThumbnailStage:
         })
 
 
-def media_thumbnails(sf_dir: str, concurrency: int = 8) -> ray.data.Dataset:
+def media_thumbnails(sf_dir: str, concurrency: int | None = None) -> ray.data.Dataset:
+    """Pool pinned to the cluster like the OCR stage (autoscaling pools
+    plateau on second-scale tasks — measured in BENCH); small batches
+    because payload rows are heavy."""
+    from ..pipelines.ocr import _pool_size
+
+    pool = _pool_size(concurrency or 32)
     return _read_blobs(sf_dir).map_batches(
-        ThumbnailStage, concurrency=(1, concurrency), batch_size=32,
+        ThumbnailStage, concurrency=(pool, pool), batch_size=32,
         batch_format="pyarrow", num_cpus=1)
 
 

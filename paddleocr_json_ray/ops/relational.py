@@ -36,6 +36,23 @@ def _read(sf_dir: str, table: str, columns=None, **kw) -> ray.data.Dataset:
                                  columns=columns, **kw)
 
 
+def _join_partitions(*dss: ray.data.Dataset) -> int:
+    """Shuffle-join partition count derived from input bytes (~64 MB per
+    partition), capped at 16x cluster CPUs.  Ray's hash join spawns one
+    aggregator ACTOR per partition, so the count must track data size, not
+    cluster width — 32 partitions on an 18 MB join costs ~6 s of actor
+    spawn for nothing (measured), while a constant would be a straggler
+    factory at 100x the data."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    try:
+        total = sum(d.size_bytes() or 0 for d in dss)
+    except Exception:
+        total = 0
+    return int(max(4, min(total // (64 << 20), 16 * cpus)))
+
+
 def agg_pricing(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped pricing summary over lineitem."""
     ds = _read(sf_dir, "lineitem",
@@ -183,7 +200,7 @@ def revenue_by_priority(sf_dir: str) -> ray.data.Dataset:
     """Partitioned hash join lineitem x orders (Dataset.join), then groupby."""
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    joined = li.join(orders, "inner", num_partitions=8,
+    joined = li.join(orders, "inner", num_partitions=_join_partitions(li, orders),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def add_rev(batch: pa.Table) -> pa.Table:

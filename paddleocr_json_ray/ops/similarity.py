@@ -9,10 +9,14 @@ quantization for nearest neighbor search", 2011 — coarse quantizer only).
     partial top-k; partial results are merged with a final per-query groupby.
     That is the exact-baseline path (matmul scan scales linearly, queries
     stay broadcast).
-  * ``embedding_lsh_buckets`` / ``knn_ivf`` — the scale path: random
-    hyperplane signatures bucket vectors so candidate generation is a
-    key-partitioned groupby instead of an all-pairs scan; probing the
-    query's bucket (+ optional neighbouring buckets) bounds work per query.
+  * ``build_ivf_index`` / ``knn_ivf`` — the scale path: a one-time pass
+    assigns every vector a random-hyperplane bucket and writes the corpus
+    as bucket-partitioned parquet (one directory per coarse cell — the
+    inverted file).  Queries then read ONLY the probed partitions (own
+    bucket + hamming<=2 neighbours), so candidate IO shrinks with the
+    probe fraction instead of scanning the full table; per-row membership
+    is a vectorized ``np.isin``, and nothing materializes on the driver
+    beyond the query vectors.
 """
 
 from __future__ import annotations
@@ -24,73 +28,86 @@ import pyarrow as pa
 import ray
 import ray.data
 
+IVF_ROOT = os.environ.get("PJR_IVF_ROOT", "/tmp/pjr_ivf")
+_N_PLANES = 8
+_IVF_VERSION = "v1"
 
-def _load_matrix(sf_dir: str):
+
+def _mat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column -> [N, D] float64 matrix, via the flat values
+    buffer (no per-row Python lists)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+
+
+def _read_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Prune at the read: only the query vectors come to the driver."""
     import pyarrow.parquet as pq
 
-    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    ids = np.asarray(tab.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.asarray(tab.column("embedding").to_pylist(), dtype=np.float64)
-    return ids, mat
+    qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", n_queries)])
+    q_ids = qtab.column("vec_id").to_numpy().astype(np.int64)
+    return q_ids, _mat(qtab.column("embedding"))
 
 
 def knn_brute(sf_dir: str, n_queries: int = 8, k: int = 5) -> ray.data.Dataset:
     """Top-k cosine neighbours for the first ``n_queries`` vec_ids (self
     excluded).  Output: (query_id, neighbor_id, rank) — integer-only so the
     DuckDB oracle matches hash-exactly; ties broken by (sim desc, vec_id)."""
-    # prune at the read: only the query vectors come to the driver
-    import pyarrow.parquet as pq
-
-    qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"],
-                         filters=[("vec_id", "<", n_queries)])
-    q_ids = np.asarray(qtab.column("vec_id").to_pylist(), dtype=np.int64)
-    q_mat = np.asarray(qtab.column("embedding").to_pylist(), dtype=np.float64)
-    q_mat = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)
-    q_ref = ray.put((q_ids, q_mat))
+    q_ids, q_mat = _read_queries(sf_dir, n_queries)
+    q_ref = ray.put((q_ids, _normalize(q_mat)))
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qids, qmat = ray.get(q_ref)
-        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        bmat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        bmat = bmat / np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-30)
-        sims = qmat @ bmat.T  # [Q, B]
+        bids = batch.column("vec_id").to_numpy().astype(np.int64)
+        bnorm = _normalize(_mat(batch.column("embedding")))
+        sims = qmat @ bnorm.T  # [Q, B]
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
         for qi in range(len(qids)):
             s = sims[qi]
-            valid = bids != qids[qi]
-            cand_idx = np.where(valid)[0]
+            cand_idx = np.flatnonzero(bids != qids[qi])
             if cand_idx.size == 0:
                 continue
             take = cand_idx[np.argsort(-s[cand_idx], kind="stable")][:k]
-            for c in take:
-                rows["query_id"].append(int(qids[qi]))
-                rows["neighbor_id"].append(int(bids[c]))
-                rows["sim"].append(float(s[c]))
+            rows["query_id"].extend([int(qids[qi])] * len(take))
+            rows["neighbor_id"].extend(int(bids[c]) for c in take)
+            rows["sim"].extend(float(s[c]) for c in take)
         return pa.table({"query_id": pa.array(rows["query_id"], type=pa.int64()),
                          "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
                          "sim": pa.array(rows["sim"], type=pa.float64())})
 
-    def merge_topk(group: pa.Table) -> pa.Table:
+    return (ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=512)
+              .groupby("query_id").map_groups(_merge_topk_fn(k), batch_format="pyarrow"))
+
+
+def _merge_topk_fn(k: int, with_bucket: bool = False):
+    def merge(group: pa.Table) -> pa.Table:
         qid = group.column("query_id")[0].as_py()
-        nb = np.asarray(group.column("neighbor_id").to_pylist(), dtype=np.int64)
-        sm = np.asarray(group.column("sim").to_pylist(), dtype=np.float64)
+        nb = group.column("neighbor_id").to_numpy().astype(np.int64)
+        sm = group.column("sim").to_numpy().astype(np.float64)
         order = np.lexsort((nb, -sm))[:k]  # sim desc, vec_id asc
-        return pa.table({
+        out = {
             "query_id": pa.array([qid] * len(order), type=pa.int64()),
             "neighbor_id": pa.array([int(nb[i]) for i in order], type=pa.int64()),
             "rank": pa.array(list(range(1, len(order) + 1)), type=pa.int64()),
-        })
+        }
+        if with_bucket:
+            bk = group.column("bucket").to_numpy().astype(np.int64)
+            out["bucket"] = pa.array([int(bk[i]) for i in order], type=pa.int64())
+        return pa.table(out)
 
-    return (ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=512)
-              .groupby("query_id").map_groups(merge_topk, batch_format="pyarrow"))
-
-
-_N_PLANES = 8
+    return merge
 
 
 def _plane_matrix(dim: int, seed: int = 42) -> np.ndarray:
@@ -98,70 +115,105 @@ def _plane_matrix(dim: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((dim, _N_PLANES))
 
 
+def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes) > 0
+    return (bits * (1 << np.arange(_N_PLANES))).sum(axis=1).astype(np.int64)
+
+
 def embedding_lsh_buckets(sf_dir: str) -> ray.data.Dataset:
     """Random-hyperplane bucket assignment: (vec_id, bucket) — the coarse
     index used by the ANN scale path."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
-    planes_holder: dict[int, object] = {}
+    planes_holder: dict[int, np.ndarray] = {}
 
     def assign(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = _mat(batch.column("embedding"))
         planes = planes_holder.setdefault(mat.shape[1], _plane_matrix(mat.shape[1]))
-        bits = (mat @ planes) > 0
-        buckets = (bits * (1 << np.arange(_N_PLANES))).sum(axis=1).astype(np.int64)
         return pa.table({"vec_id": batch.column("vec_id"),
-                         "bucket": pa.array(buckets, type=pa.int64())})
+                         "bucket": pa.array(_bucket_of(mat, planes), type=pa.int64())})
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=1024)
 
 
-def knn_ivf(sf_dir: str, n_queries: int = 8, k: int = 5) -> ray.data.Dataset:
-    """ANN top-k probing only the query's LSH bucket plus all buckets within
-    hamming distance 2 (~14% of a uniform corpus at 8 planes — bounded
-    candidate set; recall < 1 by design, the exact baseline is knn_brute).
-    Output (query_id, neighbor_id, rank, bucket)."""
-    ids, mat = _load_matrix(sf_dir)
-    planes = _plane_matrix(mat.shape[1])
-    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-    bits = (mat @ planes) > 0
-    buckets = (bits * (1 << np.arange(_N_PLANES))).sum(axis=1).astype(np.int64)
+def ivf_index_dir(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(IVF_ROOT, f"{name}-p{_N_PLANES}-{_IVF_VERSION}")
 
-    q_sel = ids < n_queries
-    probes: dict[int, set[int]] = {}
-    for qi in np.where(q_sel)[0]:
-        b = int(buckets[qi])
-        probe = {b}
-        for p in range(_N_PLANES):
-            probe.add(b ^ (1 << p))
-            for p2 in range(p + 1, _N_PLANES):
-                probe.add(b ^ (1 << p) ^ (1 << p2))
-        probes[int(ids[qi])] = probe
-    q_ref = ray.put((ids[q_sel], norm[q_sel], probes))
 
+def build_ivf_index(sf_dir: str, force: bool = False) -> str:
+    """One streaming pass: assign every vector its coarse bucket and write
+    the corpus as bucket-partitioned parquet (hive layout, one directory per
+    cell).  At 100 TB this is the amortized index-build job; queries after
+    it read only their probe cells."""
+    out = ivf_index_dir(sf_dir)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker) and not force:
+        return out
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
+    planes_holder: dict[int, np.ndarray] = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = _mat(batch.column("embedding"))
+        planes = planes_holder.setdefault(mat.shape[1], _plane_matrix(mat.shape[1]))
+        return batch.append_column(
+            "bucket", pa.array(_bucket_of(mat, planes), type=pa.int64()))
+
+    ds.map_batches(assign, batch_format="pyarrow", batch_size=1024) \
+      .write_parquet(out, partition_cols=["bucket"])
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
+def _probe_set(bucket: int) -> np.ndarray:
+    """Own cell + every cell within hamming distance 2 (37 of 256 at 8
+    planes — ~14% of a uniform corpus)."""
+    probe = {bucket}
+    for p in range(_N_PLANES):
+        probe.add(bucket ^ (1 << p))
+        for p2 in range(p + 1, _N_PLANES):
+            probe.add(bucket ^ (1 << p) ^ (1 << p2))
+    return np.array(sorted(probe), dtype=np.int64)
+
+
+def knn_ivf(sf_dir: str, n_queries: int = 8, k: int = 5) -> ray.data.Dataset:
+    """ANN top-k probing only each query's LSH cell plus cells within
+    hamming distance 2 — recall < 1 by design, the exact baseline is
+    ``knn_brute``.  Reads ONLY the probed partitions of the inverted-file
+    index (candidate IO ∝ probe fraction, not corpus size); membership per
+    query is a vectorized ``np.isin`` over recomputed bucket ids.
+    Output (query_id, neighbor_id, rank, bucket)."""
+    index_dir = build_ivf_index(sf_dir)
+    q_ids, q_mat = _read_queries(sf_dir, n_queries)
+    planes = _plane_matrix(q_mat.shape[1])
+    q_buckets = _bucket_of(q_mat, planes)
+    probes = {int(qid): _probe_set(int(b)) for qid, b in zip(q_ids, q_buckets)}
+    union = sorted({int(b) for pr in probes.values() for b in pr})
+    import glob as _glob
+
+    paths = [f for b in union
+             for f in _glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))]
+    q_ref = ray.put((q_ids, _normalize(q_mat), probes))
+
+    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        qids, qmat, probe_map = ray.get(q_ref)
-        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        bmat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        bnorm = bmat / np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-30)
-        bbits = (bmat @ planes) > 0
-        bbuckets = (bbits * (1 << np.arange(_N_PLANES))).sum(axis=1).astype(np.int64)
-        sims = qmat @ bnorm.T
+        qids, qnorm, probe_map = ray.get(q_ref)
+        bids = batch.column("vec_id").to_numpy().astype(np.int64)
+        bmat = _mat(batch.column("embedding"))
+        bbuckets = _bucket_of(bmat, planes)
+        sims = qnorm @ _normalize(bmat).T
         rows = {"query_id": [], "neighbor_id": [], "sim": [], "bucket": []}
         for qi, qid in enumerate(qids):
-            probe = probe_map[int(qid)]
-            mask = np.array([int(bb) in probe and bid != qid
-                             for bb, bid in zip(bbuckets, bids)])
-            cand = np.where(mask)[0]
+            mask = np.isin(bbuckets, probe_map[int(qid)]) & (bids != qid)
+            cand = np.flatnonzero(mask)
             take = cand[np.argsort(-sims[qi][cand], kind="stable")][:k]
-            for c in take:
-                rows["query_id"].append(int(qid))
-                rows["neighbor_id"].append(int(bids[c]))
-                rows["sim"].append(float(sims[qi, c]))
-                rows["bucket"].append(int(bbuckets[c]))
+            rows["query_id"].extend([int(qid)] * len(take))
+            rows["neighbor_id"].extend(int(bids[c]) for c in take)
+            rows["sim"].extend(float(sims[qi, c]) for c in take)
+            rows["bucket"].extend(int(bbuckets[c]) for c in take)
         # explicit types: empty batches must not degrade to null-typed columns
         return pa.table({
             "query_id": pa.array(rows["query_id"], type=pa.int64()),
@@ -170,18 +222,6 @@ def knn_ivf(sf_dir: str, n_queries: int = 8, k: int = 5) -> ray.data.Dataset:
             "bucket": pa.array(rows["bucket"], type=pa.int64()),
         })
 
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        nb = np.asarray(group.column("neighbor_id").to_pylist(), dtype=np.int64)
-        sm = np.asarray(group.column("sim").to_pylist(), dtype=np.float64)
-        bk = np.asarray(group.column("bucket").to_pylist(), dtype=np.int64)
-        order = np.lexsort((nb, -sm))[:k]
-        return pa.table({
-            "query_id": pa.array([qid] * len(order), type=pa.int64()),
-            "neighbor_id": pa.array([int(nb[i]) for i in order], type=pa.int64()),
-            "rank": pa.array(list(range(1, len(order) + 1)), type=pa.int64()),
-            "bucket": pa.array([int(bk[i]) for i in order], type=pa.int64()),
-        })
-
     return (ds.map_batches(partial, batch_format="pyarrow", batch_size=512)
-              .groupby("query_id").map_groups(merge, batch_format="pyarrow"))
+              .groupby("query_id").map_groups(_merge_topk_fn(k, with_bucket=True),
+                                              batch_format="pyarrow"))

@@ -10,7 +10,18 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from .span_ocr import decode_payload, resolve_media_ref
+from .. import errors
+from ..synth import imaging
+from .span_ocr import resolve_media_ref
+
+
+def _payload_decodable(payload: bytes) -> bool:
+    """Validity check without rendering (the det stage renders once)."""
+    if imaging.decode(payload) is not None:
+        return True
+    from ..functions.imagecodecs import decode_image
+
+    return decode_image(payload) is not None
 
 
 def decode_media(batch: pa.Table) -> pa.Table:
@@ -32,9 +43,13 @@ def decode_media(batch: pa.Table) -> pa.Table:
             paths.append(resolved.path)
             continue
         # validate now so det only sees decodable payloads
-        code, msg, _simg = decode_payload(resolved.payload, resolved.path)
-        if code != 0:
-            codes[i], msgs[i] = code, msg
+        if not _payload_decodable(resolved.payload):
+            if resolved.path:
+                codes[i] = errors.CODE_ERR_PATH_DECODE
+                msgs[i] = errors.msg_path_decode(resolved.path)
+            else:
+                codes[i] = errors.CODE_ERR_BASE64_IM_DECODE
+                msgs[i] = errors.MSG_BASE64_IM_DECODE
             payloads.append(None)
         else:
             payloads.append(resolved.payload)

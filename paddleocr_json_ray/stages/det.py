@@ -21,7 +21,7 @@ import pyarrow as pa
 from ..config import PipelineConfig
 from ..synth import imaging
 from ..synth.backend import make_backends
-from .span_ocr import crops_for_items, items_for_raster
+from .span_ocr import crops_for_items, items_for_raster, raster_for_payload
 
 
 class DetStage:
@@ -42,10 +42,9 @@ class DetStage:
         for i in range(n):
             if kinds[i] != "media" or codes[i] != 0 or payloads[i] is None:
                 continue
-            simg = imaging.decode(payloads[i])
-            if simg is None:
+            raster = raster_for_payload(payloads[i])
+            if raster is None:
                 continue  # decode stage already coded this; defensive
-            raster = imaging.render_raster(simg, imaging.raster_seed(payloads[i]))
             items = items_for_raster(raster, cfg, self.backend)
             crops = crops_for_items(raster, items, cfg)
             quads_col[i] = [[c for pt in it.quad for c in pt] for it in items]

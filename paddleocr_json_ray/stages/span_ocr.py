@@ -83,15 +83,28 @@ def resolve_media_ref(ref: str) -> ResolvedMedia:
     return ResolvedMedia(errors.CODE_ERR_NO_TASK, errors.MSG_NO_TASK, None, "")
 
 
-def decode_payload(payload: bytes, path: str) -> tuple[int, str, imaging.SimgImage | None]:
-    """imdecode equivalent; failure code differs by source kind
-    (203 for paths, 301 for base64)."""
+def raster_for_payload(payload: bytes):
+    """Payload bytes -> uint8 HxWx3 raster, or None if undecodable.  SIMG
+    payloads render the pixel-coded raster; PNG/BMP payloads decode natively
+    (functions/imagecodecs — the reference accepts any cv2-sniffable format,
+    cpp/src/task_linux.cpp:67-122)."""
     simg = imaging.decode(payload)
-    if simg is None:
+    if simg is not None:
+        return imaging.render_raster(simg, imaging.raster_seed(payload))
+    from ..functions.imagecodecs import decode_image
+
+    return decode_image(payload)
+
+
+def decode_payload(payload: bytes, path: str):
+    """imdecode equivalent; returns (code, msg, raster).  Failure code
+    differs by source kind (203 for paths, 301 for base64)."""
+    raster = raster_for_payload(payload)
+    if raster is None:
         if path:
             return errors.CODE_ERR_PATH_DECODE, errors.msg_path_decode(path), None
         return errors.CODE_ERR_BASE64_IM_DECODE, errors.MSG_BASE64_IM_DECODE, None
-    return 0, "", simg
+    return 0, "", raster
 
 
 class DetItem(NamedTuple):
@@ -231,10 +244,9 @@ def ocr_media_ref(ref: str, cfg: PipelineConfig,
     resolved = resolve_media_ref(ref)
     if resolved.code != 0:
         return resolved.code, resolved.msg, [], ""
-    code, msg, simg = decode_payload(resolved.payload, resolved.path)
+    code, msg, raster = decode_payload(resolved.payload, resolved.path)
     if code != 0:
         return code, msg, [], ""
-    raster = imaging.render_raster(simg, imaging.raster_seed(resolved.payload))
     items = items_for_raster(raster, cfg, det_backend)
     crops = crops_for_items(raster, items, cfg)
     blocks = rec_blocks(items, crops, cfg, rec_backend, cls_backend)

@@ -2,9 +2,9 @@
 
 The reference draws boxes over the source image and saves a PNG
 (``Utility::VisualizeBboxes`` cpp/src/utility.cpp:59-120, Python
-``PPOCR_visualize.py``).  No PNG encoder exists in this container, so the
-debug sink writes binary PPM (P6) — viewable everywhere — with the detected
-quads stroked in red.  Off the hot path: an optional map over span results.
+``PPOCR_visualize.py``).  The debug sink writes real PNGs via the
+dependency-free encoder (functions/imagecodecs) with the detected quads
+stroked in red.  Off the hot path: an optional map over span results.
 """
 
 from __future__ import annotations
@@ -30,6 +30,13 @@ def draw_boxes(raster: np.ndarray, quads: list) -> np.ndarray:
     return out
 
 
+def write_png(path: str, raster: np.ndarray) -> None:
+    from ..functions.imagecodecs import encode_png
+
+    with open(path, "wb") as fh:
+        fh.write(encode_png(raster))
+
+
 def write_ppm(path: str, raster: np.ndarray) -> None:
     h, w = raster.shape[:2]
     with open(path, "wb") as fh:
@@ -38,7 +45,7 @@ def write_ppm(path: str, raster: np.ndarray) -> None:
 
 
 def make_visualize_stage(out_dir: str, limit_per_task: int = 16):
-    """Returns a map_batches fn writing annotated PPMs for media spans whose
+    """Returns a map_batches fn writing annotated PNGs for media spans whose
     payload decodes; passes the batch through unchanged."""
     os.makedirs(out_dir, exist_ok=True)
 
@@ -57,7 +64,7 @@ def make_visualize_stage(out_dir: str, limit_per_task: int = 16):
             quads = [b.quad for b in simg.blocks]
             doc = batch.column("doc_id")[i].as_py()
             off = batch.column("offset")[i].as_py()
-            write_ppm(os.path.join(out_dir, f"{doc}-s{off}.ppm"), draw_boxes(raster, quads))
+            write_png(os.path.join(out_dir, f"{doc}-s{off}.png"), draw_boxes(raster, quads))
             written += 1
         return batch
 

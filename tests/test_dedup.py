@@ -115,3 +115,16 @@ def test_embedding_pairs(ray_session, tmp_path):
     sims = m @ m.T
     expected = {(i, j) for i, j in itertools.combinations(range(30), 2) if sims[i, j] > 0.95}
     assert pairs == expected
+
+    # bucketed (scale) path: multi-table LSH must recover the true near-dup
+    # pairs (0.95-cosine pairs are nearly parallel -> per-table collision
+    # probability is high and 12 tables make a miss vanishingly unlikely),
+    # and in-bucket exact verification admits no false positives
+    bucketed = dedup.embedding_bucket_pairs(str(tmp_path), threshold=0.95).to_pandas()
+    bpairs = {(int(a), int(b)) for a, b in zip(bucketed["id_a"], bucketed["id_b"])}
+    assert bpairs <= expected
+    assert {(0, 20), (5, 21)} <= bpairs
+
+    survivors = set(dedup.dedup_embedding(str(tmp_path), threshold=0.95).to_pandas()["vec_id"])
+    assert 20 not in survivors and 21 not in survivors
+    assert 0 in survivors and 5 in survivors

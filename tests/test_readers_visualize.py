@@ -55,6 +55,17 @@ def test_ppm_writer(tmp_path):
     assert data.startswith(b"P6\n30 20\n255\n") and len(data) == 13 + 20 * 30 * 3
 
 
+def test_png_writer_roundtrip(tmp_path):
+    from paddleocr_json_ray.functions.imagecodecs import decode_png
+    from paddleocr_json_ray.stages.visualize import write_png
+
+    raster = np.full((20, 30, 3), 200, dtype=np.uint8)
+    out = draw_boxes(raster, [[[2, 2], [25, 2], [25, 15], [2, 15]]])
+    p = tmp_path / "x.png"
+    write_png(str(p), out)
+    assert np.array_equal(decode_png(p.read_bytes()), out)
+
+
 def test_structure_stage_gated():
     with pytest.raises(NotImplementedError):
         StructureStage(PipelineConfig())

@@ -59,6 +59,25 @@ def test_knn_ivf_recall(ray_session, emb_dir):
     assert np.mean(overlaps) >= 0.3
 
 
+def test_ivf_index_prunes_partitions(ray_session, emb_dir):
+    """The inverted file must be bucket-partitioned on disk, and a query's
+    probe set must touch strictly fewer cells than the whole index (the
+    IO-scaling property the driver-side scan lacked)."""
+    import glob
+
+    d, mat = emb_dir
+    idx = similarity.build_ivf_index(d)
+    all_cells = glob.glob(os.path.join(idx, "bucket=*"))
+    assert len(all_cells) > 37  # gaussian data spreads well past one probe set
+    probed = similarity._probe_set(0)
+    assert len(probed) == 37  # 1 + 8 + C(8,2)
+    # rows behind the probed cells < corpus rows
+    probed_files = [f for b in probed
+                    for f in glob.glob(os.path.join(idx, f"bucket={int(b)}", "*.parquet"))]
+    n_probed = sum(pq.read_metadata(f).num_rows for f in probed_files)
+    assert 0 < n_probed < len(mat)
+
+
 def test_lsh_buckets_deterministic(ray_session, emb_dir):
     d, _ = emb_dir
     a = similarity.embedding_lsh_buckets(d).to_pandas().sort_values("vec_id")
