@@ -21,7 +21,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from paddleocr_json_ray.ops import dedup, multimodal, relational, similarity, text_ops, windows
+    from paddleocr_json_ray.ops import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        sketches,
+        text_ops,
+        windows,
+    )
     from paddleocr_json_ray.pipelines.curation import curate
     from paddleocr_json_ray.pipelines.ocr import run_extraction, span_level_results
 
@@ -67,7 +75,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": relational.distinct_sources,
         # ---- windowed / streaming-style ops over the events table ----
         "events_tumbling": windows.events_tumbling,
+        "events_sliding": windows.events_sliding,
         "user_sessions": windows.user_sessions,
+        # ---- sketches / order statistics ----
+        "events_distinct_users": sketches.events_distinct_users,
+        "distinct_users_hll": sketches.hll_distinct_users,  # approx, rows-only
+        "quantity_percentiles": sketches.quantity_percentiles,
+        "word_topk": text_ops.word_topk,
         # ---- composed curation pipeline (extraction -> score -> filter -> dedup) ----
         "curate_corpus": curate,
     }
@@ -167,6 +181,28 @@ SELECT event_type,
        epoch_us(date_trunc('hour', ts)) AS window_start_us,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "events_sliding": """
+WITH e AS (
+  SELECT event_type, value, (epoch_us(ts) // 1800000000) * 1800000000 AS w0 FROM events
+), win AS (
+  SELECT event_type, value, w0 AS window_start_us FROM e
+  UNION ALL
+  SELECT event_type, value, w0 - 1800000000 AS window_start_us FROM e
+)
+SELECT event_type, window_start_us, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM win GROUP BY event_type, window_start_us""",
+        "events_distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type""",
+        "quantity_percentiles": """
+SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
+       percentile_cont(0.99) WITHIN GROUP (ORDER BY l_quantity) AS p99
+FROM lineitem""",
+        "word_topk": """
+SELECT word, count(*) AS n FROM (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 20""",
         "user_sessions": """
 WITH flagged AS (
   SELECT user_id, event_id, ts,

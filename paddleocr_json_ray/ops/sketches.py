@@ -1,0 +1,143 @@
+"""Sketch + order-statistic operators over the demo tables.
+
+  * ``events_distinct_users`` — EXACT distinct count per key: per-batch
+    partial dedup (the combiner) shrinks rows to distinct (key, user)
+    pairs, and the final merge is a numpy unique over the driver-bounded
+    distinct-pair set (cardinality-bounded: |event_type| x |users|, never
+    corpus-sized).
+  * ``hll_distinct_users`` — HyperLogLog (Flajolet et al., AofA 2007):
+    the UNBOUNDED-cardinality scale path.  Each batch emits one row of
+    2^p max-rank registers; registers merge by elementwise max (associative
+    + commutative, so partial merges pipeline freely) and the estimate
+    uses the standard alpha_m correction with the small-range fix.
+  * ``quantity_percentiles`` — exact percentile_cont over a bounded value
+    domain: per-batch value histograms merge on the driver; interpolation
+    follows SQL PERCENTILE_CONT exactly (rank h=(N-1)p between adjacent
+    order statistics).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+
+def _hash64(vals: np.ndarray) -> np.ndarray:
+    """splitmix64 over int64 values, vectorized (public-domain finalizer)."""
+    x = vals.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def events_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, n_users) — exact COUNT(DISTINCT user_id) per type."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        # combiner: this batch's distinct pairs only
+        tab = batch.group_by(["event_type", "user_id"]).aggregate([])
+        return tab
+
+    pairs = ds.map_batches(partial_pairs, batch_format="pyarrow").to_pandas()
+    agg = pairs.drop_duplicates().groupby("event_type").size().reset_index(name="n_users")
+    agg = agg.sort_values("event_type", ignore_index=True)
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(agg["event_type"], type=pa.string()),
+        "n_users": pa.array(agg["n_users"].astype("int64"), type=pa.int64()),
+    }))
+
+
+def hll_registers(batch: pa.Table, col: str = "user_id") -> pa.Table:
+    """One row per batch: 2^p HLL registers over the hashed column."""
+    h = _hash64(batch.column(col).to_numpy().astype(np.int64))
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
+    # rank = position of leftmost 1 in the remaining 64-p bits, 1-based
+    nlz = np.zeros(len(h), dtype=np.int64)
+    cur = rest.copy()
+    top = np.uint64(1) << np.uint64(63)
+    for _ in range(64 - _HLL_P + 1):
+        unset = (cur & top) == 0
+        if not unset.any():
+            break
+        nlz[unset] += 1
+        cur[unset] = cur[unset] << np.uint64(1)
+    rank = nlz + 1
+    regs = np.zeros(_HLL_M, dtype=np.int8)
+    np.maximum.at(regs, idx, rank.astype(np.int8))
+    return pa.table({"registers": pa.array([regs.tobytes()], type=pa.binary())})
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting small-range correction
+    return float(est)
+
+
+def hll_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT user_id) over events via HyperLogLog:
+    one register row per batch, merged by elementwise max.  Returns a
+    single row (n_users_approx int64) — rows-only checked; the exact
+    counterpart is events_distinct_users."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    parts = ds.map_batches(hll_registers, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(_HLL_M, dtype=np.int8)
+    for blob in parts["registers"]:
+        np.maximum(merged, np.frombuffer(blob, dtype=np.int8), out=merged)
+    return ray.data.from_arrow(pa.table({
+        "n_users_approx": pa.array([int(round(hll_estimate(merged)))], type=pa.int64()),
+    }))
+
+
+_PCTS = (0.5, 0.9, 0.99)
+
+
+def quantity_percentiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact PERCENTILE_CONT(0.5/0.9/0.99) of lineitem.l_quantity via
+    mergeable per-batch value histograms (the quantity domain is small)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_quantity"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_quantity").to_numpy().astype(np.float64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"val": pa.array(u, type=pa.float64()),
+                         "cnt": pa.array(c.astype(np.int64), type=pa.int64())})
+
+    part = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    vals = part["val"].to_numpy()
+    cnts = part["cnt"].to_numpy().astype(np.int64)
+    u, inv = np.unique(vals, return_inverse=True)
+    tot = np.zeros(len(u), dtype=np.int64)
+    np.add.at(tot, inv, cnts)
+    cum = np.cumsum(tot)
+    n = int(cum[-1])
+
+    def pct(p: float) -> float:
+        h = (n - 1) * p
+        lo_i = int(np.searchsorted(cum, int(np.floor(h)) + 1))
+        hi_i = int(np.searchsorted(cum, int(np.floor(h)) + 2))
+        lo, hi = float(u[lo_i]), float(u[min(hi_i, len(u) - 1)])
+        return lo + (h - np.floor(h)) * (hi - lo)
+
+    return ray.data.from_arrow(pa.table({
+        "p50": pa.array([pct(0.5)], type=pa.float64()),
+        "p90": pa.array([pct(0.9)], type=pa.float64()),
+        "p99": pa.array([pct(0.99)], type=pa.float64()),
+    }))

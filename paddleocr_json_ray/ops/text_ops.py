@@ -14,6 +14,7 @@ import os
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.textstats import (
@@ -101,3 +102,42 @@ def fingerprints(sf_dir: str) -> ray.data.Dataset:
             "simhash": pa.array([simhash64(t) for t in texts], type=pa.int64()),
         })
     return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+_RE_TOKEN_ASCII = re.compile(r"[^ \t\n\r\f\v]+")  # RE2-compatible \S
+
+
+def word_topk(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Global word frequency top-k (the canonical wordcount): per-batch
+    partial counts (combiner — one row per distinct word per batch), native
+    Sum groupby over the vocabulary (language-bounded, not corpus-bounded),
+    then sort + limit.  Ties broken (count desc, word asc) so the output is
+    deterministic and SQL-oracle-matched."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir, columns=("text",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_RE_TOKEN_ASCII.findall(t))
+        return pa.table({"word": pa.array(list(c.keys()), type=pa.string()),
+                         "n": pa.array(list(c.values()), type=pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("word").aggregate(Sum("n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # negated count -> a single ascending sort gives (count desc, word asc)
+        return pa.table({"word": batch.column("word"),
+                         "neg_n": pc.multiply(batch.column("sum(n)"), pa.scalar(-1))})
+
+    def to_out(batch: pa.Table) -> pa.Table:
+        return pa.table({"word": batch.column("word"),
+                         "n": pc.multiply(batch.column("neg_n"), pa.scalar(-1))})
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+               .sort(["neg_n", "word"])
+               .limit(k)
+               .map_batches(to_out, batch_format="pyarrow"))

@@ -56,6 +56,43 @@ def events_tumbling(sf_dir: str, unit: str = "hour") -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def events_sliding(sf_dir: str, size_us: int = 3_600_000_000,
+                   hop_us: int = 1_800_000_000) -> ray.data.Dataset:
+    """Sliding (hopping) window aggregate: size 1h, hop 30min — every event
+    contributes to size/hop windows.  The fan-out is derived IN-BATCH (rows
+    repeated size/hop times with shifted integer window keys), then the
+    native partial-aggregate groupby — no windowing runtime, no state."""
+    k = size_us // hop_us
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts", "value"])
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        w0 = (us // hop_us) * hop_us
+        n = len(us)
+        idx = np.tile(np.arange(n), k)
+        shifts = np.repeat(np.arange(k, dtype=np.int64) * hop_us, n)
+        return pa.table({
+            "event_type": batch.column("event_type").take(pa.array(idx)),
+            "window_start_us": pa.array(np.tile(w0, k) - shifts, type=pa.int64()),
+            "value": batch.column("value").take(pa.array(idx)),
+        })
+
+    agg = (ds.map_batches(fan_out, batch_format="pyarrow")
+             .groupby(["event_type", "window_start_us"])
+             .aggregate(Count(), Sum("value")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "window_start_us": batch.column("window_start_us"),
+            "n_events": pa.array(batch.column("count()").to_pylist(), type=pa.int64()),
+            "sum_value": pa.array([_round2(v) for v in batch.column("sum(value)").to_pylist()]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def user_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset:
     """Gap-based sessions per user: (user_id, session_id, n_events,
     session_start_us, session_end_us) with session_id = 1-based rank of the

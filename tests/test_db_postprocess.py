@@ -128,6 +128,54 @@ def test_pixel_backend_e2e_golden(ray_session, sf0001_dir):
     assert n_with_text > 100
 
 
+def test_unclip_matches_clipper_round_join_offset():
+    """The reference offsets the MINI-BOX (always a rectangle — GetMiniBoxes
+    output, cpp/src/postprocess_op.cpp:286-304) with Clipper's round-join
+    polygon offset, then re-fits minAreaRect (:38-67).  Simulate that
+    pipeline densely (many arc points per corner, as Clipper does) for
+    random rotated rectangles and check the closed-form ``unclip_rect``
+    agrees to sub-pixel tolerance — including concave-looking inputs, which
+    cannot reach UnClip because minAreaRect precedes it."""
+    import math
+
+    from paddleocr_json_ray.functions.db_postprocess import (
+        get_mini_boxes,
+        min_area_rect,
+        rect_points,
+        unclip_distance,
+        unclip_rect,
+    )
+
+    rng = np.random.default_rng(17)
+    for _ in range(50):
+        cx, cy = rng.uniform(50, 500, size=2)
+        w, h = rng.uniform(8, 300), rng.uniform(4, 60)
+        ang = rng.uniform(-math.pi, math.pi)
+        rect = ((float(cx), float(cy)), (float(w), float(h)), float(ang))
+        box, _ = get_mini_boxes(rect)
+        d = unclip_distance(box, 1.5)
+        # dense round-join offset: every rectangle edge pushed out by d plus
+        # quarter-circle arcs at the corners (Clipper ArcTolerance -> dense)
+        corners = rect_points(rect)
+        pts = []
+        for i in range(4):
+            a = corners[i]
+            prev_e = a - corners[(i - 1) % 4]
+            next_e = corners[(i + 1) % 4] - a
+            for e in (prev_e, next_e):
+                n = np.array([e[1], -e[0]]) / max(np.hypot(*e), 1e-12)
+                pts.append(a + d * n)
+                pts.append(a - d * n)
+            for t in np.linspace(0, 2 * math.pi, 64, endpoint=False):
+                pts.append(a + d * np.array([math.cos(t), math.sin(t)]))
+        offset_rect = min_area_rect(np.asarray(pts))
+        closed = unclip_rect(rect, d)
+        got_box, got_ssid = get_mini_boxes(offset_rect)
+        exp_box, exp_ssid = get_mini_boxes(closed)
+        assert got_ssid == pytest.approx(exp_ssid, abs=0.15)
+        assert np.allclose(np.asarray(got_box), np.asarray(exp_box), atol=0.25)
+
+
 def test_dilation_merges_nearby():
     from paddleocr_json_ray.synth.backend import PixelDetBackend
     from paddleocr_json_ray.synth.imaging import SimgBlock, SimgImage, render_raster
