@@ -37,28 +37,33 @@ _MERSENNE61 = (1 << 61) - 1
 
 # --------------------------------------------------------------------- exact
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
-    """Exact dedup: hash-partition on a 64-bit text hash, keep the smallest
-    doc_id per distinct text within each hash group.  Output: surviving
-    doc_ids."""
+    """Exact dedup: keep the smallest doc_id per distinct text.  Identity is
+    a 128-bit content hash (blake2b-16) so the keyed exchange ships 24-byte
+    rows instead of document bodies; the winner per text is one native
+    partial-aggregating ``Min`` groupby (combiner before the exchange).
+    Output: surviving doc_ids."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [fnv1a64(t.encode("utf-8")) for t in batch.column("text").to_pylist()]
-        return batch.append_column("text_hash", pa.array(hashes, type=pa.int64()))
+        import hashlib
 
-    def first_per_text(group: pa.Table) -> pa.Table:
-        # group = one text_hash; collisions are resolved by exact text compare
-        best: dict[str, int] = {}
-        for doc_id, text in zip(group.column("doc_id").to_pylist(),
-                                group.column("text").to_pylist()):
-            if text not in best or doc_id < best[text]:
-                best[text] = doc_id
-        return pa.table({"doc_id": pa.array(sorted(best.values()), type=pa.int64())})
+        h1, h2 = [], []
+        for t in batch.column("text").to_pylist():
+            d = hashlib.blake2b(t.encode("utf-8"), digest_size=16).digest()
+            h1.append(int.from_bytes(d[:8], "little", signed=True))
+            h2.append(int.from_bytes(d[8:], "little", signed=True))
+        return pa.table({"text_hash": pa.array(h1, type=pa.int64()),
+                         "h2": pa.array(h2, type=pa.int64()),
+                         "doc_id": batch.column("doc_id")})
 
-    return (ds.map_batches(add_hash, batch_format="pyarrow")
-              .groupby("text_hash")
-              .map_groups(first_per_text, batch_format="pyarrow"))
+    from ray.data.aggregate import Min
+
+    agg = (ds.map_batches(add_hash, batch_format="pyarrow")
+             .groupby(["text_hash", "h2"]).aggregate(Min("doc_id")))
+    return agg.map_batches(
+        lambda b: pa.table({"doc_id": b.column("min(doc_id)")}),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- union-find

@@ -123,13 +123,15 @@ def run_resumable(sf_dir: str, out_dir: str, cfg: PipelineConfig | None = None,
             n_docs += pq.ParquetFile(fp).metadata.num_rows
             n_bytes += os.path.getsize(fp)
             out_files.append(f)
+        wall_shard = time.time() - t_shard
         manifest = {
             "shard_id": sid,
             "input_files": shard,
             "output_files": sorted(out_files),
             "n_docs": n_docs,
             "output_bytes": n_bytes,
-            "wall_s": round(time.time() - t_shard, 3),
+            "wall_s": round(wall_shard, 3),
+            "docs_per_sec": round(n_docs / wall_shard, 2) if wall_shard > 0 else None,
             "config_digest": digest,
             "complete": True,
             "engine_version": "0.1.0",
