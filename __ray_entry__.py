@@ -23,6 +23,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from paddleocr_json_ray.ops import (
         dedup,
+        joins,
         multimodal,
         relational,
         similarity,
@@ -77,6 +78,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": windows.events_tumbling,
         "events_sliding": windows.events_sliding,
         "user_sessions": windows.user_sessions,
+        # ---- custom joins / grouped order statistics ----
+        "events_last_signup": joins.events_last_signup,
+        "events_value_bands": joins.events_value_bands,
+        "top_orders_per_cust": joins.top_orders_per_cust,
         # ---- sketches / order statistics ----
         "events_distinct_users": sketches.events_distinct_users,
         "distinct_users_hll": sketches.hll_distinct_users,  # approx, rows-only
@@ -194,6 +199,24 @@ FROM win GROUP BY event_type, window_start_us""",
         "events_distinct_users": """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type""",
+        "events_last_signup": """
+SELECT e.event_id, epoch_us(s.ts) AS last_signup_us
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+ON e.user_id = s.user_id AND e.ts >= s.ts""",
+        "events_value_bands": """
+WITH bands(band, lo, hi) AS (VALUES
+  ('low', -1e308, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e308))
+SELECT b.band, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band""",
+        "top_orders_per_cust": """
+SELECT o_custkey, o_orderkey, rank FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders) t
+WHERE rank <= 3""",
         "quantity_percentiles": """
 SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
        percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,

@@ -1,0 +1,165 @@
+"""Custom join/order operators Ray Data has no native form for — each
+documents the partitioning assumption it relies on (instructions: as-of
+join, range join, windowed top-k as compositions of map_batches / sort +
+run detection / broadcast, never per-row Python in the hot path).
+
+  * ``events_last_signup`` — AS-OF join (most recent signup at-or-before
+    each event, per user).  The build side (signup events) is small after
+    the filter, so it is broadcast once via ``ray.put`` as ONE sorted
+    packed (user, ts) key array; every probe batch is a single
+    ``np.searchsorted`` — no shuffle at all.  Partitioning assumption:
+    build side fits the object store (it is a filtered slice); at larger
+    build sides the same merge runs after a groupby(user).
+  * ``events_value_bands`` — RANGE join against an interval table: the
+    band table is tiny and static, so the interval lookup is a broadcast
+    ``np.searchsorted`` over the band edges inside ``map_batches``,
+    followed by the native partial-aggregate groupby.
+  * ``top_orders_per_cust`` — grouped top-k: sort by the group key, then
+    per-block vectorized run detection picks each complete group's top-k
+    (lexsort + rank-within-run); groups touching a block boundary are
+    re-ranked on the driver (bounded: <= 2 groups per block).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .relational import _round2
+
+
+def events_last_signup(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, last_signup_us nullable) — most recent 'signup' event of
+    the same user at-or-before each event's timestamp."""
+    import pyarrow.parquet as pq
+
+    # build side: pruned at the read with a predicate — only signup rows
+    build = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id", "ts", "event_type"],
+                          filters=[("event_type", "=", "signup")])
+    bu = build.column("user_id").to_numpy().astype(np.uint64)
+    bt = build.column("ts").cast(pa.int64()).to_numpy()
+    base = int(bt.min()) if len(bt) else 0
+    # pack (user, ts-offset) into one sortable uint64 key: ts spans << 2^44
+    keys = (bu << np.uint64(44)) | (bt - base).astype(np.uint64)
+    order = np.argsort(keys)
+    keys, bu_s, bt_s = keys[order], bu[order], bt[order]
+    build_ref = ray.put((keys, bu_s, bt_s, base))
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys_, bu_, bt_, base_ = ray.get(build_ref)
+        users = batch.column("user_id").to_numpy().astype(np.uint64)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        pk = (users << np.uint64(44)) | np.maximum(ts - base_, 0).astype(np.uint64)
+        pos = np.searchsorted(keys_, pk, side="right")
+        valid = (pos > 0) & (bu_[np.maximum(pos - 1, 0)] == users) & (ts >= base_)
+        out = bt_[np.maximum(pos - 1, 0)]
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "last_signup_us": pa.array(
+                [int(v) if f else None for v, f in zip(out, valid)], type=pa.int64()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+_BAND_EDGES = (10.0, 100.0)
+_BAND_NAMES = ("low", "mid", "high")
+
+
+def events_value_bands(sf_dir: str) -> ray.data.Dataset:
+    """Range join events.value into static bands [0,10) [10,100) [100,inf),
+    aggregated per band: (band, n_events, sum_value)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    edges = np.asarray(_BAND_EDGES)
+
+    def band(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy().astype(np.float64)
+        idx = np.searchsorted(edges, v, side="right")
+        return pa.table({
+            "band": pa.array([_BAND_NAMES[i] for i in idx], type=pa.string()),
+            "value": batch.column("value"),
+        })
+
+    agg = ds.map_batches(band, batch_format="pyarrow").groupby("band") \
+            .aggregate(Count(), Sum("value"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "band": batch.column("band"),
+            "n_events": pa.array(batch.column("count()").to_pylist(), type=pa.int64()),
+            "sum_value": pa.array([_round2(v) for v in batch.column("sum(value)").to_pylist()]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_orders_per_cust(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Top-k orders per customer by (o_totalprice desc, o_orderkey asc):
+    sort by customer, vectorized per-block run ranking, boundary groups
+    re-ranked on the driver."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        c = batch.column("o_custkey").to_numpy().astype(np.int64)
+        o = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        p = batch.column("o_totalprice").to_numpy().astype(np.float64)
+        empty = {"kind": np.empty(0, dtype=np.int8), "o_custkey": np.empty(0, dtype=np.int64),
+                 "o_orderkey": np.empty(0, dtype=np.int64), "rank": np.empty(0, dtype=np.int64),
+                 "price": np.empty(0, dtype=np.float64)}
+        if len(c) == 0:
+            return pa.table({k2: pa.array(v) for k2, v in empty.items()})
+        order = np.lexsort((o, -p, c))  # cust asc, price desc, orderkey asc
+        cs, os_, ps = c[order], o[order], p[order]
+        grp_start = np.r_[True, np.diff(cs) != 0]
+        grp_id = np.cumsum(grp_start) - 1
+        rank = np.arange(len(cs)) - np.flatnonzero(grp_start)[grp_id] + 1
+        edge = (cs == cs[0]) | (cs == cs[-1])  # boundary groups -> driver
+        keep_final = (~edge) & (rank <= k)
+        keep_edge = edge
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(keep_final.sum(), dtype=np.int8),
+                                   np.ones(keep_edge.sum(), dtype=np.int8)]),
+            "o_custkey": pa.array(np.r_[cs[keep_final], cs[keep_edge]], type=pa.int64()),
+            "o_orderkey": pa.array(np.r_[os_[keep_final], os_[keep_edge]], type=pa.int64()),
+            "rank": pa.array(np.r_[rank[keep_final], rank[keep_edge]], type=pa.int64()),
+            "price": pa.array(np.r_[ps[keep_final], ps[keep_edge]], type=pa.float64()),
+        })
+
+    import pyarrow.compute as pc
+
+    out = (ds.sort("o_custkey")
+             .map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+             .materialize())
+    finals = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)).select(
+            ["o_custkey", "o_orderkey", "rank"]),
+        batch_format="pyarrow")
+    edges = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1)),
+        batch_format="pyarrow").to_pandas()
+    if len(edges):
+        rows_c, rows_o, rows_r = [], [], []
+        for cust, grp in edges.groupby("o_custkey"):
+            srt = grp.sort_values(["price", "o_orderkey"],
+                                  ascending=[False, True]).head(k)
+            rows_c.extend([int(cust)] * len(srt))
+            rows_o.extend(int(v) for v in srt["o_orderkey"])
+            rows_r.extend(range(1, len(srt) + 1))
+        finals = finals.union(ray.data.from_arrow(pa.table({
+            "o_custkey": pa.array(rows_c, type=pa.int64()),
+            "o_orderkey": pa.array(rows_o, type=pa.int64()),
+            "rank": pa.array(rows_r, type=pa.int64()),
+        })))
+    return finals

@@ -1,0 +1,94 @@
+"""Custom join operators vs brute-force oracles on controlled data,
+exercising the block-boundary healing paths explicitly."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from paddleocr_json_ray.ops import joins
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    rng = np.random.default_rng(21)
+    n = 3000
+    base = 1_600_000_000_000_000
+    tab = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "user_id": pa.array(rng.integers(0, 40, size=n), type=pa.int64()),
+        "ts": pa.array((base + rng.integers(0, 10**12, size=n)).tolist(),
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(rng.choice(["signup", "view", "click"], size=n)),
+        "value": pa.array(rng.uniform(-5, 500, size=n)),
+    })
+    d = tmp_path_factory.mktemp("ev")
+    pq.write_table(tab, os.path.join(str(d), "events.parquet"))
+    return str(d), tab
+
+
+def test_asof_matches_bruteforce(ray_session, events_dir):
+    d, tab = events_dir
+    got = joins.events_last_signup(d).to_pandas().set_index("event_id")["last_signup_us"]
+    users = tab.column("user_id").to_numpy()
+    ts = tab.column("ts").cast(pa.int64()).to_numpy()
+    types = tab.column("event_type").to_pylist()
+    for eid in range(0, 3000, 37):
+        cand = [ts[j] for j in range(3000)
+                if types[j] == "signup" and users[j] == users[eid] and ts[j] <= ts[eid]]
+        expect = max(cand) if cand else None
+        val = got.loc[eid]
+        assert (expect is None) == (val is None or np.isnan(val))
+        if expect is not None:
+            assert int(val) == expect
+
+
+def test_asof_user_with_no_signups_is_null(ray_session, tmp_path):
+    tab = pa.table({
+        "event_id": pa.array([0, 1], type=pa.int64()),
+        "user_id": pa.array([7, 8], type=pa.int64()),
+        "ts": pa.array([10**15, 10**15 + 5], type=pa.timestamp("us")),
+        "event_type": pa.array(["view", "signup"]),
+        "value": pa.array([1.0, 2.0]),
+    })
+    pq.write_table(tab, os.path.join(str(tmp_path), "events.parquet"))
+    got = joins.events_last_signup(str(tmp_path)).to_pandas().set_index("event_id")
+    assert np.isnan(got.loc[0, "last_signup_us"])  # user 7 never signed up
+    assert int(got.loc[1, "last_signup_us"]) == 10**15 + 5  # own signup, ts >= ts
+
+
+def test_value_bands_cover_all_rows(ray_session, events_dir):
+    d, tab = events_dir
+    got = joins.events_value_bands(d).to_pandas()
+    assert int(got["n_events"].sum()) == tab.num_rows  # negatives land in 'low'
+    v = tab.column("value").to_numpy()
+    by = dict(zip(got["band"], got["n_events"]))
+    assert by["low"] == int((v < 10).sum())
+    assert by["mid"] == int(((v >= 10) & (v < 100)).sum())
+    assert by["high"] == int((v >= 100).sum())
+
+
+def test_grouped_topk_matches_bruteforce(ray_session, tmp_path):
+    """Many tiny blocks force group-per-block-boundary healing."""
+    import ray.data
+
+    rng = np.random.default_rng(33)
+    n = 5000
+    tab = pa.table({
+        "o_custkey": pa.array(rng.integers(0, 200, size=n), type=pa.int64()),
+        "o_orderkey": pa.array(np.arange(n), type=pa.int64()),
+        "o_totalprice": pa.array(np.round(rng.uniform(1, 9999, size=n), 2)),
+    })
+    pq.write_table(tab, os.path.join(str(tmp_path), "orders.parquet"))
+    got = joins.top_orders_per_cust(str(tmp_path), k=3).to_pandas()
+    c = tab.column("o_custkey").to_numpy()
+    o = tab.column("o_orderkey").to_numpy()
+    p = tab.column("o_totalprice").to_numpy()
+    expect = set()
+    for cust in np.unique(c):
+        rows = np.flatnonzero(c == cust)
+        order = rows[np.lexsort((o[rows], -p[rows]))][:3]
+        expect.update((int(cust), int(o[i]), r + 1) for r, i in enumerate(order))
+    assert set(zip(got["o_custkey"], got["o_orderkey"], got["rank"])) == expect
