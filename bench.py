@@ -77,9 +77,10 @@ def run_suite() -> dict:
     _prebuild_corpus()
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    headline = ["ocr_e2e", "dedup_minhash", "dedup_exact", "knn_brute",
-                "agg_pricing", "revenue_by_priority", "quality_scores",
-                "media_thumbnails"]
+    headline = ["ocr_e2e", "dedup_minhash", "dedup_exact", "dedup_ngram",
+                "knn_brute", "knn_ivf", "agg_pricing", "revenue_by_priority",
+                "quality_scores", "media_thumbnails", "word_topk",
+                "events_sliding", "top_orders_per_cust"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:
