@@ -29,13 +29,27 @@ MIN_SIZE = 3
 
 
 # ------------------------------------------------------ connected components
-def connected_components(bitmap: np.ndarray) -> list[np.ndarray]:
-    """8-connected components of a boolean map; returns a list of (N, 2)
-    integer pixel coordinate arrays (x, y), in top-left-first discovery
-    order.  Run-based two-pass labeling (rows are processed as pixel runs,
-    merged with union-find) — fast in Python because runs are few."""
+def component_runs(bitmap: np.ndarray) -> list[np.ndarray]:
+    """8-connected components of a boolean map as RUN lists: each component
+    is an (R, 3) int array of rows (y, x0, x1) with exclusive x1, in
+    top-left-first discovery order.  Runs for the whole bitmap are extracted
+    in one vectorized pass (pad column prevents row wrap); only the run
+    adjacency union-find is Python — runs are few."""
     h, w = bitmap.shape
-    parent: list[int] = []
+    padded = np.zeros((h, w + 1), dtype=bool)
+    padded[:, :w] = bitmap
+    flat = padded.ravel()
+    d = np.diff(flat.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if flat.size and flat[0]:
+        starts = np.r_[0, starts]
+    ys = starts // (w + 1)
+    x0s = starts - ys * (w + 1)
+    x1s = ends - ys * (w + 1)
+
+    n = len(starts)
+    parent = list(range(n))
 
     def find(x: int) -> int:
         while parent[x] != x:
@@ -43,49 +57,47 @@ def connected_components(bitmap: np.ndarray) -> list[np.ndarray]:
             x = parent[x]
         return x
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    runs: list[tuple[int, int, int, int]] = []  # (row, x0, x1, label)
-    prev_row_runs: list[tuple[int, int, int]] = []  # (x0, x1, label)
-    for y in range(h):
-        row = bitmap[y]
-        if not row.any():
-            prev_row_runs = []
-            continue
-        d = np.diff(row.astype(np.int8))
-        starts = list(np.where(d == 1)[0] + 1)
-        ends = list(np.where(d == -1)[0] + 1)
-        if row[0]:
-            starts.insert(0, 0)
-        if row[-1]:
-            ends.append(w)
-        cur: list[tuple[int, int, int]] = []
-        for x0, x1 in zip(starts, ends):
-            label = len(parent)
-            parent.append(label)
-            # 8-connectivity with exclusive run ends [x0, x1): runs on
-            # adjacent rows touch (incl. diagonally) iff x0 <= px1 && px0 <= x1
-            for px0, px1, plabel in prev_row_runs:
+    prev_row = -2
+    prev_runs: list[tuple[int, int, int]] = []  # (x0, x1, label) of prev row
+    cur_runs: list[tuple[int, int, int]] = []
+    cur_row = -2
+    for i in range(n):
+        y = int(ys[i])
+        if y != cur_row:
+            prev_row, prev_runs = cur_row, cur_runs
+            cur_row, cur_runs = y, []
+        x0, x1 = int(x0s[i]), int(x1s[i])
+        if y - 1 == prev_row:
+            # 8-connectivity with exclusive ends: touching iff x0 <= px1 && px0 <= x1
+            for px0, px1, plabel in prev_runs:
                 if x0 <= px1 and px0 <= x1:
-                    union(label, plabel)
-            runs.append((y, x0, x1, label))
-            cur.append((x0, x1, label))
-        prev_row_runs = cur
+                    ra, rb = find(i), find(plabel)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        cur_runs.append((x0, x1, i))
 
-    groups: dict[int, list[tuple[int, int, int]]] = {}
-    for y, x0, x1, label in runs:
-        groups.setdefault(find(label), []).append((y, x0, x1))
+    groups: dict[int, list[int]] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
     comps = []
     for root in sorted(groups):
-        pts = []
-        for y, x0, x1 in groups[root]:
-            xs = np.arange(x0, x1, dtype=np.int64)
-            pts.append(np.stack([xs, np.full_like(xs, y)], axis=1))
-        comps.append(np.concatenate(pts))
+        idx = np.asarray(groups[root])
+        comps.append(np.stack([ys[idx], x0s[idx], x1s[idx]], axis=1).astype(np.int64))
     return comps
+
+
+def _runs_to_pixels(runs: np.ndarray) -> np.ndarray:
+    """(R, 3) run rows -> (N, 2) (x, y) pixel array (for tests/direct use)."""
+    pts = []
+    for y, x0, x1 in runs:
+        xs = np.arange(x0, x1, dtype=np.int64)
+        pts.append(np.stack([xs, np.full_like(xs, y)], axis=1))
+    return np.concatenate(pts) if pts else np.empty((0, 2), dtype=np.int64)
+
+
+def connected_components(bitmap: np.ndarray) -> list[np.ndarray]:
+    """Back-compat wrapper: components as dense (N, 2) pixel arrays."""
+    return [_runs_to_pixels(r) for r in component_runs(bitmap)]
 
 
 # ------------------------------------------------------------- min-area rect
@@ -208,18 +220,27 @@ def unclip_rect(rect, distance: float):
 def boxes_from_bitmap(pred: np.ndarray, bitmap: np.ndarray, box_thresh: float,
                       unclip_ratio: float, score_mode: str = "slow"):
     """Returns list of (int quad 4x2 in pred coords, score).  Mirrors
-    BoxesFromBitmap (cpp/src/postprocess_op.cpp:246-321)."""
+    BoxesFromBitmap (cpp/src/postprocess_op.cpp:246-321).  Components stay
+    in run form end-to-end: hull candidates are run endpoints (exact — every
+    hull vertex is row-extreme) and the slow score sums pred row slices."""
     height, width = bitmap.shape
     out = []
-    for comp in connected_components(bitmap)[:MAX_CANDIDATES]:
-        if len(comp) <= 2:
+    for runs in component_runs(bitmap)[:MAX_CANDIDATES]:
+        npix = int((runs[:, 2] - runs[:, 1]).sum())
+        if npix <= 2:
             continue
-        rect = min_area_rect(comp)
+        ends = np.concatenate([
+            np.stack([runs[:, 1], runs[:, 0]], axis=1),
+            np.stack([runs[:, 2] - 1, runs[:, 0]], axis=1)])
+        rect = min_area_rect(ends)
         box, ssid = get_mini_boxes(rect)
         if ssid < MIN_SIZE:
             continue
         if score_mode == "slow":
-            score = float(pred[comp[:, 1], comp[:, 0]].mean())
+            acc = 0.0
+            for y, x0, x1 in runs:
+                acc += float(pred[y, x0:x1].sum(dtype=np.float64))
+            score = acc / npix
         else:
             xs = [p[0] for p in box]
             ys = [p[1] for p in box]

@@ -37,6 +37,39 @@ def test_connected_components_u_shape():
     assert len(comps) == 1
 
 
+def test_connected_components_vs_bfs_floodfill():
+    """Run-based union-find vs an independent BFS flood fill on random maps."""
+    from collections import deque
+
+    def bfs(bm):
+        h, w = bm.shape
+        seen = np.zeros_like(bm, dtype=bool)
+        comps = []
+        for y in range(h):
+            for x in range(w):
+                if bm[y, x] and not seen[y, x]:
+                    q = deque([(x, y)])
+                    seen[y, x] = True
+                    pts = []
+                    while q:
+                        cx, cy = q.popleft()
+                        pts.append((cx, cy))
+                        for dy in (-1, 0, 1):
+                            for dx in (-1, 0, 1):
+                                nx, ny = cx + dx, cy + dy
+                                if 0 <= nx < w and 0 <= ny < h and bm[ny, nx] and not seen[ny, nx]:
+                                    seen[ny, nx] = True
+                                    q.append((nx, ny))
+                    comps.append(frozenset(pts))
+        return set(comps)
+
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        bm = rng.random((rng.integers(1, 25), rng.integers(1, 25))) < rng.uniform(0.2, 0.6)
+        got = {frozenset(map(tuple, c.tolist())) for c in connected_components(bm)}
+        assert got == bfs(bm)
+
+
 def test_min_area_rect_axis_aligned():
     pts = np.array([[x, y] for x in range(5, 40) for y in range(10, 20)])
     (cx, cy), (w, h), ang = min_area_rect(pts)
