@@ -56,7 +56,9 @@ def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         if img.ndim == 3:
             wx = wx[..., None]
         f = f[:, x0] * (1 - wx) + f[:, x1] * wx
-    return f.astype(img.dtype) if np.issubdtype(img.dtype, np.integer) else f
+    # round, don't truncate: a blend of equal integers can land at v-1e-7
+    # and truncation would bias exact plateaus down by one
+    return np.rint(f).astype(img.dtype) if np.issubdtype(img.dtype, np.integer) else f
 
 
 def normalize(img: np.ndarray, mean: np.ndarray, scale: np.ndarray) -> np.ndarray:

@@ -4,11 +4,9 @@ per-span layout parse (tbpu) and envelope build (W1).
 
 The recognizer dictionary (A4) and backends load once per actor in
 ``__init__``.  Value semantics come from the shared ``span_ocr.rec_blocks``
-(pixel cls + 180° crop correction, aspect-sorted micro-batches, glyph decode
-+ CTC greedy decode with NaN skip, sink filters); the crop tensors
-additionally flow through the real CrnnResize + Normalize kernels (M4/M2)
-batch-wise — the input-build the real CRNN would consume (the pixel decode
-reads the pre-resize crop; a real backend reads this tensor).
+(pixel cls + 180° crop correction, aspect-sorted micro-batches, the real
+CrnnResize + Normalize input build (M4/M2) whose tensor the pixel backend
+DECODES, CTC greedy decode with NaN skip, sink filters).
 
 Output: ``blocks`` (nested Arrow list<struct>), ``span_text``, final
 ``code``/``msg`` per span; intermediate crop columns are dropped.
@@ -16,12 +14,10 @@ Output: ``blocks`` (nested Arrow list<struct>), ``span_text``, final
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from .. import errors
 from ..config import PipelineConfig
-from ..functions.imageops import REC_MEAN, REC_SCALE, crnn_resize, normalize
 from ..synth import imaging
 from ..synth.backend import make_backends
 from .span_ocr import DetItem, rec_blocks
@@ -49,20 +45,6 @@ class RecStage:
         self.parser = PARSERS[cfg.parser]
         self.render_text = render_text
 
-    def _build_rec_tensors(self, crops: list[np.ndarray]) -> None:
-        """Build the real rec input tensor batch (M4 + M2): aspect-grouped
-        resize to (48, batch_w) and normalisation — the tensor a real CRNN
-        backend consumes (the pixel stand-in decodes the raw crop)."""
-        if not crops:
-            return
-        srt = sorted(crops, key=lambda c: c.shape[1] / max(c.shape[0], 1))
-        for beg in range(0, len(srt), self.cfg.rec_batch_num):
-            group = srt[beg:beg + self.cfg.rec_batch_num]
-            max_ratio = max(c.shape[1] / max(c.shape[0], 1) for c in group)
-            batch = [normalize(crnn_resize(c, self.cfg.rec_img_h, max_ratio), REC_MEAN, REC_SCALE)
-                     for c in group]
-            np.stack(batch)  # the [N,48,W,3] model input
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         kinds = batch.column("kind").to_pylist()
@@ -82,7 +64,6 @@ class RecStage:
             items = [DetItem([[q[0], q[1]], [q[2], q[3]], [q[4], q[5]], [q[6], q[7]]], s)
                      for q, s in zip(quads[i], scores[i])]
             crops = [imaging.bytes_to_array(b) for b in (crop_blobs[i] or [])]
-            self._build_rec_tensors(crops)
             blocks = rec_blocks(items, crops, cfg, self.rec_backend, self.cls_backend)
             if not blocks:
                 codes[i] = errors.CODE_OK_NONE

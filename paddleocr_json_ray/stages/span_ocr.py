@@ -205,11 +205,25 @@ def rec_blocks(items: list[DetItem], crops: list, cfg: PipelineConfig,
                     crops[i] = np.ascontiguousarray(np.rot90(crops[i], 2))
 
     if cfg.rec and n:
+        from ..functions.imageops import REC_MEAN, REC_SCALE, crnn_resize, normalize
+
         ratios = [c.shape[1] / max(c.shape[0], 1) for c in crops]
         order = aspect_ratio_argsort(ratios)
         for beg in range(0, n, cfg.rec_batch_num):
-            for pos in order[beg:beg + cfg.rec_batch_num]:
-                raw = rec_backend.read_crop(crops[pos], whole_image=not cfg.det)
+            chunk = order[beg:beg + cfg.rec_batch_num]
+            if cfg.det:
+                # the REAL rec input build (M4 + M2): aspect-grouped resize
+                # to (rec_img_h, batch_w) + normalize; the pixel backend
+                # decodes THIS tensor (cpp/src/ocr_rec.cpp:74-93)
+                max_ratio = max(ratios[pos] for pos in chunk)
+                batch_t = np.stack([
+                    normalize(crnn_resize(crops[pos], cfg.rec_img_h, max_ratio),
+                              REC_MEAN, REC_SCALE) for pos in chunk])
+            for off, pos in enumerate(chunk):
+                if cfg.det:
+                    raw = rec_backend.read_tensor(batch_t[off])
+                else:  # whole-image mode reads the raster's kernel bands
+                    raw = rec_backend.read_crop(crops[pos], whole_image=True)
                 logits = rec_backend.logits_for(raw)
                 text, score = ctc_greedy_decode(logits, rec_backend.label_list)
                 if math.isnan(score):

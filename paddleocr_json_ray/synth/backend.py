@@ -102,6 +102,11 @@ class PixelRecBackend:
             return pixelcode.decode_whole_image(crop)
         return pixelcode.decode_crop(crop)
 
+    def read_tensor(self, tensor: np.ndarray) -> str:
+        """Decode from the crnn-resized normalized batch slice — the real
+        model input (cpp/src/ocr_rec.cpp:74-93's resize+normalize output)."""
+        return pixelcode.decode_rec_tensor(tensor)
+
     def logits_for(self, text: str) -> np.ndarray:
         h = pixelcode._hash32(text, salt=0x2EC)
         frames: list[tuple[int, float]] = [(0, 0.99)]  # leading blank

@@ -165,21 +165,36 @@ def own_kernel_bbox(km: np.ndarray, cy: int, cx: int) -> tuple[int, int, int, in
     return r0, r1, c0, c1
 
 
-def _cells_text(crop: np.ndarray, r0: int, r1: int, c0: int, c1: int) -> str:
+def _cells_text(crop: np.ndarray, r0: int, r1: int, c0: int, c1: int,
+                ramp_filter: bool = False) -> str:
     """Read the glyph cell sequence of one kernel segment.  Tall segments
     (a 90°-rotated crop) are read along y bottom->top — the inverse of the
-    reference's counter-clockwise rotation."""
+    reference's counter-clockwise rotation.  ``ramp_filter`` drops runs
+    shorter than a third of the longest glyph run: bilinear resampling (the
+    CRNN input build) turns each cell boundary into a ~1-pixel-per-scale
+    transition ramp, while real cells stay ~8x wider than the ramps at any
+    uniform scale."""
     if (r1 - r0) > 1.5 * (c1 - c0):
         line = crop[r0:r1, (c0 + c1) // 2, 1:3][::-1]
     else:
         line = crop[(r0 + r1) // 2, c0:c1, 1:3]
-    g = line[:, 0].astype(np.int32)
-    b = line[:, 1].astype(np.int32)
+    g = np.rint(line[:, 0]).astype(np.int32)
+    b = np.rint(line[:, 1]).astype(np.int32)
     v = (b << 8) | g
     starts = np.concatenate([[0], np.flatnonzero(np.diff(v) != 0) + 1])
-    sel = starts[(b[starts] >= GLYPH_B_MIN) & (b[starts] <= GLYPH_B_MAX)]
-    return "".join(chr(int(((bb & 0x1F) << 8) | gg))
-                   for gg, bb in zip(g[sel], b[sel]))
+    glyph = (b[starts] >= GLYPH_B_MIN) & (b[starts] <= GLYPH_B_MAX)
+    if ramp_filter and glyph.any():
+        lens = np.diff(np.r_[starts, len(v)])
+        min_len = max(2, int(round(lens[glyph].max() / 3)))
+        glyph &= lens >= min_len
+    vals = v[starts[glyph]]
+    if ramp_filter and len(vals):
+        # a dropped ramp/jitter run can split one cell in two: merge
+        # adjacent surviving runs with the SAME code (true repeated chars
+        # always differ in the parity bit, so they never merge)
+        vals = vals[np.r_[True, np.diff(vals) != 0]]
+    return "".join(chr(int(((int(val) >> 8 & 0x1F) << 8) | (int(val) & 0xFF)))
+                   for val in vals)
 
 
 def decode_crop(crop: np.ndarray) -> str:
@@ -187,6 +202,21 @@ def decode_crop(crop: np.ndarray) -> str:
     km = _kernel_mask(crop)
     bb = own_kernel_bbox(km, crop.shape[0] // 2, crop.shape[1] // 2)
     return _cells_text(crop, *bb) if bb else ""
+
+
+def decode_rec_tensor(tensor: np.ndarray) -> str:
+    """Glyph decode from the REAL CRNN input: the crnn-resized,
+    REC-normalized (48, W, 3) float32 batch slice, right-padded with zeros.
+    This is what a trained recognizer consumes — the pixel stand-in reads
+    the same tensor, so the input build is live code, not cost theatre.
+    Un-normalizes ((t/2 + 0.5) * 255), masks the zero padding, and reads
+    ramp-filtered cell runs (bilinear resampling blurs cell boundaries)."""
+    img = (tensor.astype(np.float32) / 2.0 + 0.5) * 255.0
+    pad = (img[..., 0] < 0.5) & (img[..., 1] < 0.5) & (img[..., 2] < 0.5)
+    km = (img[..., 0] < 200) & ~pad
+    width = int((~pad).any(axis=0).sum())
+    bb = own_kernel_bbox(km, img.shape[0] // 2, max(width // 2, 0))
+    return _cells_text(img, *bb, ramp_filter=True) if bb else ""
 
 
 def decode_whole_image(raster: np.ndarray) -> str:

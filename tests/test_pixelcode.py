@@ -136,6 +136,26 @@ def test_empty_text_block_detected_but_filtered():
     assert [b["text"] for b in blocks] == ["real text"]
 
 
+def test_rec_tensor_decode_matches_crop_decode():
+    """The rec backend consumes the crnn-resized NORMALIZED tensor (the
+    real model input); its decode must equal the raw-crop decode across
+    up/down-scales, including repeated chars (parity) and the padded batch
+    layout."""
+    from paddleocr_json_ray.functions.imageops import REC_MEAN, REC_SCALE, crnn_resize, normalize
+
+    for text, crop_h in (("hello world", 30), ("xx yy zz", 26), ("aaa", 60),
+                         ("scaled down far", 96)):
+        tile = pixelcode.render_block(text, 0.95, 0.95,
+                                      hb=max(crop_h - 8, 10), wb=8 * len(text) + 4,
+                                      flip180=False)
+        crop = np.full((crop_h, tile.shape[1] + 8, 3), 252, dtype=np.uint8)
+        crop[4:4 + tile.shape[0], 4:4 + tile.shape[1]] = tile
+        ratio = crop.shape[1] / crop.shape[0]
+        t = normalize(crnn_resize(crop, 48, ratio * 2), REC_MEAN, REC_SCALE)  # right-padded
+        assert pixelcode.decode_rec_tensor(t) == text
+        assert pixelcode.decode_crop(crop) == text
+
+
 def test_warp_preserves_cells_under_offset_scale():
     """Nearest-neighbour warp with a deliberately offset/scaled quad still
     recovers the text (uniform cells tolerate ±2px and mild rescale)."""
