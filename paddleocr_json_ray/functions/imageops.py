@@ -70,6 +70,23 @@ def to_chw(img: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(img.transpose(2, 0, 1))
 
 
+def cls_resize_normalize(crop: np.ndarray, img_h: int = 48, img_w: int = 192) -> np.ndarray:
+    """ClsResizeImg + Normalize + right-pad (M5, cpp/src/preprocess_op.cpp:118-135
+    + cpp/src/ocr_cls.cpp:41-55): resize to height ``img_h`` with width
+    min(ceil(img_h*ratio), img_w), normalize with the 0.5/0.5 stats, THEN
+    pad with zeros to ``img_w`` — the reference pads AFTER normalising, so
+    the pad value is 0.0 in normalized space (unlike the rec build)."""
+    h, w = crop.shape[:2]
+    ratio = w / float(max(h, 1))
+    resize_w = img_w if int(np.ceil(img_h * ratio)) > img_w else int(np.ceil(img_h * ratio))
+    resized = resize_image(crop, img_h, max(resize_w, 1))
+    norm = normalize(resized, REC_MEAN, REC_SCALE)
+    if norm.shape[1] < img_w:
+        pad = np.zeros((img_h, img_w - norm.shape[1], 3), dtype=np.float32)
+        norm = np.concatenate([norm, pad], axis=1)
+    return norm
+
+
 def crnn_resize(crop: np.ndarray, img_h: int, max_wh_ratio: float) -> np.ndarray:
     """Resize a crop to (img_h, ceil(img_h*ratio)) capped at the batch width
     img_h*max_wh_ratio, right-padded with zeros to the batch width."""

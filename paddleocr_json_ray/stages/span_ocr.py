@@ -192,11 +192,14 @@ def rec_blocks(items: list[DetItem], crops: list, cfg: PipelineConfig,
 
     crops = list(crops)
     if cfg.cls and cls_backend is not None and n:
+        from ..functions.imageops import cls_resize_normalize
+
         # cls runs in micro-batches of cls_batch_num (default 1,
-        # cpp/src/args.cpp:57) — batching never changes per-crop results
+        # cpp/src/args.cpp:57) — batching never changes per-crop results.
+        # The backend consumes the real cls input build (M5 + M2 + pad).
         for beg in range(0, n, max(cfg.cls_batch_num, 1)):
             chunk = crops[beg:beg + max(cfg.cls_batch_num, 1)]
-            labels, conf = cls_backend.infer(chunk)
+            labels, conf = cls_backend.infer([cls_resize_normalize(c) for c in chunk])
             for off in range(len(chunk)):
                 i = beg + off
                 cls_labels[i] = int(labels[off])

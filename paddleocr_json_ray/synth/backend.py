@@ -73,17 +73,18 @@ class PixelDetBackend:
 
 
 class PixelClsBackend:
-    """Angle classifier over raw crops: halo asymmetry gives the orientation
-    label (1 = currently upside-down), the painted halo G value the
-    confidence.  ~10% of blocks are rendered below the 0.9 cls_thresh so the
-    not-confident branch (crop left unrotated, cpp/src/paddleocr.cpp:126-137)
-    is exercised."""
+    """Angle classifier over the REAL cls input tensors (ClsResizeImg +
+    Normalize + zero-pad, cpp/src/ocr_cls.cpp:41-55): halo asymmetry gives
+    the orientation label (1 = currently upside-down), the painted halo G
+    value the confidence.  ~10% of blocks are rendered below the 0.9
+    cls_thresh so the not-confident branch (crop left unrotated,
+    cpp/src/paddleocr.cpp:126-137) is exercised."""
 
-    def infer(self, crops: list[np.ndarray]):
-        labels = np.empty(len(crops), dtype=np.int32)
-        scores = np.empty(len(crops), dtype=np.float32)
-        for i, crop in enumerate(crops):
-            labels[i], scores[i] = pixelcode.cls_probe(crop)
+    def infer(self, tensors: list[np.ndarray]):
+        labels = np.empty(len(tensors), dtype=np.int32)
+        scores = np.empty(len(tensors), dtype=np.float32)
+        for i, t in enumerate(tensors):
+            labels[i], scores[i] = pixelcode.cls_probe_tensor(t)
         return labels, scores
 
 

@@ -232,6 +232,17 @@ def decode_whole_image(raster: np.ndarray) -> str:
     return " ".join(texts)
 
 
+def cls_probe_tensor(tensor: np.ndarray) -> tuple[int, float]:
+    """Classifier probe over the REAL cls input: the cls-resized
+    REC-normalized (48, 192, 3) tensor, zero-padded AFTER normalisation
+    (pad pixels are exactly 0.0 — no painted integer normalizes to that).
+    Un-normalizes and runs the halo-asymmetry probe."""
+    img = (tensor.astype(np.float32) / 2.0 + 0.5) * 255.0
+    pad = (tensor[..., 0] == 0.0) & (tensor[..., 1] == 0.0) & (tensor[..., 2] == 0.0)
+    img[pad] = 255.0  # make padding read as background
+    return cls_probe(img)
+
+
 def cls_probe(crop: np.ndarray) -> tuple[int, float]:
     """Orientation + confidence from the halo asymmetry: label 1 means the
     crop is currently upside-down (the reference's label%2==1 contract).

@@ -156,6 +156,25 @@ def test_rec_tensor_decode_matches_crop_decode():
         assert pixelcode.decode_crop(crop) == text
 
 
+def test_cls_tensor_probe_matches_crop_probe():
+    """Cls consumes the real cls input (ClsResizeImg + normalize + pad
+    AFTER normalize): orientation and confidence must survive the resize."""
+    from paddleocr_json_ray.functions.imageops import cls_resize_normalize
+
+    for flip in (False, True):
+        tile = pixelcode.render_block("orientation probe", 0.95,
+                                      pixelcode.cls_truth_score("orientation probe"),
+                                      hb=22, wb=8 * 17, flip180=flip)
+        crop = np.full((30, 8 * 17 + 8, 3), 252, dtype=np.uint8)
+        crop[4:26, 4:4 + tile.shape[1]] = tile
+        lab_c, sc_c = pixelcode.cls_probe(crop)
+        lab_t, sc_t = pixelcode.cls_probe_tensor(cls_resize_normalize(crop))
+        assert lab_c == lab_t == (1 if flip else 0)
+        painted = pixelcode.cls_truth_score("orientation probe")
+        assert sc_t == pytest.approx(painted, abs=0.02)
+        assert sc_c == pytest.approx(painted, abs=0.005)
+
+
 def test_warp_preserves_cells_under_offset_scale():
     """Nearest-neighbour warp with a deliberately offset/scaled quad still
     recovers the text (uniform cells tolerate ±2px and mild rescale)."""
