@@ -93,34 +93,89 @@ def events_sliding(sf_dir: str, size_us: int = 3_600_000_000,
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _sessions_for(user_ids: np.ndarray, ts: np.ndarray, gap_us: int,
+                  run_starts: np.ndarray, run_stops: np.ndarray) -> pa.Table:
+    """Vectorized gap-split sessionization over contiguous per-user runs of
+    a (user-major, time-ordered) row range."""
+    out = {"user_id": [], "session_id": [], "n_events": [],
+           "session_start_us": [], "session_end_us": []}
+    for s, e in zip(run_starts, run_stops):
+        t = ts[s:e]
+        new = np.ones(len(t), dtype=bool)
+        new[1:] = (t[1:] - t[:-1]) > gap_us
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(t)) - 1
+        out["user_id"].extend([int(user_ids[s])] * len(starts))
+        out["session_id"].extend(range(1, len(starts) + 1))
+        out["n_events"].extend((ends - starts + 1).tolist())
+        out["session_start_us"].extend(int(t[i]) for i in starts)
+        out["session_end_us"].extend(int(t[i]) for i in ends)
+    return pa.table({k: pa.array(v, type=pa.int64()) for k, v in out.items()})
+
+
 def user_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset:
     """Gap-based sessions per user: (user_id, session_id, n_events,
     session_start_us, session_end_us) with session_id = 1-based rank of the
-    session within the user's timeline (epoch-microsecond bounds)."""
+    session within the user's timeline (epoch-microsecond bounds).
+
+    One global sort by (user, ts, event_id) replaces the per-user Python
+    groupby: each sorted block sessionizes its complete interior user runs
+    vectorized, and the (<= 2 per block) users straddling a block boundary
+    are sessionized on the driver from their passed-through rows."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "event_id", "ts"])
+    srt = ds.sort(["user_id", "ts", "event_id"])
 
-    def sessionize(group: pa.Table) -> pa.Table:
-        tab = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        ts = tab.column("ts").cast(pa.int64()).to_numpy()  # microseconds
-        user = tab.column("user_id")[0].as_py()
-        if len(ts) == 0:
-            return pa.table({"user_id": pa.array([], type=pa.int64()),
-                             "session_id": pa.array([], type=pa.int64()),
-                             "n_events": pa.array([], type=pa.int64()),
-                             "session_start_us": pa.array([], type=pa.int64()),
-                             "session_end_us": pa.array([], type=pa.int64())})
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-        session_ids = np.cumsum(new_session)
-        starts = np.where(new_session)[0]
-        ends = np.append(starts[1:], len(ts)) - 1
+    def block_sessions(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        n = len(u)
+        empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                          "user_id": pa.array([], type=pa.int64()),
+                          "session_id": pa.array([], type=pa.int64()),
+                          "n_events": pa.array([], type=pa.int64()),
+                          "session_start_us": pa.array([], type=pa.int64()),
+                          "session_end_us": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        bnd = np.flatnonzero(np.diff(u) != 0) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, n]
+        interior = _sessions_for(u, t, gap_us, starts[1:-1], stops[1:-1]) \
+            if len(starts) > 2 else empty.drop_columns(["kind"])
+        edge_rows = np.r_[np.arange(starts[0], stops[0]),
+                          np.arange(starts[-1], stops[-1])] \
+            if len(starts) > 1 else np.arange(starts[0], stops[0])
+        k = np.r_[np.zeros(interior.num_rows, dtype=np.int8),
+                  np.ones(len(edge_rows), dtype=np.int8)]
         return pa.table({
-            "user_id": pa.array([user] * len(starts), type=pa.int64()),
-            "session_id": pa.array(range(1, len(starts) + 1), type=pa.int64()),
-            "n_events": pa.array((ends - starts + 1).tolist(), type=pa.int64()),
-            "session_start_us": pa.array([int(ts[i]) for i in starts], type=pa.int64()),
-            "session_end_us": pa.array([int(ts[i]) for i in ends], type=pa.int64()),
+            "kind": pa.array(k),
+            "user_id": pa.array(np.r_[interior.column("user_id").to_numpy(), u[edge_rows]]),
+            "session_id": pa.array(np.r_[interior.column("session_id").to_numpy(),
+                                         np.zeros(len(edge_rows), dtype=np.int64)]),
+            "n_events": pa.array(np.r_[interior.column("n_events").to_numpy(),
+                                       np.zeros(len(edge_rows), dtype=np.int64)]),
+            "session_start_us": pa.array(np.r_[interior.column("session_start_us").to_numpy(),
+                                               t[edge_rows]]),
+            "session_end_us": pa.array(np.r_[interior.column("session_end_us").to_numpy(),
+                                             np.zeros(len(edge_rows), dtype=np.int64)]),
         })
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+    out = srt.map_batches(block_sessions, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    finals = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)).drop_columns(["kind"]),
+        batch_format="pyarrow")
+    edges = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1)).select(
+            ["user_id", "session_start_us"]),
+        batch_format="pyarrow").to_pandas()
+    if len(edges):
+        eu = edges["user_id"].to_numpy().astype(np.int64)
+        et = edges["session_start_us"].to_numpy().astype(np.int64)
+        order = np.lexsort((et, eu))
+        eu, et = eu[order], et[order]
+        b2 = np.flatnonzero(np.diff(eu) != 0) + 1
+        finals = finals.union(ray.data.from_arrow(_sessions_for(
+            eu, et, gap_us, np.r_[0, b2], np.r_[b2, len(eu)])))
+    return finals

@@ -3,8 +3,9 @@ demo: interleaved docs -> extraction -> per-document text -> quality scoring
 + language ID -> quality filter -> exact dedup -> curated corpus.
 
 Single streaming job: extraction feeds a flat-map to document text, scoring
-is a stateless map, dedup is the hash-keyed groupby; no stage materializes
-the full dataset.
+is a stateless map, dedup is the hash-keyed groupby over a 128-bit
+content identity (16-byte keys in the exchange, never document text); no
+stage materializes the full dataset.
 """
 
 from __future__ import annotations
@@ -13,7 +14,7 @@ import pyarrow as pa
 import ray.data
 
 from ..config import PipelineConfig
-from ..functions.textstats import fnv1a64, lang_id, quality_stats
+from ..functions.textstats import lang_id, quality_stats
 from .ocr import run_extraction
 
 
@@ -27,27 +28,33 @@ def _doc_text(batch: pa.Table) -> pa.Table:
 
 
 def _score(batch: pa.Table) -> pa.Table:
+    import hashlib
+
     texts = batch.column("text").to_pylist()
     stats = [quality_stats(t) for t in texts]
+    digests = [hashlib.blake2b(t.encode("utf-8"), digest_size=16).digest() for t in texts]
+    # 128-bit content identity: the dedup exchange ships 16 bytes, not text
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "text": batch.column("text"),
         "n_tokens": pa.array([s["n_tokens"] for s in stats], type=pa.int64()),
         "quality_milli": pa.array([s["quality_milli"] for s in stats], type=pa.int64()),
         "lang_pred": pa.array([lang_id(t) for t in texts], type=pa.string()),
-        "text_hash": pa.array([fnv1a64(t.encode("utf-8")) for t in texts], type=pa.int64()),
+        "text_hash": pa.array([int.from_bytes(d[:8], "little", signed=True) for d in digests],
+                              type=pa.int64()),
+        "h2": pa.array([int.from_bytes(d[8:], "little", signed=True) for d in digests],
+                       type=pa.int64()),
     })
 
 
 def _first_per_hash(group: pa.Table) -> pa.Table:
-    best: dict[str, tuple] = {}
+    best: dict[int, tuple] = {}
     for i in range(group.num_rows):
-        text = group.column("text")[i].as_py()
+        h2 = group.column("h2")[i].as_py()
         doc_id = group.column("doc_id")[i].as_py()
-        if text not in best or doc_id < best[text][0]:
-            best[text] = (doc_id, i)
+        if h2 not in best or doc_id < best[h2][0]:
+            best[h2] = (doc_id, i)
     idx = sorted(i for _, i in best.values())
-    return group.take(idx).drop_columns(["text", "text_hash"])
+    return group.take(idx).drop_columns(["text_hash", "h2"])
 
 
 def curate(sf_dir: str, cfg: PipelineConfig | None = None,
