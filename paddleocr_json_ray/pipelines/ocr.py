@@ -65,10 +65,13 @@ def _span_stage(ds: ray.data.Dataset, cfg: PipelineConfig, dict_path: str) -> ra
             batch_format="pyarrow",
             num_cpus=cfg.num_cpus_per_actor,
         )
+    # two pools must LEAVE CPUs for read/assemble tasks or the pipeline
+    # deadlocks on small clusters: cap each pool at half the task headroom
+    per_pool = max(1, _pool_size(cfg.det_concurrency * 2) // 2)
     det = decoded.map_batches(
         DetStage,
         fn_constructor_args=(cfg,),
-        concurrency=(max(1, cfg.det_concurrency // 4), cfg.det_concurrency),
+        concurrency=(1, min(cfg.det_concurrency, per_pool)),
         batch_size=cfg.det_batch_size,
         batch_format="pyarrow",
         num_cpus=cfg.num_cpus_per_actor,
@@ -76,7 +79,7 @@ def _span_stage(ds: ray.data.Dataset, cfg: PipelineConfig, dict_path: str) -> ra
     return det.map_batches(
         RecStage,
         fn_constructor_args=(cfg, dict_path),
-        concurrency=(max(1, cfg.rec_concurrency // 4), cfg.rec_concurrency),
+        concurrency=(1, min(cfg.rec_concurrency, per_pool)),
         batch_size=cfg.rec_batch_size,
         batch_format="pyarrow",
         num_cpus=cfg.num_cpus_per_actor,

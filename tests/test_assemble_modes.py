@@ -29,3 +29,24 @@ def test_auto_equals_shuffle(ray_session, sf0001_dir):
 def test_invalid_assemble_mode_rejected():
     with pytest.raises(ValueError):
         PipelineConfig(assemble_mode="bogus").validated()
+
+
+def test_split_pools_equal_fused(ray_session, sf0001_dir):
+    """cfg.fuse_ocr_stages=False (separate det and cls+rec actor pools, crop
+    blobs crossing the stage boundary) must produce exactly the fused
+    pipeline's output — the physical split may never change values."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from paddleocr_json_ray.config import PipelineConfig
+    from paddleocr_json_ray.pipelines.ocr import run_extraction
+
+    def spans_map(tab):
+        return {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"])
+                              for s in r["spans"]] for r in tab.to_pylist()}
+
+    fused = pa.concat_tables(_ray.get(
+        run_extraction(sf0001_dir, PipelineConfig(fuse_ocr_stages=True)).to_arrow_refs()))
+    split = pa.concat_tables(_ray.get(
+        run_extraction(sf0001_dir, PipelineConfig(fuse_ocr_stages=False)).to_arrow_refs()))
+    assert spans_map(fused) == spans_map(split)
