@@ -51,15 +51,26 @@ def _read_blobs(sf_dir: str) -> ray.data.Dataset:
 
 
 def media_meta(sf_dir: str) -> ray.data.Dataset:
-    """Typed metadata per media payload: decode header only (cheap task)."""
+    """Typed metadata per media payload (codec-sniffing: SIMG header, else
+    PNG/BMP decode via functions/imagecodecs); n_blocks is -1 for real-image
+    formats that carry no block structure."""
     def fn(batch: pa.Table) -> pa.Table:
         ok, w, h, nb = [], [], [], []
         for payload in batch.column("payload").to_pylist():
             simg = imaging.decode(payload)
-            ok.append(simg is not None)
-            w.append(simg.width if simg else -1)
-            h.append(simg.height if simg else -1)
-            nb.append(len(simg.blocks) if simg else -1)
+            if simg is not None:
+                ok.append(True)
+                w.append(simg.width)
+                h.append(simg.height)
+                nb.append(len(simg.blocks))
+                continue
+            from ..functions.imagecodecs import decode_image
+
+            arr = decode_image(payload)
+            ok.append(arr is not None)
+            w.append(arr.shape[1] if arr is not None else -1)
+            h.append(arr.shape[0] if arr is not None else -1)
+            nb.append(-1)
         return pa.table({
             "blob_id": batch.column("blob_id"),
             "ref_kind": batch.column("ref_kind"),
@@ -81,13 +92,14 @@ class ThumbnailStage:
         self.thumb = thumb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.span_ocr import raster_for_payload
+
         means = []
         for payload in batch.column("payload").to_pylist():
-            simg = imaging.decode(payload)
-            if simg is None:
+            raster = raster_for_payload(payload)  # SIMG render or PNG/BMP decode
+            if raster is None:
                 means.append(-1)
                 continue
-            raster = imaging.render_raster(simg, imaging.raster_seed(payload))
             th = resize_image(raster, self.thumb, self.thumb)
             means.append(int(th.astype(np.int64).mean()))
         return pa.table({

@@ -139,3 +139,40 @@ def test_corrupt_png_envelope_codes(tmp_path):
     p.write_bytes(bad)
     code, msg, _, _ = ocr_media_ref(f"file:{p}", cfg, *backends)
     assert code == errors.CODE_ERR_PATH_DECODE and str(p) in msg
+
+
+def test_media_ops_accept_real_formats(ray_session, tmp_path):
+    """media_meta/thumbnails sniff PNG/BMP payloads alongside SIMG."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import paddleocr_json_ray.ops.multimodal as mm
+    from paddleocr_json_ray.ops.multimodal import ThumbnailStage
+    from paddleocr_json_ray.synth.imaging import decode as simg_decode, raster_seed, render_raster as rr
+
+    simg_payload = _simg_payload()
+    raster = rr(simg_decode(simg_payload), raster_seed(simg_payload))
+    tab = pa.table({
+        "blob_id": pa.array(["simg", "png", "bmp", "junk"]),
+        "ref_kind": pa.array(["b64"] * 4),
+        "payload": pa.array([simg_payload, encode_png(raster), encode_bmp(raster), b"XX"],
+                            type=pa.binary()),
+    })
+    got = ThumbnailStage()(tab).to_pydict()
+    assert got["mean_pixel"][0] == got["mean_pixel"][1] == got["mean_pixel"][2] != -1
+    assert got["mean_pixel"][3] == -1
+
+    d = tmp_path / "blobs.parquet"
+    pq.write_table(tab, str(d))
+    ds = ray.data.read_parquet(str(d))
+    orig = mm._read_blobs
+    try:
+        mm._read_blobs = lambda sf: ds  # point the op at our mixed-codec table
+        out = mm.media_meta("unused").to_pandas().set_index("blob_id")
+    finally:
+        mm._read_blobs = orig
+    assert bool(out.loc["png", "ok"]) and int(out.loc["png", "width"]) == raster.shape[1]
+    assert bool(out.loc["bmp", "ok"]) and int(out.loc["bmp", "height"]) == raster.shape[0]
+    assert int(out.loc["png", "n_blocks"]) == -1
+    assert not bool(out.loc["junk", "ok"])
