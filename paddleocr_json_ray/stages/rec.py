@@ -71,7 +71,7 @@ class RecStage:
                 texts_out[i] = ""
                 blocks_col[i] = []
                 continue
-            if cfg.rec:
+            if cfg.rec and cfg.det:  # layout parse needs text AND geometry
                 blocks = self.parser(blocks)
             codes[i] = errors.CODE_OK
             texts_out[i] = self.render_text(blocks)

@@ -269,6 +269,8 @@ def ocr_media_ref(ref: str, cfg: PipelineConfig,
     blocks = rec_blocks(items, crops, cfg, rec_backend, cls_backend)
     if not blocks:
         return errors.CODE_OK_NONE, errors.msg_ok_none(resolved.path), [], ""
-    if cfg.rec:  # layout parse needs text; with rec off blocks are box-only
+    if cfg.rec and cfg.det:
+        # layout parse needs text AND geometry: rec-off blocks are box-only,
+        # det-off emits the whole-image sentinel box with no layout to sort
         blocks = PARSERS[cfg.parser](blocks)
     return errors.CODE_OK, "", blocks, render_text(blocks)

@@ -19,7 +19,9 @@ def _spans_map(tab):
 @pytest.mark.parametrize("cfg", [
     PipelineConfig(cls=True),
     PipelineConfig(parser="single_line"),
-], ids=["cls_on", "parser_single_line"])
+    PipelineConfig(det=False),   # whole-image recognition (cpp/src/task.cpp:73-81)
+    PipelineConfig(rec=False),   # detection-only boxes (empty text, det score)
+], ids=["cls_on", "parser_single_line", "det_off", "rec_off"])
 def test_variant_matches_golden(ray_session, sf0001_dir, cfg):
     import pyarrow as pa
     import ray as _ray
