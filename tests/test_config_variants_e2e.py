@@ -21,7 +21,9 @@ def _spans_map(tab):
     PipelineConfig(parser="single_line"),
     PipelineConfig(det=False),   # whole-image recognition (cpp/src/task.cpp:73-81)
     PipelineConfig(rec=False),   # detection-only boxes (empty text, det score)
-], ids=["cls_on", "parser_single_line", "det_off", "rec_off"])
+    PipelineConfig(use_dilation=True),          # 2x2 bitmap dilation branch
+    PipelineConfig(det_db_score_mode="fast"),   # BoxScoreFast rect-mean branch
+], ids=["cls_on", "parser_single_line", "det_off", "rec_off", "dilation", "score_fast"])
 def test_variant_matches_golden(ray_session, sf0001_dir, cfg):
     import pyarrow as pa
     import ray as _ray
