@@ -34,7 +34,7 @@ from ..functions.html import strip_boilerplate
 from .imaging import SimgBlock, SimgImage, encode
 
 CORPUS_ROOT = os.environ.get("PJR_CORPUS_ROOT", "/tmp/pjr_corpus")
-CORPUS_VERSION = "v8"  # v7 rec reads crnn tensor; v8 cls reads cls-resized tensor
+CORPUS_VERSION = "v10"  # v9 horizontal reading; v10 median halo probe
 
 # interleaved docs per source document row, by scale name (bench scale sized
 # so per-run compute amortizes fixed pool-spawn/read overhead at 32 CPUs)

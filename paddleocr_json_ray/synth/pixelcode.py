@@ -167,17 +167,15 @@ def own_kernel_bbox(km: np.ndarray, cy: int, cx: int) -> tuple[int, int, int, in
 
 def _cells_text(crop: np.ndarray, r0: int, r1: int, c0: int, c1: int,
                 ramp_filter: bool = False) -> str:
-    """Read the glyph cell sequence of one kernel segment.  Tall segments
-    (a 90°-rotated crop) are read along y bottom->top — the inverse of the
-    reference's counter-clockwise rotation.  ``ramp_filter`` drops runs
-    shorter than a third of the longest glyph run: bilinear resampling (the
-    CRNN input build) turns each cell boundary into a ~1-pixel-per-scale
-    transition ramp, while real cells stay ~8x wider than the ramps at any
-    uniform scale."""
-    if (r1 - r0) > 1.5 * (c1 - c0):
-        line = crop[r0:r1, (c0 + c1) // 2, 1:3][::-1]
-    else:
-        line = crop[(r0 + r1) // 2, c0:c1, 1:3]
+    """Read the glyph cell sequence of one kernel segment, ALWAYS
+    left-to-right along x like a real CRNN: a crop the reference rotated 90°
+    still decodes its single-cell content (cells are uniform), and would
+    garble multi-cell rotated text exactly as a real recognizer would.
+    ``ramp_filter`` drops runs shorter than a third of the longest glyph
+    run: bilinear resampling (the CRNN input build) turns each cell boundary
+    into a ~1-pixel-per-scale transition ramp, while real cells stay ~8x
+    wider than the ramps at any uniform scale."""
+    line = crop[(r0 + r1) // 2, c0:c1, 1:3]
     g = np.rint(line[:, 0]).astype(np.int32)
     b = np.rint(line[:, 1]).astype(np.int32)
     v = (b << 8) | g
@@ -256,23 +254,27 @@ def cls_probe(crop: np.ndarray) -> tuple[int, float]:
     r_ch = crop[..., 0].astype(np.float32)
     g_ch = crop[..., 1].astype(np.float32)
     halo = (crop[..., 0] > 200) & (crop[..., 0] < 240)
-    if (r1 - r0) > 1.5 * (c1 - c0):  # 90°-rotated: halo moved to the sides
-        a_m = halo[r0:r1, max(c0 - 3, 0):c0]
-        b_m = halo[r0:r1, c1:c1 + 3]
-        a_v = r_ch[r0:r1, max(c0 - 3, 0):c0][a_m]
-        b_v = r_ch[r0:r1, c1:c1 + 3][b_m]
-        g_v = np.concatenate([g_ch[r0:r1, max(c0 - 3, 0):c0][a_m],
-                              g_ch[r0:r1, c1:c1 + 3][b_m]])
-    else:
-        a_m = halo[max(r0 - 3, 0):r0, c0:c1]
-        b_m = halo[r1:r1 + 3, c0:c1]
-        a_v = r_ch[max(r0 - 3, 0):r0, c0:c1][a_m]
-        b_v = r_ch[r1:r1 + 3, c0:c1][b_m]
-        g_v = np.concatenate([g_ch[max(r0 - 3, 0):r0, c0:c1][a_m],
-                              g_ch[r1:r1 + 3, c0:c1][b_m]])
+
+    def probe(a_sl, b_sl):
+        a_m, b_m = halo[a_sl], halo[b_sl]
+        return (r_ch[a_sl][a_m], r_ch[b_sl][b_m],
+                np.concatenate([g_ch[a_sl][a_m], g_ch[b_sl][b_m]]))
+
+    # window scales with the kernel so an upscaled (cls-resized) halo is
+    # covered, but stays bounded so a neighbouring line's halo (pulled in by
+    # the unclip margin) is not; MEDIANS reject the kernel/background blend
+    # rows resampling creates at the band edges
+    win = max(3, (r1 - r0) // 3)
+    # horizontal layout first (halo rows above/below the kernel); a crop the
+    # reference rotated 90° has its halo on the SIDES instead — fall back
+    a_v, b_v, g_v = probe((slice(max(r0 - win, 0), r0), slice(c0, c1)),
+                          (slice(r1, r1 + win), slice(c0, c1)))
+    if a_v.size == 0 or b_v.size == 0:
+        a_v, b_v, g_v = probe((slice(r0, r1), slice(max(c0 - win, 0), c0)),
+                              (slice(r0, r1), slice(c1, c1 + win)))
     if a_v.size == 0 or b_v.size == 0:
         return 0, 0.0
-    a, b = float(a_v.mean()), float(b_v.mean())
+    a, b = float(np.median(a_v)), float(np.median(b_v))
     if abs(a - b) < 1.0:
         return 0, 0.0
-    return (0 if a > b else 1), float(g_v.mean()) / 255.0
+    return (0 if a > b else 1), float(np.median(g_v)) / 255.0

@@ -93,12 +93,16 @@ def test_out_of_dict_chars_fall_to_blank():
     assert blocks[0]["text"] == "abc  abc"  # x/y/z have no dict slot
 
 
-def test_vertical_cells_read_bottom_up_after_rot90():
-    """A synthetic tall kernel (as produced by the reference's 90° CCW crop
-    rotation) must decode in original order."""
-    tile = pixelcode.render_block("abc", 0.9, 0.95, hb=22, wb=40, flip180=False)
+def test_rot90_single_cell_still_decodes():
+    """Reading is always left-to-right like a real CRNN.  A 90°-rotated
+    single-cell crop still decodes (cells are uniform); rotated MULTI-cell
+    text garbles — exactly what a real recognizer does to sideways text
+    (and why the reference rotates tall crops in the first place)."""
+    tile = pixelcode.render_block("Q", 0.9, 0.95, hb=22, wb=12, flip180=False)
     rot = np.ascontiguousarray(np.rot90(tile, 1))  # the reference's CCW rotation
-    assert pixelcode.decode_crop(rot) == "abc"
+    assert pixelcode.decode_crop(rot) == "Q"
+    multi = pixelcode.render_block("abc", 0.9, 0.95, hb=22, wb=40, flip180=False)
+    assert pixelcode.decode_crop(np.ascontiguousarray(np.rot90(multi, 1))) != "abc"
 
 
 def test_whole_image_decode_band_order():
