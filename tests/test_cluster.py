@@ -1,0 +1,67 @@
+"""Distributed star-contraction connected components vs the union-find oracle."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from paddleocr_json_ray.ops.cluster import resolve_clusters, survivor_filter
+from paddleocr_json_ray.ops.dedup import _union_find
+
+
+def _pairs_ds(pairs, n_blocks=4):
+    a = pa.array([p[0] for p in pairs], type=pa.int64())
+    b = pa.array([p[1] for p in pairs], type=pa.int64())
+    ds = ray.data.from_arrow(pa.table({"id_a": a, "id_b": b}))
+    return ds.repartition(n_blocks) if len(pairs) else ds
+
+
+def _labels(pairs):
+    got = resolve_clusters(_pairs_ds(pairs)).to_pandas()
+    if got.empty:
+        return {}
+    return dict(zip(got["node"].astype(int), got["root"].astype(int)))
+
+
+def _oracle(pairs):
+    roots = _union_find([(int(a), int(b)) for a, b in pairs])
+    return {m: r for m, r in roots.items() if r != m}
+
+
+def test_empty_and_single():
+    assert _labels([]) == {}
+    assert _labels([(3, 7)]) == {7: 3}
+    assert _labels([(7, 3), (3, 7)]) == {7: 3}  # dupes + swapped order
+
+
+def test_chain_worst_case(ray_session):
+    # a long path is the diameter worst case for naive propagation
+    pairs = [(i, i + 1) for i in range(200)]
+    assert _labels(pairs) == _oracle(pairs)
+
+
+def test_cliques_and_stars(ray_session):
+    pairs = []
+    for base in (0, 100, 200):
+        ids = list(range(base, base + 12))
+        pairs += [(i, j) for i in ids for j in ids if i < j]
+    pairs += [(1000, 1001), (1002, 1001)]  # small star, off-center min
+    assert _labels(pairs) == _oracle(pairs)
+
+
+def test_random_graphs(ray_session):
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = 300
+        m = int(rng.integers(50, 400))
+        pairs = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2))
+                 if a != b]
+        assert _labels(pairs) == _oracle(pairs), f"trial {trial}"
+
+
+def test_survivor_filter(ray_session):
+    pairs = [(0, 1), (1, 2), (5, 9)]
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(12), type=pa.int64())}))
+    kept = sorted(survivor_filter(corpus, _pairs_ds(pairs), "doc_id")
+                  .to_pandas()["doc_id"].astype(int))
+    assert kept == [0, 3, 4, 5, 6, 7, 8, 10, 11]
