@@ -10,14 +10,17 @@ algorithms", STOC 2002) with the 4-chunk pigeonhole probe of Manku et al.
 
 Scale shape of every variant:
   1. per-batch vectorized signature computation (``map_batches``, no state);
-  2. candidate generation via a key-partitioned ``groupby`` (band hash /
-     simhash chunk / shared n-gram) — the only all-to-all exchange, keyed so
-     co-candidates land together; oversized buckets are capped (stop-gram
-     behaviour) and the cap is logged in the result;
-  3. pair verification inside the grouped stage;
-  4. the duplicate-pair set (tiny relative to the corpus: only dups) is
-     union-found on the driver and the loser set broadcast back into a
-     ``map_batches`` filter — broadcast-small-side, never a second shuffle.
+  2. candidate generation via ONE keyed sort exchange (band hash / simhash
+     chunk / shared n-gram) carrying the signature WITH the key row, so
+     verification runs vectorized inside each complete sorted run — no
+     second corpus pass; oversized buckets are capped (stop-gram behaviour);
+  3. the (<= 2 per block) runs straddling a block boundary are healed by a
+     ``groupby().map_groups`` over ONLY those boundary rows — distributed,
+     never driver-side (per-group Python dispatch is fine there because
+     boundary runs are rare);
+  4. duplicate clusters are resolved by the distributed star contraction in
+     ``ops.cluster`` (no driver union-find); the loser ids are broadcast as
+     object-store refs into the survivor filter.
 """
 
 from __future__ import annotations
@@ -68,8 +71,9 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
 
 # ---------------------------------------------------------------- union-find
 def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
-    """Driver-side union-find over the (small) duplicate-pair set; returns
-    member -> cluster-min."""
+    """In-memory union-find — kept ONLY as the brute-force oracle for tests;
+    production cluster resolution is the distributed star contraction in
+    ``ops.cluster.resolve_clusters``.  Returns member -> cluster-min."""
     parent: dict[int, int] = {}
 
     def find(x):
@@ -86,33 +90,33 @@ def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
-def _survivors_from_pairs(sf_dir: str, pairs: list[tuple[int, int]],
-                          table: str = "documents", id_col: str = "doc_id") -> ray.data.Dataset:
-    roots = _union_find(pairs)
-    losers_ref = ray.put(pa.array(sorted(m for m, r in roots.items() if r != m),
-                                  type=pa.int64()))
-
-    def keep(batch: pa.Table) -> pa.Table:
-        lose = ray.get(losers_ref)
-        return batch.filter(pc.invert(pc.is_in(batch.column(id_col), value_set=lose)))
+def _survivors(sf_dir: str, pairs_ds: ray.data.Dataset,
+               table: str = "documents", id_col: str = "doc_id") -> ray.data.Dataset:
+    """Distributed survivors: star-contract the pair Dataset into clusters,
+    broadcast the loser ids as object-store refs, filter the id column."""
+    from .cluster import survivor_filter
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                                columns=[id_col])
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return survivor_filter(ds, pairs_ds, id_col)
 
 
 # ---------------------------------------------------- sorted-run bucketing
 _BUCKET_CAP = 256
 
+_EMPTY_PAIRS = pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64())})
 
-def _run_bucket_pairs(batch: pa.Table, key: str, cap: int) -> pa.Table:
+
+def _run_bucket_pairs(batch: pa.Table, key: str, cap: int,
+                      id_col: str = "doc_id") -> pa.Table:
     """Per sorted block: unverified candidate pairs from complete interior
     key-runs (vectorized), plus this block's first/last runs passed through
-    as edge rows (kind=1) for driver-side healing.  Oversized runs are
+    as edge rows (kind=1) for the distributed heal.  Oversized runs are
     dropped (interior) or truncated to cap+1 (edge) — the cap is the
     stop-gram behaviour shared with the groupby formulation."""
     h = batch.column(key).to_numpy()
-    d = batch.column("doc_id").to_numpy().astype(np.int64)
+    d = batch.column(id_col).to_numpy().astype(np.int64)
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     edge_h: list[np.ndarray] = []
@@ -149,23 +153,59 @@ def _run_bucket_pairs(batch: pa.Table, key: str, cap: int) -> pa.Table:
     })
 
 
-def _heal_edge_pairs(cand, cap: int) -> list[tuple[int, int]]:
-    """Driver-side: interior pairs + pairs from the re-grouped edge rows."""
-    pairs = {(int(a), int(b))
-             for k, a, b in zip(cand["kind"], cand["id_a"], cand["id_b"]) if k == 0}
-    edge = cand[cand["kind"] == 1]
-    for _, grp in edge.groupby("key"):
-        docs = np.unique(grp["id_a"].to_numpy().astype(np.int64))
-        if 2 <= len(docs) <= cap:
-            iu, ju = np.triu_indices(len(docs), k=1)
-            pairs.update(zip(docs[iu].tolist(), docs[ju].tolist()))
-    return sorted(pairs)
+def _heal_bucket_pairs(edges: ray.data.Dataset, cap: int) -> ray.data.Dataset:
+    """Distributed heal: re-group ONLY the boundary edge rows (<= 2 runs per
+    block, each truncated to cap+1) by key and emit that run's candidate
+    pairs.  A hot key spanning many blocks is healed in one task here, not
+    on the driver."""
+
+    def heal(group: pa.Table) -> pa.Table:
+        docs = np.unique(group.column("id_a").to_numpy().astype(np.int64))
+        if not (2 <= len(docs) <= cap):
+            return _EMPTY_PAIRS
+        iu, ju = np.triu_indices(len(docs), k=1)
+        return pa.table({"id_a": pa.array(docs[iu], type=pa.int64()),
+                         "id_b": pa.array(docs[ju], type=pa.int64())})
+
+    return edges.groupby("key").map_groups(heal, batch_format="pyarrow")
+
+
+def _distinct_pairs(pairs: ray.data.Dataset,
+                    extra: str | None = None) -> ray.data.Dataset:
+    """Exact distinct (id_a, id_b) via the native partial-aggregating groupby
+    (combiner before the exchange — the same pair surfacing from several
+    bands/tables/blocks collapses without per-group Python dispatch).  An
+    optional ``extra`` column (deterministic per pair) is carried via Max."""
+    from ray.data.aggregate import Count, Max
+
+    if extra is None:
+        g = pairs.groupby(["id_a", "id_b"]).aggregate(Count())
+        return g.select_columns(["id_a", "id_b"])
+    g = pairs.groupby(["id_a", "id_b"]).aggregate(Max(extra))
+    return g.map_batches(
+        lambda b: b.rename_columns(["id_a", "id_b", extra]),
+        batch_format="pyarrow")
+
+
+def _split_kinds(out: ray.data.Dataset, pair_cols: list[str],
+                 edge_cols: list[str]) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Split a materialized kind-tagged block output into interior pair rows
+    and boundary edge rows (both lazy over the same block refs)."""
+    out = out.materialize()
+    pairs = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)).select(pair_cols),
+        batch_format="pyarrow")
+    edges = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1)).select(edge_cols),
+        batch_format="pyarrow")
+    return pairs, edges
 
 
 # ------------------------------------------------------------- minhash + LSH
 _N_PERM = 64
 _BANDS = 16
 _ROWS_PER_BAND = _N_PERM // _BANDS
+_SIG_BYTES = _N_PERM * 8
 
 
 def _perm_params(seed: int = 42):
@@ -210,16 +250,91 @@ def _band_hashes(sigs: np.ndarray) -> np.ndarray:
     return bh
 
 
+def _sig_matrix(col) -> np.ndarray:
+    """Zero-copy (N, 64) uint64 view over a fixed_size_binary(512) column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_binary(col.type):
+        buf = np.frombuffer(col.buffers()[1], dtype=np.uint64)
+        off = col.offset * _N_PERM
+        return buf[off:off + len(col) * _N_PERM].reshape(len(col), _N_PERM)
+    # variable binary (post-groupby edge rows): per-row copies, tiny groups
+    joined = b"".join(col.to_pylist())
+    return np.frombuffer(joined, dtype=np.uint64).reshape(len(col), _N_PERM)
+
+
+def _verify_sig_run(docs: np.ndarray, sigs: np.ndarray, cap: int,
+                    threshold: float):
+    """One complete bucket run: unique docs (first sig per doc — identical
+    within a doc), pairwise signature agreement, keep est >= threshold."""
+    uniq, first = np.unique(docs, return_index=True)
+    if not (2 <= len(uniq) <= cap):
+        return None
+    sm = sigs[first]
+    iu, ju = np.triu_indices(len(uniq), k=1)
+    est = (sm[iu] == sm[ju]).mean(axis=1)
+    hit = est >= threshold
+    if not hit.any():
+        return None
+    return uniq[iu[hit]], uniq[ju[hit]], est[hit]
+
+
+def _minhash_run_rows(batch: pa.Table, cap: int, threshold: float) -> pa.Table:
+    """Per sorted block: VERIFIED pairs from complete interior band-hash
+    runs (signatures travel with the rows — no second corpus pass);
+    first/last runs pass through as edge rows for the distributed heal."""
+    h = batch.column("band_hash").to_numpy()
+    d = batch.column("doc_id").to_numpy().astype(np.int64)
+    sigs = _sig_matrix(batch.column("sig"))
+    p_a: list[np.ndarray] = []
+    p_b: list[np.ndarray] = []
+    p_e: list[np.ndarray] = []
+    edge_idx: list[np.ndarray] = []
+    if len(h):
+        bnd = np.flatnonzero(np.diff(h) != 0) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, len(h)]
+        for ri in range(len(starts)):
+            s, e = int(starts[ri]), int(stops[ri])
+            if ri == 0 or ri == len(starts) - 1:
+                edge_idx.append(np.arange(s, min(e, s + cap + 1)))
+                continue
+            got = _verify_sig_run(d[s:e], sigs[s:e], cap, threshold)
+            if got is not None:
+                p_a.append(got[0])
+                p_b.append(got[1])
+                p_e.append(got[2])
+    z = np.empty(0, dtype=np.int64)
+    a_ = np.concatenate(p_a) if p_a else z
+    b_ = np.concatenate(p_b) if p_b else z
+    e_ = np.concatenate(p_e) if p_e else np.empty(0, dtype=np.float64)
+    ei = np.concatenate(edge_idx) if edge_idx else z
+    n_p, n_e = len(a_), len(ei)
+    sig_col = pa.concat_arrays([
+        pa.array([b""] * n_p, type=pa.binary()),
+        batch.column("sig").combine_chunks().take(pa.array(ei)).cast(pa.binary())
+        if n_e else pa.array([], type=pa.binary()),
+    ])
+    return pa.table({
+        "kind": pa.array(np.r_[np.zeros(n_p, dtype=np.int8), np.ones(n_e, dtype=np.int8)]),
+        "id_a": pa.array(np.r_[a_, d[ei]], type=pa.int64()),
+        "id_b": pa.array(np.r_[b_, np.zeros(n_e, dtype=np.int64)], type=pa.int64()),
+        "est_jaccard": pa.array(np.r_[e_, np.zeros(n_e)], type=pa.float64()),
+        "key": pa.array(np.r_[np.zeros(n_p, dtype=np.int64), h[ei].astype(np.int64)],
+                        type=pa.int64()),
+        "sig": sig_col,
+    })
+
+
 def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.8) -> ray.data.Dataset:
     """(id_a, id_b, est_jaccard) for LSH-candidate pairs whose signature
     agreement >= threshold.
 
-    Two passes, both vectorized: (1) ship ONLY (band, band_hash, doc_id)
-    through the keyed exchange — 24-byte rows, not 500-byte signatures —
-    and emit unverified candidate pairs per bucket; (2) recompute signatures
-    for just the candidate docs (dup-bounded set, broadcast filter) and
-    verify agreement on the driver.  Driver state is candidates + pairs,
-    never the corpus."""
+    ONE corpus pass: each doc's 64-lane signature travels with its 16 band
+    rows through the keyed sort, so verification runs vectorized inside each
+    complete sorted run.  Boundary runs are healed by a grouped stage over
+    only those rows; pairs surfacing from several bands collapse in a native
+    distinct groupby.  The driver holds refs only."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     a_ref, b_ref = _perm_params()
@@ -228,112 +343,140 @@ def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.8) -> ray.data.Dat
         doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
         sigs = _batch_signatures(batch.column("text").to_pylist(), a_ref, b_ref)
         bh = _band_hashes(sigs)
+        sig_bytes = pa.array(
+            [s.tobytes() for s in np.repeat(sigs, _BANDS, axis=0)],
+            type=pa.binary(_SIG_BYTES))
         return pa.table({
-            "band": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32), len(doc_ids))),
             "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
             "doc_id": pa.array(np.repeat(doc_ids, _BANDS)),
+            "sig": sig_bytes,
         })
 
-    # Candidate buckets via sort + per-block RUN detection instead of
-    # groupby().map_groups: the sort is the same keyed exchange, but run
-    # processing is vectorized per block (~10us/run instead of a Python
-    # group dispatch per bucket — the buckets are overwhelmingly singletons).
-    # A run can straddle two adjacent range-partitioned blocks, so each
-    # block's FIRST and LAST runs are emitted as edge rows and re-grouped on
-    # the driver (bounded: <= 2 x cap rows per block).
     sorted_rows = (ds.map_batches(band_rows, batch_format="pyarrow")
                      .sort("band_hash"))
-    cand = sorted_rows.map_batches(
-        lambda b: _run_bucket_pairs(b, "band_hash", _BUCKET_CAP),
-        batch_format="pyarrow", batch_size=None).to_pandas()
-    pairs = _heal_edge_pairs(cand, _BUCKET_CAP)
-    if not pairs:
-        return ray.data.from_arrow(pa.table({
-            "id_a": pa.array([], type=pa.int64()),
-            "id_b": pa.array([], type=pa.int64()),
-            "est_jaccard": pa.array([], type=pa.float64())}))
+    out = sorted_rows.map_batches(
+        lambda b: _minhash_run_rows(b, _BUCKET_CAP, threshold),
+        batch_format="pyarrow", batch_size=None)
+    interior, edges = _split_kinds(out, ["id_a", "id_b", "est_jaccard"],
+                                   ["key", "id_a", "sig"])
 
-    cand_ids = pa.array(sorted({d for p in pairs for d in p}), type=pa.int64())
-    cand_ref = ray.put(cand_ids)
+    def heal(group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "est_jaccard": pa.array([], type=pa.float64())})
+        docs = group.column("id_a").to_numpy().astype(np.int64)
+        got = _verify_sig_run(docs, _sig_matrix(group.column("sig")),
+                              _BUCKET_CAP, threshold)
+        if got is None:
+            return empty
+        return pa.table({"id_a": pa.array(got[0], type=pa.int64()),
+                         "id_b": pa.array(got[1], type=pa.int64()),
+                         "est_jaccard": pa.array(got[2], type=pa.float64())})
 
-    def cand_sigs(batch: pa.Table) -> pa.Table:
-        sel = pc.is_in(batch.column("doc_id"), value_set=ray.get(cand_ref))
-        batch = batch.filter(sel)
-        sigs = _batch_signatures(batch.column("text").to_pylist(), a_ref, b_ref)
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "sig": pa.array([s.tobytes() for s in sigs], type=pa.binary())})
-
-    sig_tab = ds.map_batches(cand_sigs, batch_format="pyarrow").to_pandas()
-    sig_ids = sig_tab["doc_id"].to_numpy().astype(np.int64)
-    sig_mat = np.frombuffer(b"".join(sig_tab["sig"]), dtype=np.uint64).reshape(-1, _N_PERM)
-    order = np.argsort(sig_ids)
-    sig_ids, sig_mat = sig_ids[order], sig_mat[order]
-    parr = np.asarray(pairs, dtype=np.int64)
-    ai = np.searchsorted(sig_ids, parr[:, 0])
-    bi = np.searchsorted(sig_ids, parr[:, 1])
-    est = (sig_mat[ai] == sig_mat[bi]).mean(axis=1)
-    hit = est >= threshold
-    return ray.data.from_arrow(pa.table({
-        "id_a": pa.array(parr[hit, 0], type=pa.int64()),
-        "id_b": pa.array(parr[hit, 1], type=pa.int64()),
-        "est_jaccard": pa.array(est[hit], type=pa.float64())}))
+    healed = edges.groupby("key").map_groups(heal, batch_format="pyarrow")
+    return _distinct_pairs(interior.union(healed), extra="est_jaccard")
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> ray.data.Dataset:
-    pairs_df = minhash_candidate_pairs(sf_dir, threshold).to_pandas()
-    pairs = [(int(a), int(b)) for a, b in zip(pairs_df["id_a"], pairs_df["id_b"])]
-    return _survivors_from_pairs(sf_dir, pairs)
+    return _survivors(sf_dir, minhash_candidate_pairs(sf_dir, threshold))
 
 
 # ------------------------------------------------------------------- simhash
-def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
-    """SimHash near-dup: 4x16-bit chunk banding (pigeonhole guarantees any
-    pair within hamming<=3 shares at least one chunk).  Candidate pairs via
-    the sorted-run exchange (key = chunk_idx:chunk_val packed in one int64),
-    exact hamming verified on the dup-bounded candidate set with signatures
-    recomputed in a broadcast-filtered second pass."""
+def _verify_simhash_run(docs: np.ndarray, sigs: np.ndarray, cap: int,
+                        max_hamming: int):
+    uniq, first = np.unique(docs, return_index=True)
+    if not (2 <= len(uniq) <= cap):
+        return None
+    sm = sigs[first]
+    iu, ju = np.triu_indices(len(uniq), k=1)
+    x = sm[iu] ^ sm[ju]
+    dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+    hit = dist <= max_hamming
+    if not hit.any():
+        return None
+    return uniq[iu[hit]], uniq[ju[hit]]
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+    """SimHash near-dup pairs: 4x16-bit chunk banding (pigeonhole guarantees
+    any pair within hamming<=3 shares at least one chunk).  The 8-byte
+    signature travels with each chunk row through the keyed sort; exact
+    hamming is verified vectorized inside each complete run, boundary runs
+    heal in a grouped stage, and a native distinct groupby collapses pairs
+    found by several chunks."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
+    cap = 512
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
-        keys, dc = [], []
+        keys, dc, sg = [], [], []
         for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("text").to_pylist()):
             u = simhash64(text) & 0xFFFFFFFFFFFFFFFF
+            s = u - (1 << 64) if u >= (1 << 63) else u
             for c in range(4):
                 keys.append((c << 16) | ((u >> (16 * c)) & 0xFFFF))
                 dc.append(doc_id)
+                sg.append(s)
         return pa.table({"band_hash": pa.array(keys, type=pa.int64()),
-                         "doc_id": pa.array(dc, type=pa.int64())})
+                         "doc_id": pa.array(dc, type=pa.int64()),
+                         "sig": pa.array(sg, type=pa.int64())})
 
-    cand = (ds.map_batches(chunk_rows, batch_format="pyarrow")
-              .sort("band_hash")
-              .map_batches(lambda b: _run_bucket_pairs(b, "band_hash", 512),
-                           batch_format="pyarrow", batch_size=None)).to_pandas()
-    candidates = _heal_edge_pairs(cand, 512)
-    if not candidates:
-        return _survivors_from_pairs(sf_dir, [])
-
-    cand_ids = pa.array(sorted({d for p in candidates for d in p}), type=pa.int64())
-    cand_ref = ray.put(cand_ids)
-
-    def cand_sigs(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.is_in(batch.column("doc_id"), value_set=ray.get(cand_ref)))
+    def run_rows(batch: pa.Table) -> pa.Table:
+        h = batch.column("band_hash").to_numpy()
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        sigs = batch.column("sig").to_numpy().astype(np.int64).view(np.uint64)
+        p_a, p_b, edge_idx = [], [], []
+        if len(h):
+            bnd = np.flatnonzero(np.diff(h) != 0) + 1
+            starts = np.r_[0, bnd]
+            stops = np.r_[bnd, len(h)]
+            for ri in range(len(starts)):
+                s, e = int(starts[ri]), int(stops[ri])
+                if ri == 0 or ri == len(starts) - 1:
+                    edge_idx.append(np.arange(s, min(e, s + cap + 1)))
+                    continue
+                got = _verify_simhash_run(d[s:e], sigs[s:e], cap, max_hamming)
+                if got is not None:
+                    p_a.append(got[0])
+                    p_b.append(got[1])
+        z = np.empty(0, dtype=np.int64)
+        a_ = np.concatenate(p_a) if p_a else z
+        b_ = np.concatenate(p_b) if p_b else z
+        ei = np.concatenate(edge_idx) if edge_idx else z
+        n_p, n_e = len(a_), len(ei)
         return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "sig": pa.array([simhash64(t) for t in batch.column("text").to_pylist()],
-                            type=pa.int64())})
+            "kind": pa.array(np.r_[np.zeros(n_p, dtype=np.int8), np.ones(n_e, dtype=np.int8)]),
+            "id_a": pa.array(np.r_[a_, d[ei]], type=pa.int64()),
+            "id_b": pa.array(np.r_[b_, np.zeros(n_e, dtype=np.int64)], type=pa.int64()),
+            "key": pa.array(np.r_[np.zeros(n_p, dtype=np.int64), h[ei].astype(np.int64)],
+                            type=pa.int64()),
+            "sig": pa.array(np.r_[np.zeros(n_p, dtype=np.int64),
+                                  sigs[ei].view(np.int64)], type=pa.int64()),
+        })
 
-    sig_tab = ds.map_batches(cand_sigs, batch_format="pyarrow").to_pandas()
-    sig_ids = sig_tab["doc_id"].to_numpy().astype(np.int64)
-    sigs = sig_tab["sig"].to_numpy().astype(np.int64).view(np.uint64)
-    order = np.argsort(sig_ids)
-    sig_ids, sigs = sig_ids[order], sigs[order]
-    parr = np.asarray(candidates, dtype=np.int64)
-    x = sigs[np.searchsorted(sig_ids, parr[:, 0])] ^ sigs[np.searchsorted(sig_ids, parr[:, 1])]
-    dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-    hit = dist <= max_hamming
-    return _survivors_from_pairs(sf_dir, [tuple(p) for p in parr[hit]])
+    out = (ds.map_batches(chunk_rows, batch_format="pyarrow")
+             .sort("band_hash")
+             .map_batches(run_rows, batch_format="pyarrow", batch_size=None))
+    interior, edges = _split_kinds(out, ["id_a", "id_b"], ["key", "id_a", "sig"])
+
+    def heal(group: pa.Table) -> pa.Table:
+        docs = group.column("id_a").to_numpy().astype(np.int64)
+        sigs = group.column("sig").to_numpy().astype(np.int64).view(np.uint64)
+        got = _verify_simhash_run(docs, sigs, cap, max_hamming)
+        if got is None:
+            return _EMPTY_PAIRS
+        return pa.table({"id_a": pa.array(got[0], type=pa.int64()),
+                         "id_b": pa.array(got[1], type=pa.int64())})
+
+    healed = edges.groupby("key").map_groups(heal, batch_format="pyarrow")
+    return _distinct_pairs(interior.union(healed))
+
+
+def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+    """Survivors after SimHash near-dup removal (keep min doc_id per
+    cluster); clusters resolved by distributed star contraction."""
+    return _survivors(sf_dir, simhash_dup_pairs(sf_dir, max_hamming))
 
 
 # ------------------------------------------------------------ n-gram jaccard
@@ -342,9 +485,10 @@ def ngram_dup_pairs(sf_dir: str, n: int = 3, threshold: float = 0.8,
     """Word n-gram Jaccard pairs >= threshold via a shared-gram inverted
     index.  Per-doc gram counts travel WITH the inverted-index rows (no
     whole-corpus broadcast); the gram exchange is the sorted-run pattern
-    (vectorized per block, driver-healed edges); co-occurrence counts are
-    pre-aggregated per block (combiner) and merged driver-side over the
-    dup-bounded distinct-pair set."""
+    (vectorized per block, grouped heal of boundary runs); co-occurrence
+    counts are pre-aggregated per block (combiner) and fully reduced by a
+    SECOND sorted-run exchange over the packed pair key — the driver never
+    sees a pair row."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
 
@@ -364,7 +508,7 @@ def ngram_dup_pairs(sf_dir: str, n: int = 3, threshold: float = 0.8,
     def gram_run_rows(batch: pa.Table) -> pa.Table:
         """Per sorted block: pair rows (kind=0, with both docs' gram counts)
         from complete interior gram runs; first/last runs pass through as
-        edge rows (kind=1) for driver-side healing."""
+        edge rows (kind=1) for the grouped heal."""
         g = batch.column("gram").to_numpy()
         d = batch.column("doc_id").to_numpy().astype(np.int64)
         c = batch.column("n_grams").to_numpy().astype(np.int64)
@@ -411,8 +555,8 @@ def ngram_dup_pairs(sf_dir: str, n: int = 3, threshold: float = 0.8,
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         """Combiner: collapse this block's pair rows to (pair, partial
-        co-count, na, nb) — the pre-aggregation that keeps the final merge
-        O(distinct candidate pairs) instead of O(pair rows)."""
+        co-count, na, nb) — the pre-aggregation that keeps the reduce
+        exchange O(distinct candidate pairs) instead of O(pair rows)."""
         a = batch.column("id_a").to_numpy().astype(np.uint64)
         b = batch.column("id_b").to_numpy().astype(np.uint64)
         packed = (a << np.uint64(32)) | b  # doc ids fit 32 bits
@@ -426,61 +570,100 @@ def ngram_dup_pairs(sf_dir: str, n: int = 3, threshold: float = 0.8,
 
     out = (ds.map_batches(gram_rows, batch_format="pyarrow")
              .sort("gram")
-             .map_batches(gram_run_rows, batch_format="pyarrow", batch_size=None)
-             .materialize())  # split interior pairs from edge rows in one pass
-    pair_cols = ["id_a", "id_b", "na", "nb"]
-    pairs_ds = out.map_batches(
-        lambda b: b.filter(pc.equal(b.column("kind"), 0)).select(pair_cols),
-        batch_format="pyarrow")
-    edges = out.map_batches(
-        lambda b: b.filter(pc.equal(b.column("kind"), 1)).select(["key", "id_a", "na"]),
-        batch_format="pyarrow").to_pandas()
-    ea, eb, ena, enb = [], [], [], []
-    for _, grp in edges.groupby("key"):
-        docs = grp["id_a"].to_numpy().astype(np.int64)
-        cnts = grp["na"].to_numpy().astype(np.int64)
+             .map_batches(gram_run_rows, batch_format="pyarrow", batch_size=None))
+    pairs_ds, edges = _split_kinds(out, ["id_a", "id_b", "na", "nb"],
+                                   ["key", "id_a", "na"])
+
+    def heal(group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "na": pa.array([], type=pa.int64()),
+                          "nb": pa.array([], type=pa.int64())})
+        docs = group.column("id_a").to_numpy().astype(np.int64)
+        cnts = group.column("na").to_numpy().astype(np.int64)
         order = np.argsort(docs)
         docs, cnts = docs[order], cnts[order]
-        if 2 <= len(docs) <= bucket_cap:
-            iu, ju = np.triu_indices(len(docs), k=1)
-            ea.append(docs[iu])
-            eb.append(docs[ju])
-            ena.append(cnts[iu])
-            enb.append(cnts[ju])
-    if ea:
-        edge_ds = ray.data.from_arrow(pa.table({
-            "id_a": pa.array(np.concatenate(ea), type=pa.int64()),
-            "id_b": pa.array(np.concatenate(eb), type=pa.int64()),
-            "na": pa.array(np.concatenate(ena), type=pa.int64()),
-            "nb": pa.array(np.concatenate(enb), type=pa.int64()),
-        }))
-        pairs_ds = pairs_ds.union(edge_ds)
-    # merge the partial counts on the driver: state is O(distinct candidate
-    # pairs) — the same dup-bounded set every dedup variant holds — and the
-    # numpy merge replaces a measured-40x-slower native multi-agg exchange
-    part = pairs_ds.map_batches(partial_counts, batch_format="pyarrow").to_pandas()
-    packed = part["pair"].to_numpy().view(np.uint64)
-    u, inv = np.unique(packed, return_inverse=True)
-    co = np.zeros(len(u), dtype=np.int64)
-    np.add.at(co, inv, part["co"].to_numpy().astype(np.int64))
-    first = np.zeros(len(u), dtype=np.int64)
-    first[inv[::-1]] = np.arange(len(packed) - 1, -1, -1)
-    na = part["na"].to_numpy().astype(np.int64)[first]
-    nb = part["nb"].to_numpy().astype(np.int64)[first]
-    denom = (na + nb - co).astype(np.float64)
-    j = np.where(denom > 0, co / np.maximum(denom, 1), 0.0)
-    keep = j >= threshold
-    return ray.data.from_arrow(pa.table({
-        "id_a": pa.array((u[keep] >> np.uint64(32)).astype(np.int64)),
-        "id_b": pa.array((u[keep] & np.uint64(0xFFFFFFFF)).astype(np.int64)),
-        "jaccard": pa.array(j[keep], type=pa.float64()),
-    }))
+        if not (2 <= len(docs) <= bucket_cap):
+            return empty
+        iu, ju = np.triu_indices(len(docs), k=1)
+        return pa.table({"id_a": pa.array(docs[iu], type=pa.int64()),
+                         "id_b": pa.array(docs[ju], type=pa.int64()),
+                         "na": pa.array(cnts[iu], type=pa.int64()),
+                         "nb": pa.array(cnts[ju], type=pa.int64())})
+
+    healed = edges.groupby("key").map_groups(heal, batch_format="pyarrow")
+    part = (pairs_ds.union(healed)
+                    .map_batches(partial_counts, batch_format="pyarrow"))
+
+    # --- second sorted-run exchange: reduce partials per pair key ---
+    def reduce_rows(batch: pa.Table) -> pa.Table:
+        p = batch.column("pair").to_numpy()
+        co = batch.column("co").to_numpy().astype(np.int64)
+        na = batch.column("na").to_numpy().astype(np.int64)
+        nb = batch.column("nb").to_numpy().astype(np.int64)
+        if len(p) == 0:
+            return pa.table({"kind": pa.array([], type=pa.int8()),
+                             "pair": pa.array([], type=pa.int64()),
+                             "co": pa.array([], type=pa.int64()),
+                             "na": pa.array([], type=pa.int64()),
+                             "nb": pa.array([], type=pa.int64())})
+        bnd = np.flatnonzero(np.diff(p) != 0) + 1
+        starts = np.r_[0, bnd]
+        sums = np.add.reduceat(co, starts)
+        interior = np.arange(1, len(starts) - 1) if len(starts) > 2 else np.empty(0, dtype=np.int64)
+        i_pair = p[starts[interior]]
+        i_co = sums[interior]
+        i_na = na[starts[interior]]
+        i_nb = nb[starts[interior]]
+        # first/last runs raw (kind=1) for the grouped heal
+        first_stop = int(bnd[0]) if len(bnd) else len(p)
+        last_start = int(bnd[-1]) if len(bnd) else 0
+        ei = np.r_[np.arange(0, first_stop), np.arange(last_start, len(p))] \
+            if len(starts) > 1 else np.arange(0, len(p))
+        n_i, n_e = len(i_pair), len(ei)
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(n_i, dtype=np.int8), np.ones(n_e, dtype=np.int8)]),
+            "pair": pa.array(np.r_[i_pair, p[ei]], type=pa.int64()),
+            "co": pa.array(np.r_[i_co, co[ei]], type=pa.int64()),
+            "na": pa.array(np.r_[i_na, na[ei]], type=pa.int64()),
+            "nb": pa.array(np.r_[i_nb, nb[ei]], type=pa.int64()),
+        })
+
+    red = part.sort("pair").map_batches(reduce_rows, batch_format="pyarrow",
+                                        batch_size=None)
+    done, edge_parts = _split_kinds(red, ["pair", "co", "na", "nb"],
+                                    ["pair", "co", "na", "nb"])
+
+    def heal_reduce(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "pair": group.column("pair").slice(0, 1),
+            "co": pa.array([int(pc.sum(group.column("co")).as_py())], type=pa.int64()),
+            "na": group.column("na").slice(0, 1),
+            "nb": group.column("nb").slice(0, 1),
+        })
+
+    healed_parts = edge_parts.groupby("pair").map_groups(heal_reduce,
+                                                         batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        packed = batch.column("pair").to_numpy().view(np.uint64)
+        co = batch.column("co").to_numpy().astype(np.float64)
+        na = batch.column("na").to_numpy().astype(np.float64)
+        nb = batch.column("nb").to_numpy().astype(np.float64)
+        denom = na + nb - co
+        j = np.where(denom > 0, co / np.maximum(denom, 1), 0.0)
+        keep = j >= threshold
+        return pa.table({
+            "id_a": pa.array((packed[keep] >> np.uint64(32)).astype(np.int64)),
+            "id_b": pa.array((packed[keep] & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            "jaccard": pa.array(j[keep], type=pa.float64()),
+        })
+
+    return done.union(healed_parts).map_batches(finish, batch_format="pyarrow")
 
 
 def dedup_ngram(sf_dir: str, n: int = 3, threshold: float = 0.8) -> ray.data.Dataset:
-    pairs_tab = ngram_dup_pairs(sf_dir, n, threshold).to_pandas()
-    pairs = [(int(a), int(b)) for a, b in zip(pairs_tab["id_a"], pairs_tab["id_b"])]
-    return _survivors_from_pairs(sf_dir, pairs)
+    return _survivors(sf_dir, ngram_dup_pairs(sf_dir, n, threshold))
 
 
 # ------------------------------------------------------- embedding near-dup
@@ -489,7 +672,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.35) -> ray.data.Datase
     matrix is broadcast once via ray.put (read in every task, never
     re-shipped per batch); each batch does one [B, N] float64 matmul.  The
     documented scale path for corpora whose matrix exceeds broadcast budget
-    is the LSH-bucketed variant (similarity.embedding_lsh_buckets)."""
+    is the LSH-bucketed variant (embedding_bucket_pairs)."""
     import pyarrow.parquet as pq
 
     from ..ops.similarity import _mat, _normalize
@@ -527,65 +710,68 @@ def _dedup_planes(dim: int, seed: int = 77) -> np.ndarray:
 
 def embedding_bucket_pairs(sf_dir: str, threshold: float = 0.35,
                            bucket_cap: int = 512) -> ray.data.Dataset:
-    """Cosine-similar pairs via multi-table random-hyperplane bucketing:
-    each vector lands in one bucket per table, pairs are verified with exact
-    cosine INSIDE buckets only, and pairs found by several tables are
-    deduplicated with a keyed groupby.  No full-matrix broadcast, no O(N^2)
-    scan — recall < 1 by design (the exact baseline is embedding_dup_pairs,
-    which stays the test oracle)."""
+    """Cosine-similar pairs via multi-table random-hyperplane bucketing.
+
+    Scale shape: the keyed exchange ships 16-byte (packed table:bucket,
+    vec_id) rows — vectors are NEVER replicated per table; candidate pairs
+    come from the sorted-run pattern (vectorized interior runs, grouped heal
+    of boundary runs), collapse in a native distinct groupby, and are then
+    verified with exact cosine against the broadcast-once normalized matrix
+    (one gather + row-dot per batch).  At corpora whose matrix exceeds
+    broadcast budget the verify becomes a partitioned gather-join keyed the
+    same way.  Recall < 1 by design — the exact baseline is
+    embedding_dup_pairs, which stays the test oracle."""
+    import pyarrow.parquet as pq
+
+    from ..ops.similarity import _mat, _normalize
+
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     planes_holder: dict[int, np.ndarray] = {}
 
     def table_rows(batch: pa.Table) -> pa.Table:
-        from ..ops.similarity import _mat
-
         mat = _mat(batch.column("embedding"))
         planes = planes_holder.setdefault(mat.shape[1], _dedup_planes(mat.shape[1]))
-        # [T, N] bucket ids
+        # [T, N, P] -> per-table bucket ids; key packs (table, bucket)
         bits = np.einsum("nd,tdp->tnp", mat, planes) > 0
         buckets = (bits * (1 << np.arange(_DEDUP_PLANES))).sum(axis=2).astype(np.int64)
-        n = len(batch)
-        emb = batch.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
+        keys = (np.arange(_DEDUP_TABLES, dtype=np.int64)[:, None] << 16) | buckets
         return pa.table({
-            "table": pa.array(np.repeat(np.arange(_DEDUP_TABLES, dtype=np.int32), n)),
-            "bucket": pa.array(buckets.reshape(-1), type=pa.int64()),
+            "key": pa.array(keys.reshape(-1), type=pa.int64()),
             "vec_id": pa.array(np.tile(batch.column("vec_id").to_numpy().astype(np.int64),
                                        _DEDUP_TABLES)),
-            "embedding": pa.concat_arrays([emb] * _DEDUP_TABLES),
         })
 
-    def bucket_verify(group: pa.Table) -> pa.Table:
-        from ..ops.similarity import _mat, _normalize
+    out = (ds.map_batches(table_rows, batch_format="pyarrow", batch_size=1024)
+             .sort("key")
+             .map_batches(lambda b: _run_bucket_pairs(b, "key", bucket_cap,
+                                                      id_col="vec_id"),
+                          batch_format="pyarrow", batch_size=None))
+    interior, edges = _split_kinds(out, ["id_a", "id_b"], ["key", "id_a"])
+    healed = _heal_bucket_pairs(edges, bucket_cap)
+    cand = _distinct_pairs(interior.union(healed))
 
-        ids = group.column("vec_id").to_numpy().astype(np.int64)
-        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
-                          "id_b": pa.array([], type=pa.int64())})
-        if not (2 <= len(ids) <= bucket_cap):
-            return empty
-        order = np.argsort(ids)
-        ids = ids[order]
-        norm = _normalize(_mat(group.column("embedding")))[order]
-        sims = norm @ norm.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = sims[iu, ju] > threshold
-        return pa.table({"id_a": pa.array(ids[iu[hit]], type=pa.int64()),
-                         "id_b": pa.array(ids[ju[hit]], type=pa.int64())})
+    # exact-cosine verification on the (dup-bounded) candidate pair set
+    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = tab.column("vec_id").to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    mat_ref = ray.put((ids[order], _normalize(_mat(tab.column("embedding")))[order]))
 
-    pairs = (ds.map_batches(table_rows, batch_format="pyarrow", batch_size=1024)
-               .groupby(["table", "bucket"])
-               .map_groups(bucket_verify, batch_format="pyarrow"))
-    # the same pair surfaces from several tables -> dedupe on the pair key
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    def verify(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(mat_ref)
+        a = batch.column("id_a").to_numpy().astype(np.int64)
+        b = batch.column("id_b").to_numpy().astype(np.int64)
+        sims = np.einsum("ij,ij->i", all_mat[np.searchsorted(all_ids, a)],
+                         all_mat[np.searchsorted(all_ids, b)])
+        return batch.filter(pa.array(sims > threshold))
+
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 def dedup_embedding(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:
     """Survivors after removing cosine-near-dup embeddings (keep min vec_id
     per cluster).  Candidate generation is the bucketed LSH path — the
     O(N^2) ``embedding_dup_pairs`` scan stays exact-baseline only."""
-    pairs_tab = embedding_bucket_pairs(sf_dir, threshold).to_pandas()
-    pairs = [(int(a), int(b)) for a, b in zip(pairs_tab["id_a"], pairs_tab["id_b"])]
-    return _survivors_from_pairs(sf_dir, pairs, table="embeddings", id_col="vec_id")
+    return _survivors(sf_dir, embedding_bucket_pairs(sf_dir, threshold),
+                      table="embeddings", id_col="vec_id")
