@@ -16,8 +16,11 @@ run detection / broadcast, never per-row Python in the hot path).
     followed by the native partial-aggregate groupby.
   * ``top_orders_per_cust`` — grouped top-k: sort by the group key, then
     per-block vectorized run detection picks each complete group's top-k
-    (lexsort + rank-within-run); groups touching a block boundary are
-    re-ranked on the driver (bounded: <= 2 groups per block).
+    (lexsort + rank-within-run); groups touching a block boundary ship only
+    their BLOCK-LOCAL top-k rows (sufficient statistics — the global top-k
+    is contained in the union of block-local top-ks) to a distributed
+    ``groupby().map_groups`` heal, so a hot key spanning many blocks costs
+    k rows per block, never O(hot-key) rows, and never lands on the driver.
 """
 
 from __future__ import annotations
@@ -106,8 +109,10 @@ def events_value_bands(sf_dir: str) -> ray.data.Dataset:
 
 def top_orders_per_cust(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """Top-k orders per customer by (o_totalprice desc, o_orderkey asc):
-    sort by customer, vectorized per-block run ranking, boundary groups
-    re-ranked on the driver."""
+    sort by customer, vectorized per-block run ranking; boundary groups are
+    truncated to their block-local top-k (sufficient statistics) and healed
+    by a distributed grouped re-rank — skew-safe: a hot customer spanning B
+    blocks ships k*B rows to ONE heal task, never its full row set."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                                columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
@@ -125,9 +130,9 @@ def top_orders_per_cust(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         grp_start = np.r_[True, np.diff(cs) != 0]
         grp_id = np.cumsum(grp_start) - 1
         rank = np.arange(len(cs)) - np.flatnonzero(grp_start)[grp_id] + 1
-        edge = (cs == cs[0]) | (cs == cs[-1])  # boundary groups -> driver
+        edge = (cs == cs[0]) | (cs == cs[-1])  # boundary groups -> grouped heal
         keep_final = (~edge) & (rank <= k)
-        keep_edge = edge
+        keep_edge = edge & (rank <= k)  # block-local top-k suffices globally
         return pa.table({
             "kind": pa.array(np.r_[np.zeros(keep_final.sum(), dtype=np.int8),
                                    np.ones(keep_edge.sum(), dtype=np.int8)]),
@@ -148,18 +153,17 @@ def top_orders_per_cust(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         batch_format="pyarrow")
     edges = out.map_batches(
         lambda b: b.filter(pc.equal(b.column("kind"), 1)),
-        batch_format="pyarrow").to_pandas()
-    if len(edges):
-        rows_c, rows_o, rows_r = [], [], []
-        for cust, grp in edges.groupby("o_custkey"):
-            srt = grp.sort_values(["price", "o_orderkey"],
-                                  ascending=[False, True]).head(k)
-            rows_c.extend([int(cust)] * len(srt))
-            rows_o.extend(int(v) for v in srt["o_orderkey"])
-            rows_r.extend(range(1, len(srt) + 1))
-        finals = finals.union(ray.data.from_arrow(pa.table({
-            "o_custkey": pa.array(rows_c, type=pa.int64()),
-            "o_orderkey": pa.array(rows_o, type=pa.int64()),
-            "rank": pa.array(rows_r, type=pa.int64()),
-        })))
-    return finals
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        o = group.column("o_orderkey").to_numpy().astype(np.int64)
+        p = group.column("price").to_numpy().astype(np.float64)
+        top = np.lexsort((o, -p))[:k]
+        return pa.table({
+            "o_custkey": group.column("o_custkey").slice(0, len(top)),
+            "o_orderkey": pa.array(o[top], type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        })
+
+    healed = edges.groupby("o_custkey").map_groups(heal, batch_format="pyarrow")
+    return finals.union(healed)

@@ -120,8 +120,13 @@ def user_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset
 
     One global sort by (user, ts, event_id) replaces the per-user Python
     groupby: each sorted block sessionizes its complete interior user runs
-    vectorized, and the (<= 2 per block) users straddling a block boundary
-    are sessionized on the driver from their passed-through rows."""
+    vectorized.  Users straddling a block boundary are ALSO sessionized
+    block-locally — per-block sessions are mergeable sufficient statistics
+    (two adjacent partial sessions fuse iff next.start - prev.end <= gap) —
+    and a distributed grouped heal merges the partial-session chains.
+    Skew-safe: a hot user spanning B blocks ships its per-block session
+    summaries (compressed, never raw events) to ONE heal task, and the
+    driver sees no rows at all."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "event_id", "ts"])
     srt = ds.sort(["user_id", "ts", "event_id"])
@@ -143,22 +148,21 @@ def user_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset
         stops = np.r_[bnd, n]
         interior = _sessions_for(u, t, gap_us, starts[1:-1], stops[1:-1]) \
             if len(starts) > 2 else empty.drop_columns(["kind"])
-        edge_rows = np.r_[np.arange(starts[0], stops[0]),
-                          np.arange(starts[-1], stops[-1])] \
-            if len(starts) > 1 else np.arange(starts[0], stops[0])
+        # boundary runs: block-local PARTIAL sessions (compressed sufficient
+        # statistics), not raw rows — session_id is assigned in the heal
+        e_starts = (starts[[0, -1]], stops[[0, -1]]) if len(starts) > 1 \
+            else (starts[[0]], stops[[0]])
+        edge = _sessions_for(u, t, gap_us, e_starts[0], e_starts[1])
         k = np.r_[np.zeros(interior.num_rows, dtype=np.int8),
-                  np.ones(len(edge_rows), dtype=np.int8)]
+                  np.ones(edge.num_rows, dtype=np.int8)]
+        both = pa.concat_tables([interior, edge])
         return pa.table({
             "kind": pa.array(k),
-            "user_id": pa.array(np.r_[interior.column("user_id").to_numpy(), u[edge_rows]]),
-            "session_id": pa.array(np.r_[interior.column("session_id").to_numpy(),
-                                         np.zeros(len(edge_rows), dtype=np.int64)]),
-            "n_events": pa.array(np.r_[interior.column("n_events").to_numpy(),
-                                       np.zeros(len(edge_rows), dtype=np.int64)]),
-            "session_start_us": pa.array(np.r_[interior.column("session_start_us").to_numpy(),
-                                               t[edge_rows]]),
-            "session_end_us": pa.array(np.r_[interior.column("session_end_us").to_numpy(),
-                                             np.zeros(len(edge_rows), dtype=np.int64)]),
+            "user_id": both.column("user_id"),
+            "session_id": both.column("session_id"),
+            "n_events": both.column("n_events"),
+            "session_start_us": both.column("session_start_us"),
+            "session_end_us": both.column("session_end_us"),
         })
 
     out = srt.map_batches(block_sessions, batch_format="pyarrow",
@@ -168,14 +172,24 @@ def user_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset
         batch_format="pyarrow")
     edges = out.map_batches(
         lambda b: b.filter(pc.equal(b.column("kind"), 1)).select(
-            ["user_id", "session_start_us"]),
-        batch_format="pyarrow").to_pandas()
-    if len(edges):
-        eu = edges["user_id"].to_numpy().astype(np.int64)
-        et = edges["session_start_us"].to_numpy().astype(np.int64)
-        order = np.lexsort((et, eu))
-        eu, et = eu[order], et[order]
-        b2 = np.flatnonzero(np.diff(eu) != 0) + 1
-        finals = finals.union(ray.data.from_arrow(_sessions_for(
-            eu, et, gap_us, np.r_[0, b2], np.r_[b2, len(eu)])))
-    return finals
+            ["user_id", "n_events", "session_start_us", "session_end_us"]),
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        s = group.column("session_start_us").to_numpy().astype(np.int64)
+        e = group.column("session_end_us").to_numpy().astype(np.int64)
+        nv = group.column("n_events").to_numpy().astype(np.int64)
+        order = np.argsort(s, kind="stable")
+        s, e, nv = s[order], e[order], nv[order]
+        new = np.r_[True, (s[1:] - e[:-1]) > gap_us]
+        st = np.flatnonzero(new)
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, len(st)),
+            "session_id": pa.array(np.arange(1, len(st) + 1, dtype=np.int64)),
+            "n_events": pa.array(np.add.reduceat(nv, st), type=pa.int64()),
+            "session_start_us": pa.array(s[st], type=pa.int64()),
+            "session_end_us": pa.array(np.maximum.reduceat(e, st), type=pa.int64()),
+        })
+
+    healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
+    return finals.union(healed)

@@ -92,3 +92,58 @@ def test_grouped_topk_matches_bruteforce(ray_session, tmp_path):
         order = rows[np.lexsort((o[rows], -p[rows]))][:3]
         expect.update((int(cust), int(o[i]), r + 1) for r, i in enumerate(order))
     assert set(zip(got["o_custkey"], got["o_orderkey"], got["rank"])) == expect
+
+
+def _sessions_oracle(users, ts, gap):
+    expect = set()
+    for uid in np.unique(users):
+        t = np.sort(ts[users == uid])
+        new = np.r_[True, (t[1:] - t[:-1]) > gap]
+        st = np.flatnonzero(new)
+        en = np.append(st[1:], len(t)) - 1
+        for sid, (a, b) in enumerate(zip(st, en), start=1):
+            expect.add((int(uid), sid, int(b - a + 1), int(t[a]), int(t[b])))
+    return expect
+
+
+def test_skewed_hot_keys(ray_session, tmp_path):
+    """One key owning 50% of all rows: boundary healing must stay exact
+    (the hot key spans many sorted blocks) with only block-local sufficient
+    statistics crossing the exchange — no driver materialization."""
+    from paddleocr_json_ray.ops import windows
+
+    rng = np.random.default_rng(55)
+    n = 40_000
+    hot = rng.random(n) < 0.5
+    custs = np.where(hot, 7, rng.integers(100, 400, size=n)).astype(np.int64)
+    base = 1_600_000_000_000_000
+    ts = base + rng.integers(0, 10**11, size=n)
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(custs),
+        "o_orderkey": pa.array(np.arange(n), type=pa.int64()),
+        "o_totalprice": pa.array(np.round(rng.uniform(1, 9999, size=n), 2)),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(custs),
+        "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+
+    got = joins.top_orders_per_cust(str(tmp_path), k=3).to_pandas()
+    tab = pq.read_table(os.path.join(str(tmp_path), "orders.parquet"))
+    c = tab.column("o_custkey").to_numpy()
+    o = tab.column("o_orderkey").to_numpy()
+    p = tab.column("o_totalprice").to_numpy()
+    expect = set()
+    for cust in np.unique(c):
+        rows = np.flatnonzero(c == cust)
+        order = rows[np.lexsort((o[rows], -p[rows]))][:3]
+        expect.update((int(cust), int(o[i]), r + 1) for r, i in enumerate(order))
+    assert set(zip(got["o_custkey"], got["o_orderkey"], got["rank"])) == expect
+
+    gap = windows.SESSION_GAP_US
+    sess = windows.user_sessions(str(tmp_path), gap_us=gap).to_pandas()
+    got_s = set(zip(sess["user_id"], sess["session_id"], sess["n_events"],
+                    sess["session_start_us"], sess["session_end_us"]))
+    assert got_s == _sessions_oracle(custs, ts, gap)
