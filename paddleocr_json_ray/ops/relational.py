@@ -189,11 +189,12 @@ def suppliers_per_region(sf_dir: str) -> ray.data.Dataset:
 
 
 def distinct_sources(sf_dir: str) -> ray.data.Dataset:
-    """DISTINCT via groupby (Dataset.unique materializes to the driver;
-    the grouped form stays distributed)."""
+    """DISTINCT via the native partial-aggregating groupby (combiner before
+    the exchange — the high-cardinality-safe template; Dataset.unique
+    materializes to the driver and map_groups dispatches per group)."""
     ds = _read(sf_dir, "documents", columns=["source"])
-    return (ds.groupby("source")
-              .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+    agg = ds.groupby("source").aggregate(Count())
+    return agg.select_columns(["source"])
 
 
 def revenue_by_priority(sf_dir: str) -> ray.data.Dataset:

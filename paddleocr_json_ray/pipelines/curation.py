@@ -46,25 +46,65 @@ def _score(batch: pa.Table) -> pa.Table:
     })
 
 
-def _first_per_hash(group: pa.Table) -> pa.Table:
-    best: dict[int, tuple] = {}
-    for i in range(group.num_rows):
-        h2 = group.column("h2")[i].as_py()
-        doc_id = group.column("doc_id")[i].as_py()
-        if h2 not in best or doc_id < best[h2][0]:
-            best[h2] = (doc_id, i)
-    idx = sorted(i for _, i in best.values())
-    return group.take(idx).drop_columns(["text_hash", "h2"])
+def _first_per_hash_block(batch: pa.Table) -> pa.Table:
+    """One (hash-sorted) block: the first row of every content-hash run —
+    doc_id ascending within the run, so the first row IS the run's winner.
+    Interior runs (kind=0) are final; the block's first/last runs emit ONE
+    candidate row each (kind=1, a block-local sufficient statistic) for the
+    grouped heal — a hot hash spanning B blocks costs B rows, never its
+    duplicate count."""
+    import numpy as np
+
+    h1 = batch.column("text_hash").to_numpy()
+    h2 = batch.column("h2").to_numpy()
+    n = len(h1)
+    if n == 0:
+        return batch.append_column("kind", pa.array([], type=pa.int8()))
+    bnd = np.flatnonzero((np.diff(h1) != 0) | (np.diff(h2) != 0)) + 1
+    starts = np.r_[0, bnd]
+    kind = np.zeros(len(starts), dtype=np.int8)
+    kind[0] = kind[-1] = 1
+    return (batch.take(pa.array(starts))
+                 .append_column("kind", pa.array(kind)))
 
 
 def curate(sf_dir: str, cfg: PipelineConfig | None = None,
            min_quality_milli: int = 400, min_tokens: int = 3) -> ray.data.Dataset:
     """Returns the curated corpus: (doc_id, n_tokens, quality_milli,
-    lang_pred) for quality-passing, deduplicated documents."""
+    lang_pred) for quality-passing, deduplicated documents.
+
+    The exact dedupe is the sorted-run first-per-key pattern: one keyed
+    sort by (content-hash, doc_id), each block keeps the first row of every
+    complete interior run, and runs touching a block boundary are healed by
+    a grouped min-doc_id pick over their one-row-per-block candidates — no
+    per-group dispatch over high-cardinality hashes, no winner-set
+    broadcast, no driver state."""
+    import pyarrow.compute as pc
+
     cfg = cfg or PipelineConfig()
     docs = run_extraction(sf_dir, cfg)
     scored = (docs.map_batches(_doc_text, batch_format="pyarrow")
                   .map_batches(_score, batch_format="pyarrow"))
     kept = scored.filter(
         expr=f"quality_milli >= {min_quality_milli} and n_tokens >= {min_tokens}")
-    return kept.groupby("text_hash").map_groups(_first_per_hash, batch_format="pyarrow")
+    out = (kept.sort(["text_hash", "h2", "doc_id"])
+               .map_batches(_first_per_hash_block, batch_format="pyarrow",
+                            batch_size=None)
+               .materialize())
+    payload = ["doc_id", "n_tokens", "quality_milli", "lang_pred"]
+    finals = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)).select(payload),
+        batch_format="pyarrow")
+    edges = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1))
+                   .select(["text_hash", "h2"] + payload),
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        idx = pc.index(group.column("doc_id"),
+                       pc.min(group.column("doc_id")).as_py()).as_py()
+        return group.slice(idx, 1).select(payload)
+
+    healed = edges.groupby(["text_hash", "h2"]).map_groups(
+        heal, batch_format="pyarrow")
+    return finals.union(healed)
