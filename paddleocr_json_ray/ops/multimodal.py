@@ -44,10 +44,14 @@ def decode_real_image(payload: bytes) -> "np.ndarray":
 
 def _read_blobs(sf_dir: str) -> ray.data.Dataset:
     # single-file table: without override_num_blocks the block count (1)
-    # would bound task parallelism and starve any downstream actor pool
+    # would bound task parallelism and starve any downstream actor pool;
+    # derived from bytes so blocks stay ~32 MB at any corpus size
+    from ..sources.readers import blocks_for_paths
+
     paths = build_corpus(sf_dir)
-    return ray.data.read_parquet(paths.media_blobs_parquet,
-                                 override_num_blocks=64)
+    return ray.data.read_parquet(
+        paths.media_blobs_parquet,
+        override_num_blocks=blocks_for_paths(paths.media_blobs_parquet))
 
 
 def media_meta(sf_dir: str) -> ray.data.Dataset:

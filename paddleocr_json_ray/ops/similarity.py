@@ -29,8 +29,23 @@ import ray
 import ray.data
 
 IVF_ROOT = os.environ.get("PJR_IVF_ROOT", "/tmp/pjr_ivf")
-_N_PLANES = 8
+_N_PLANES = 8  # floor; build_ivf_index grows planes with corpus bytes
+_IVF_TARGET_CELL_BYTES = 64 << 20
 _IVF_VERSION = "v1"
+
+
+def _ivf_n_planes(sf_dir: str,
+                  target_cell_bytes: int = _IVF_TARGET_CELL_BYTES) -> int:
+    """Coarse-cell count must scale with data: at a static plane count each
+    cell is corpus/2^planes, so probe IO grows linearly with corpus size.
+    Derive planes from on-disk bytes targeting ~64 MB per cell (the same
+    sizing rule as relational._join_partitions), floored at 8 (the probe
+    geometry the small-corpus tests pin) and capped at 24."""
+    import math
+
+    nbytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+    need = max(1, math.ceil(nbytes / max(1, target_cell_bytes)))
+    return min(24, max(_N_PLANES, math.ceil(math.log2(need))))
 
 
 def _mat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -110,14 +125,14 @@ def _merge_topk_fn(k: int, with_bucket: bool = False):
     return merge
 
 
-def _plane_matrix(dim: int, seed: int = 42) -> np.ndarray:
+def _plane_matrix(dim: int, n_planes: int = _N_PLANES, seed: int = 42) -> np.ndarray:
     rng = np.random.Generator(np.random.Philox(seed))
-    return rng.standard_normal((dim, _N_PLANES))
+    return rng.standard_normal((dim, n_planes))
 
 
 def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     bits = (mat @ planes) > 0
-    return (bits * (1 << np.arange(_N_PLANES))).sum(axis=1).astype(np.int64)
+    return (bits * (1 << np.arange(planes.shape[1]))).sum(axis=1).astype(np.int64)
 
 
 def embedding_lsh_buckets(sf_dir: str) -> ray.data.Dataset:
@@ -136,17 +151,19 @@ def embedding_lsh_buckets(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=1024)
 
 
-def ivf_index_dir(sf_dir: str) -> str:
+def ivf_index_dir(sf_dir: str, n_planes: int = _N_PLANES) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(IVF_ROOT, f"{name}-p{_N_PLANES}-{_IVF_VERSION}")
+    return os.path.join(IVF_ROOT, f"{name}-p{n_planes}-{_IVF_VERSION}")
 
 
-def build_ivf_index(sf_dir: str, force: bool = False) -> str:
+def build_ivf_index(sf_dir: str, force: bool = False,
+                    target_cell_bytes: int = _IVF_TARGET_CELL_BYTES) -> str:
     """One streaming pass: assign every vector its coarse bucket and write
     the corpus as bucket-partitioned parquet (hive layout, one directory per
     cell).  At 100 TB this is the amortized index-build job; queries after
     it read only their probe cells."""
-    out = ivf_index_dir(sf_dir)
+    n_planes = _ivf_n_planes(sf_dir, target_cell_bytes)
+    out = ivf_index_dir(sf_dir, n_planes)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker) and not force:
         return out
@@ -156,7 +173,8 @@ def build_ivf_index(sf_dir: str, force: bool = False) -> str:
 
     def assign(batch: pa.Table) -> pa.Table:
         mat = _mat(batch.column("embedding"))
-        planes = planes_holder.setdefault(mat.shape[1], _plane_matrix(mat.shape[1]))
+        planes = planes_holder.setdefault(mat.shape[1],
+                                          _plane_matrix(mat.shape[1], n_planes))
         return batch.append_column(
             "bucket", pa.array(_bucket_of(mat, planes), type=pa.int64()))
 
@@ -167,29 +185,33 @@ def build_ivf_index(sf_dir: str, force: bool = False) -> str:
     return out
 
 
-def _probe_set(bucket: int) -> np.ndarray:
-    """Own cell + every cell within hamming distance 2 (37 of 256 at 8
-    planes — ~14% of a uniform corpus)."""
+def _probe_set(bucket: int, n_planes: int = _N_PLANES) -> np.ndarray:
+    """Own cell + every cell within hamming distance 2 (1 + P + C(P,2)
+    cells: 37 of 256 at the 8-plane floor — ~14% of a uniform corpus, and a
+    shrinking fraction as planes grow with corpus bytes)."""
     probe = {bucket}
-    for p in range(_N_PLANES):
+    for p in range(n_planes):
         probe.add(bucket ^ (1 << p))
-        for p2 in range(p + 1, _N_PLANES):
+        for p2 in range(p + 1, n_planes):
             probe.add(bucket ^ (1 << p) ^ (1 << p2))
     return np.array(sorted(probe), dtype=np.int64)
 
 
-def knn_ivf(sf_dir: str, n_queries: int = 8, k: int = 5) -> ray.data.Dataset:
+def knn_ivf(sf_dir: str, n_queries: int = 8, k: int = 5,
+            target_cell_bytes: int = _IVF_TARGET_CELL_BYTES) -> ray.data.Dataset:
     """ANN top-k probing only each query's LSH cell plus cells within
     hamming distance 2 — recall < 1 by design, the exact baseline is
     ``knn_brute``.  Reads ONLY the probed partitions of the inverted-file
     index (candidate IO ∝ probe fraction, not corpus size); membership per
     query is a vectorized ``np.isin`` over recomputed bucket ids.
     Output (query_id, neighbor_id, rank, bucket)."""
-    index_dir = build_ivf_index(sf_dir)
+    index_dir = build_ivf_index(sf_dir, target_cell_bytes=target_cell_bytes)
+    n_planes = _ivf_n_planes(sf_dir, target_cell_bytes)
     q_ids, q_mat = _read_queries(sf_dir, n_queries)
-    planes = _plane_matrix(q_mat.shape[1])
+    planes = _plane_matrix(q_mat.shape[1], n_planes)
     q_buckets = _bucket_of(q_mat, planes)
-    probes = {int(qid): _probe_set(int(b)) for qid, b in zip(q_ids, q_buckets)}
+    probes = {int(qid): _probe_set(int(b), n_planes)
+              for qid, b in zip(q_ids, q_buckets)}
     union = sorted({int(b) for pr in probes.values() for b in pr})
     import glob as _glob
 

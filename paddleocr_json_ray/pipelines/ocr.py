@@ -115,11 +115,17 @@ def build_pipeline(cfg: PipelineConfig | None = None, dict_path: str | None = No
     return run
 
 
-def _read_blocks_for(cfg: PipelineConfig) -> int:
+def _read_blocks_for(cfg: PipelineConfig, path: str | None = None) -> int:
     """Read with enough blocks that the actor pools can actually spread:
     block count bounds task parallelism in Ray Data, and corpus files are
-    few — ~8 docs-per-task granularity at the default pool size."""
-    return max(64, cfg.det_concurrency * 8)
+    few — ~8 docs-per-task granularity at the default pool size, scaled by
+    on-disk bytes (~32 MB/block) so block size stays bounded at 100x."""
+    floor = max(64, cfg.det_concurrency * 8)
+    if path is None:
+        return floor
+    from ..sources.readers import blocks_for_paths
+
+    return blocks_for_paths(path, floor=floor)
 
 
 def run_extraction(sf_dir: str, cfg: PipelineConfig | None = None) -> ray.data.Dataset:
@@ -129,8 +135,9 @@ def run_extraction(sf_dir: str, cfg: PipelineConfig | None = None) -> ray.data.D
 
     cfg = (cfg or PipelineConfig()).validated()
     paths = build_corpus(sf_dir, cfg)
-    ds = ray.data.read_parquet(paths.interleaved_dir,
-                               override_num_blocks=_read_blocks_for(cfg))
+    ds = ray.data.read_parquet(
+        paths.interleaved_dir,
+        override_num_blocks=_read_blocks_for(cfg, paths.interleaved_dir))
     return build_pipeline(cfg, paths.dict_path)(ds)
 
 
@@ -142,6 +149,7 @@ def span_level_results(sf_dir: str, cfg: PipelineConfig | None = None) -> ray.da
 
     cfg = (cfg or PipelineConfig()).validated()
     paths = build_corpus(sf_dir, cfg)
-    ds = ray.data.read_parquet(paths.interleaved_dir,
-                               override_num_blocks=_read_blocks_for(cfg))
+    ds = ray.data.read_parquet(
+        paths.interleaved_dir,
+        override_num_blocks=_read_blocks_for(cfg, paths.interleaved_dir))
     return _span_stage(ds, cfg, paths.dict_path)

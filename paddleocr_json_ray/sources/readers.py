@@ -24,6 +24,25 @@ def expand_paths(path: str) -> list[str]:
     return [path]
 
 
+def blocks_for_paths(path: str | list[str], floor: int = 64,
+                     target_bytes: int = 32 << 20) -> int:
+    """Read-block count derived from on-disk bytes (~32 MB per block), with
+    a parallelism floor: block count bounds task parallelism in Ray Data,
+    so few-file corpora need the floor, while at 100x the data the ratio
+    keeps blocks memory-bounded instead of letting per-block size grow with
+    the corpus (same sizing rule as relational._join_partitions)."""
+    files = []
+    for p_ in ([path] if isinstance(path, str) else path):
+        files.extend(expand_paths(p_))
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            pass
+    return max(floor, -(-total // max(1, target_bytes)))
+
+
 def read_interleaved(path: str, override_num_blocks: int | None = None) -> ray.data.Dataset:
     """Read the interleaved table.  Lance datasets (the north rule's
     preferred format) are used when the path is a .lance dataset AND the

@@ -78,6 +78,29 @@ def test_ivf_index_prunes_partitions(ray_session, emb_dir):
     assert 0 < n_probed < len(mat)
 
 
+def test_ivf_planes_scale_with_corpus(ray_session, emb_dir):
+    """Cell count must grow with corpus bytes: at a tiny per-cell byte
+    target the same corpus gets strictly more planes, a distinct index dir,
+    and partition pruning still holds at the larger plane count."""
+    import glob
+
+    d, mat = emb_dir
+    assert similarity._ivf_n_planes(d) == 8  # small corpus -> floor
+    n2 = similarity._ivf_n_planes(d, target_cell_bytes=1)
+    assert n2 > 8
+    idx2 = similarity.build_ivf_index(d, target_cell_bytes=1)
+    assert f"-p{n2}-" in os.path.basename(idx2)  # plane count recorded
+    assert idx2 != similarity.build_ivf_index(d)
+    got = similarity.knn_ivf(d, target_cell_bytes=1).to_pandas()
+    assert len(got) > 0  # probing a sparse fine-grained index still answers
+    probed = similarity._probe_set(0, n2)
+    assert len(probed) == 1 + n2 + n2 * (n2 - 1) // 2
+    cells = glob.glob(os.path.join(idx2, "bucket=*"))
+    total = sum(pq.read_metadata(f).num_rows
+                for c in cells for f in glob.glob(os.path.join(c, "*.parquet")))
+    assert total == len(mat)
+
+
 def test_lsh_buckets_deterministic(ray_session, emb_dir):
     d, _ = emb_dir
     a = similarity.embedding_lsh_buckets(d).to_pandas().sort_values("vec_id")
