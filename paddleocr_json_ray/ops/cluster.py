@@ -24,12 +24,18 @@ converge in 1-2 rounds.  Convergence is detected by a per-block FNV
 checksum + count of the canonical edge set (a control-plane scalar per
 block — the edge DATA never lands on the driver).
 
-The driver holds only object refs: ``survivor_filter`` broadcasts the
-loser-id blocks via ``Dataset.to_arrow_refs`` and the filter actors pull
-them from the object store once in ``__init__``.
+Tiering: dup-bounded edge sets (the common case — every dedup variant
+verifies before clustering) solve in ONE remote worker task with a
+vectorized min-hook + pointer-jumping union-find; only edge sets past
+``PJR_CLUSTER_TASK_MAX`` pay the multi-round star exchange.  The driver
+holds only object refs either way: ``survivor_filter`` broadcasts the
+loser-id blocks via ``Dataset.to_arrow_refs`` and the filter tasks read
+them zero-copy from the object store.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -37,6 +43,11 @@ import ray
 import ray.data
 
 _MAX_ROUNDS = 24
+# Below this edge count the component solve runs in ONE remote worker task
+# (hash-join build-side sized: tens of MB).  The driver still only passes
+# block refs; star contraction is the beyond-threshold path and tests pin
+# it via PJR_CLUSTER_TASK_MAX=0.
+_TASK_MAX_EDGES = int(os.environ.get("PJR_CLUSTER_TASK_MAX", 4_000_000))
 _FNV_OFF = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
@@ -202,17 +213,57 @@ def _distinct_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     return edges.groupby(["lo", "hi"]).aggregate(Count()).select_columns(["lo", "hi"])
 
 
+@ray.remote
+def _solve_components_task(*blocks: pa.Table) -> pa.Table:
+    """Single-task component solve over a bounded edge set: vectorized
+    pointer-jumping union-find (memory O(edges), never on the driver)."""
+    blocks = [b for b in blocks if b.num_rows]  # empty blocks keep pre-map schema
+    lo = np.concatenate([b.column("lo").to_numpy() for b in blocks]).astype(np.int64)
+    hi = np.concatenate([b.column("hi").to_numpy() for b in blocks]).astype(np.int64)
+    nodes, inv = np.unique(np.r_[lo, hi], return_inverse=True)
+    a, b = inv[:len(lo)], inv[len(lo):]
+    parent = np.arange(len(nodes))
+    while True:
+        # hook each edge's larger root under its smaller root, then compress
+        ra, rb = parent[a], parent[b]
+        lo_r, hi_r = np.minimum(ra, rb), np.maximum(ra, rb)
+        changed = lo_r != hi_r
+        if not changed.any():
+            break
+        # np.minimum.at resolves conflicting hooks to the smallest label
+        np.minimum.at(parent, hi_r[changed], lo_r[changed])
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+    member = parent != np.arange(len(nodes))
+    return pa.table({"node": pa.array(nodes[member], type=pa.int64()),
+                     "root": pa.array(nodes[parent[member]], type=pa.int64())})
+
+
 def resolve_clusters(pairs: ray.data.Dataset,
-                     col_a: str = "id_a", col_b: str = "id_b") -> ray.data.Dataset:
+                     col_a: str = "id_a", col_b: str = "id_b",
+                     task_max_edges: int | None = None) -> ray.data.Dataset:
     """Candidate duplicate pairs -> (node, root) labels, root = component
     minimum; only non-root members are returned (the loser set).  Fully
-    distributed: the driver sees per-round (count, checksum) scalars only."""
+    distributed: the driver sees per-round (count, checksum) scalars only.
+
+    Tiered: edge sets under ``PJR_CLUSTER_TASK_MAX`` solve in one remote
+    worker task (the common dup-bounded case — iterating the star exchange
+    on a small edge set pays ~10 fixed exchange costs per round for
+    nothing); larger sets run the O(log^2 n)-round star contraction."""
     edges = _snap(pairs.map_batches(lambda b: _canon_batch(b, col_a, col_b),
                                     batch_format="pyarrow"))
-    n, _ = _checksum(edges)
+    n = edges.count()  # metadata-only on a materialized dataset
     if n == 0:
         return ray.data.from_arrow(pa.table({"node": pa.array([], type=pa.int64()),
                                              "root": pa.array([], type=pa.int64())}))
+    if task_max_edges is None:
+        task_max_edges = _TASK_MAX_EDGES
+    if n <= task_max_edges:
+        refs = edges.to_arrow_refs()
+        return ray.data.from_arrow_refs([_solve_components_task.remote(*refs)])
     prev = None
     for _ in range(_MAX_ROUNDS):
         # bound the physical block count each round — sort/union/groupby
@@ -235,34 +286,30 @@ def resolve_clusters(pairs: ray.data.Dataset,
 
 
 # ------------------------------------------------------- survivor filtering
-class _LoserFilter:
-    """Actor-pool filter: pulls the broadcast loser-id blocks from the
-    object store ONCE in __init__ (the driver ships refs, never the data)."""
-
-    def __init__(self, loser_refs: list, id_col: str):
-        tabs = [t for t in ray.get(list(loser_refs)) if t.num_rows]
-        ids = (pa.concat_tables(tabs).column("node").to_numpy().astype(np.int64)
-               if tabs else np.empty(0, dtype=np.int64))
-        self._losers = np.sort(ids)
-        self._id_col = id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self._id_col).to_numpy().astype(np.int64)
-        pos = np.searchsorted(self._losers, ids)
-        pos = np.minimum(pos, max(len(self._losers) - 1, 0))
-        is_loser = (self._losers[pos] == ids) if len(self._losers) else \
-            np.zeros(len(ids), dtype=bool)
-        return batch.filter(pa.array(~is_loser))
+def _loser_filter_fn(batch: pa.Table, loser_refs: list, id_col: str) -> pa.Table:
+    """Broadcast filter: pulls the loser-id blocks from the object store
+    (zero-copy plasma reads, shared across tasks on a node — the driver
+    ships refs, never the data)."""
+    tabs = [t for t in ray.get(list(loser_refs)) if t.num_rows]
+    losers = (np.sort(pa.concat_tables(tabs).column("node").to_numpy()
+                      .astype(np.int64))
+              if tabs else np.empty(0, dtype=np.int64))
+    ids = batch.column(id_col).to_numpy().astype(np.int64)
+    if not len(losers):
+        return batch
+    pos = np.minimum(np.searchsorted(losers, ids), len(losers) - 1)
+    return batch.filter(pa.array(losers[pos] != ids))
 
 
 def survivor_filter(ds: ray.data.Dataset, pairs: ray.data.Dataset,
                     id_col: str) -> ray.data.Dataset:
     """Drop every non-root member of every duplicate cluster from ``ds``.
-    Losers are resolved distributed (star contraction) and broadcast as
-    object-store refs; at loser volumes beyond object-store budget the same
-    labels Dataset feeds a partitioned anti-join instead."""
+    Losers are resolved distributed (star contraction / bounded task solve)
+    and broadcast as object-store refs; at loser volumes beyond object-store
+    budget the same labels Dataset feeds a partitioned anti-join instead.
+    Task-based (not an actor pool): plasma gets are zero-copy and shared,
+    and actor-pool spin-up costs seconds on short jobs."""
     labels = resolve_clusters(pairs).materialize()
     refs = labels.to_arrow_refs()
-    return ds.map_batches(_LoserFilter, batch_format="pyarrow",
-                          concurrency=(1, 8),
-                          fn_constructor_args=(refs, id_col))
+    return ds.map_batches(_loser_filter_fn, batch_format="pyarrow",
+                          fn_args=(refs, id_col))

@@ -38,6 +38,21 @@ from ..functions.textstats import char_shingles, fnv1a64, simhash64, word_ngrams
 _MERSENNE61 = (1 << 61) - 1
 
 
+def _read_docs(sf_dir: str, columns: list[str],
+               table: str = "documents") -> ray.data.Dataset:
+    """Documents read with a bytes-derived block count (floor = cluster
+    CPUs).  Ray's default ~200-block read makes every downstream exchange
+    schedule hundreds of micro-tasks on a megabyte-scale table — block
+    count, not data volume, dominated the dedup suite before this."""
+    from ..sources.readers import blocks_for_paths
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=blocks_for_paths(path, floor=cpus, target_bytes=16 << 20))
+
+
 # --------------------------------------------------------------------- exact
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup: keep the smallest doc_id per distinct text.  Identity is
@@ -45,8 +60,7 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     rows instead of document bodies; the winner per text is one native
     partial-aggregating ``Min`` groupby (combiner before the exchange).
     Output: surviving doc_ids."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
         import hashlib
@@ -234,9 +248,15 @@ def _batch_signatures(texts: list[str], a_ref: np.ndarray, b_ref: np.ndarray) ->
     if nz.size:
         all_sh = np.concatenate([sh[i] for i in nz])
         starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+        # one 1-D reduceat per permutation: 2-D reduceat over axis 0 with
+        # short segments is ~75x slower (non-contiguous inner reduction)
+        # and allocates an (S, 64) intermediate
+        out = np.empty((nz.size, _N_PERM), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            vals = all_sh[:, None] * a_ref[None, :] + b_ref[None, :]
-        sigs[nz] = np.minimum.reduceat(vals, starts, axis=0)
+            for p in range(_N_PERM):
+                out[:, p] = np.minimum.reduceat(all_sh * a_ref[p] + b_ref[p],
+                                                starts)
+        sigs[nz] = out
     return sigs
 
 
@@ -326,7 +346,8 @@ def _minhash_run_rows(batch: pa.Table, cap: int, threshold: float) -> pa.Table:
     })
 
 
-def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.8) -> ray.data.Dataset:
+def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.8,
+                            distinct: bool = True) -> ray.data.Dataset:
     """(id_a, id_b, est_jaccard) for LSH-candidate pairs whose signature
     agreement >= threshold.
 
@@ -335,8 +356,7 @@ def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.8) -> ray.data.Dat
     complete sorted run.  Boundary runs are healed by a grouped stage over
     only those rows; pairs surfacing from several bands collapse in a native
     distinct groupby.  The driver holds refs only."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     a_ref, b_ref = _perm_params()
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -374,11 +394,15 @@ def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.8) -> ray.data.Dat
                          "est_jaccard": pa.array(got[2], type=pa.float64())})
 
     healed = edges.groupby("key").map_groups(heal, batch_format="pyarrow")
-    return _distinct_pairs(interior.union(healed), extra="est_jaccard")
+    both = interior.union(healed)
+    # cluster resolution canonicalizes + dedupes pairs itself; the distinct
+    # exchange is only for the pairs-as-output query surface
+    return _distinct_pairs(both, extra="est_jaccard") if distinct else both
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> ray.data.Dataset:
-    return _survivors(sf_dir, minhash_candidate_pairs(sf_dir, threshold))
+    return _survivors(sf_dir, minhash_candidate_pairs(sf_dir, threshold,
+                                                      distinct=False))
 
 
 # ------------------------------------------------------------------- simhash
@@ -397,15 +421,15 @@ def _verify_simhash_run(docs: np.ndarray, sigs: np.ndarray, cap: int,
     return uniq[iu[hit]], uniq[ju[hit]]
 
 
-def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3,
+                      distinct: bool = True) -> ray.data.Dataset:
     """SimHash near-dup pairs: 4x16-bit chunk banding (pigeonhole guarantees
     any pair within hamming<=3 shares at least one chunk).  The 8-byte
     signature travels with each chunk row through the keyed sort; exact
     hamming is verified vectorized inside each complete run, boundary runs
     heal in a grouped stage, and a native distinct groupby collapses pairs
     found by several chunks."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     cap = 512
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
@@ -470,13 +494,15 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
                          "id_b": pa.array(got[1], type=pa.int64())})
 
     healed = edges.groupby("key").map_groups(heal, batch_format="pyarrow")
-    return _distinct_pairs(interior.union(healed))
+    both = interior.union(healed)
+    return _distinct_pairs(both) if distinct else both
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """Survivors after SimHash near-dup removal (keep min doc_id per
-    cluster); clusters resolved by distributed star contraction."""
-    return _survivors(sf_dir, simhash_dup_pairs(sf_dir, max_hamming))
+    cluster); cluster resolution dedupes the pair rows itself."""
+    return _survivors(sf_dir, simhash_dup_pairs(sf_dir, max_hamming,
+                                                distinct=False))
 
 
 # ------------------------------------------------------------ n-gram jaccard
@@ -489,8 +515,7 @@ def ngram_dup_pairs(sf_dir: str, n: int = 3, threshold: float = 0.8,
     counts are pre-aggregated per block (combiner) and fully reduced by a
     SECOND sorted-run exchange over the packed pair key — the driver never
     sees a pair row."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         gh, dc, cnt = [], [], []
@@ -725,8 +750,7 @@ def embedding_bucket_pairs(sf_dir: str, threshold: float = 0.35,
 
     from ..ops.similarity import _mat, _normalize
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["vec_id", "embedding"])
+    ds = _read_docs(sf_dir, ["vec_id", "embedding"], table="embeddings")
     planes_holder: dict[int, np.ndarray] = {}
 
     def table_rows(batch: pa.Table) -> pa.Table:
@@ -749,9 +773,12 @@ def embedding_bucket_pairs(sf_dir: str, threshold: float = 0.35,
                           batch_format="pyarrow", batch_size=None))
     interior, edges = _split_kinds(out, ["id_a", "id_b"], ["key", "id_a"])
     healed = _heal_bucket_pairs(edges, bucket_cap)
-    cand = _distinct_pairs(interior.union(healed))
 
-    # exact-cosine verification on the (dup-bounded) candidate pair set
+    # exact-cosine verification BEFORE the distinct exchange: candidate
+    # volume is O(bucket_size^2) per bucket while verified pairs are
+    # dup-bounded, so verify (block-local packed-unique dedupe + one gather
+    # per batch against the broadcast-once matrix) shrinks the exchange by
+    # orders of magnitude
     tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                         columns=["vec_id", "embedding"])
     ids = tab.column("vec_id").to_numpy().astype(np.int64)
@@ -760,13 +787,20 @@ def embedding_bucket_pairs(sf_dir: str, threshold: float = 0.35,
 
     def verify(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(mat_ref)
-        a = batch.column("id_a").to_numpy().astype(np.int64)
-        b = batch.column("id_b").to_numpy().astype(np.int64)
+        a = batch.column("id_a").to_numpy().astype(np.uint64)
+        b = batch.column("id_b").to_numpy().astype(np.uint64)
+        u = np.unique((a << np.uint64(32)) | b)  # ids fit 32 bits
+        a = (u >> np.uint64(32)).astype(np.int64)
+        b = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
         sims = np.einsum("ij,ij->i", all_mat[np.searchsorted(all_ids, a)],
                          all_mat[np.searchsorted(all_ids, b)])
-        return batch.filter(pa.array(sims > threshold))
+        hit = sims > threshold
+        return pa.table({"id_a": pa.array(a[hit], type=pa.int64()),
+                         "id_b": pa.array(b[hit], type=pa.int64())})
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    verified = (interior.union(healed)
+                        .map_batches(verify, batch_format="pyarrow"))
+    return _distinct_pairs(verified)
 
 
 def dedup_embedding(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:

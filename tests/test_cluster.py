@@ -15,8 +15,8 @@ def _pairs_ds(pairs, n_blocks=4):
     return ds.repartition(n_blocks) if len(pairs) else ds
 
 
-def _labels(pairs):
-    got = resolve_clusters(_pairs_ds(pairs)).to_pandas()
+def _labels(pairs, task_max=None):
+    got = resolve_clusters(_pairs_ds(pairs), task_max_edges=task_max).to_pandas()
     if got.empty:
         return {}
     return dict(zip(got["node"].astype(int), got["root"].astype(int)))
@@ -34,8 +34,10 @@ def test_empty_and_single():
 
 
 def test_chain_worst_case(ray_session):
-    # a long path is the diameter worst case for naive propagation
+    # a long path is the diameter worst case for naive propagation;
+    # task_max=0 forces the distributed star-contraction path
     pairs = [(i, i + 1) for i in range(200)]
+    assert _labels(pairs, task_max=0) == _oracle(pairs)
     assert _labels(pairs) == _oracle(pairs)
 
 
@@ -45,7 +47,8 @@ def test_cliques_and_stars(ray_session):
         ids = list(range(base, base + 12))
         pairs += [(i, j) for i in ids for j in ids if i < j]
     pairs += [(1000, 1001), (1002, 1001)]  # small star, off-center min
-    assert _labels(pairs) == _oracle(pairs)
+    assert _labels(pairs, task_max=0) == _oracle(pairs)  # star contraction
+    assert _labels(pairs) == _oracle(pairs)              # single-task solve
 
 
 def test_random_graphs(ray_session):
