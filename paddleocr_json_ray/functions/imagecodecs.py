@@ -1,13 +1,16 @@
-"""Dependency-free PNG + BMP codecs (zlib is in the stdlib).
+"""Dependency-free PNG + BMP codecs (zlib is in the stdlib), plus the
+baseline JPEG codec from ``functions.jpeg``.
 
 Makes the real-image seam exercisable in-sandbox: the reference decodes any
 OpenCV-sniffable payload (``cpp/src/task_linux.cpp:67-122``); this module
-covers the two formats a pure-Python decoder can do exactly —
+covers the formats a pure-Python decoder can do —
 
   * PNG: 8-bit gray / palette / RGB / RGBA (+alpha variants), non-interlaced,
     all five scanline filters (spec: RFC 2083).  Encoder writes filter-0
     8-bit RGB (optionally Sub/Up for filter-path tests).
   * BMP: uncompressed BI_RGB 24/32-bit, bottom-up or top-down rows.
+  * JPEG: baseline sequential DCT per ITU-T T.81 (see functions/jpeg.py) —
+    the most common real-world payload format.
 
 Decoders return HxWx3 uint8 RGB, or ``None`` for malformed payloads — the
 caller maps that to the reference's imdecode error codes.
@@ -151,11 +154,15 @@ def decode_bmp(payload: bytes) -> np.ndarray | None:
 
 
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Sniff + decode (PNG, BMP); None for anything else/malformed."""
+    """Sniff + decode (PNG, BMP, JPEG); None for anything else/malformed."""
     if payload.startswith(PNG_MAGIC):
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload.startswith(b"\xff\xd8\xff"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     return None
 
 

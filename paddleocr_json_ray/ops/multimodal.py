@@ -21,8 +21,8 @@ from ..synth.corpus import build_corpus
 
 def decode_real_image(payload: bytes) -> "np.ndarray":
     """Real-image decode seam: cv2 when present; otherwise the
-    dependency-free PNG/BMP codecs (functions/imagecodecs).  Only formats
-    neither path can read (JPEG/WebP/...) raise."""
+    dependency-free PNG/BMP/JPEG codecs (functions/imagecodecs).  Only
+    formats neither path can read (WebP/TIFF/...) raise."""
     try:
         import cv2  # type: ignore
 
@@ -37,7 +37,7 @@ def decode_real_image(payload: bytes) -> "np.ndarray":
     arr = decode_image(payload)
     if arr is None:
         raise NotImplementedError(
-            "only PNG/BMP decode without cv2/PIL in this environment "
+            "only PNG/BMP/JPEG decode without cv2/PIL in this environment "
             "(functions/imagecodecs); other formats need a real codec lib")
     return arr
 

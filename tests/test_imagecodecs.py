@@ -176,3 +176,91 @@ def test_media_ops_accept_real_formats(ray_session, tmp_path):
     assert bool(out.loc["bmp", "ok"]) and int(out.loc["bmp", "height"]) == raster.shape[0]
     assert int(out.loc["png", "n_blocks"]) == -1
     assert not bool(out.loc["junk", "ok"])
+
+
+# --------------------------------------------------------------------- JPEG
+def _smooth_img(h=41, w=97):
+    x = np.linspace(0, 4 * np.pi, w)
+    y = np.linspace(0, 3 * np.pi, h)
+    g = ((np.sin(y[:, None]) * np.cos(x[None, :]) * 0.5 + 0.5) * 255).astype(np.uint8)
+    return np.stack([g, g[::-1], np.roll(g, 7, axis=1)], axis=-1)
+
+
+@pytest.mark.parametrize("subsampling,quality,bound", [
+    ("444", 75, 16), ("444", 100, 3), ("420", 75, 40), ("420", 95, 24),
+])
+def test_jpeg_roundtrip_error_bounds(subsampling, quality, bound):
+    from paddleocr_json_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_img()
+    dec = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=subsampling))
+    assert dec is not None and dec.shape == img.shape
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= bound
+
+
+def test_jpeg_q100_near_lossless_on_noise():
+    """Quality 100 quantizes every coefficient by 1: residual error is only
+    the DCT float round-trip, bounded +-3 even on white noise (the
+    DCT-hostile worst case)."""
+    from paddleocr_json_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    noise = _rand_img(h=24, w=40, seed=17)
+    dec = decode_jpeg(encode_jpeg(noise, quality=100))
+    assert int(np.abs(dec.astype(int) - noise.astype(int)).max()) <= 3
+
+
+def test_jpeg_odd_sizes_and_gray():
+    from paddleocr_json_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_img(h=33, w=49)  # pad path for both 8- and 16-px MCUs
+    for sub in ("444", "420"):
+        dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+        assert dec.shape == img.shape
+    gray = _smooth_img()[:, :, 0]
+    dec = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert dec.shape == (gray.shape[0], gray.shape[1], 3)
+
+
+def test_jpeg_malformed_returns_none():
+    from paddleocr_json_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(_smooth_img())
+    assert decode_jpeg(b"\xff\xd8\xff\xe0JUNK") is None
+    assert decode_jpeg(b"notajpeg") is None
+    assert decode_jpeg(good[:60]) is None  # truncated before SOS
+    # progressive SOF2 is rejected, not mis-decoded
+    prog = bytearray(good)
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+
+
+def test_jpeg_through_envelope():
+    """A JPEG payload flows through the envelope path: code 100, the SAME
+    detected boxes as the SIMG payload (detection/cls read coarse pixel
+    structure, robust to quality-100 loss), and near-identical text.  The
+    glyph channel packs parity in fine pixel detail, so byte-exact text
+    needs a lossless codec (PNG/BMP above) — a weights-backed CRNN at the
+    backend seam is robust to JPEG like the reference's."""
+    from paddleocr_json_ray.functions.jpeg import encode_jpeg
+
+    cfg = PipelineConfig()
+    backends = make_backends(cfg, CHARS)
+    simg_payload = _simg_payload()
+    from paddleocr_json_ray.synth.imaging import decode as simg_decode, raster_seed
+    raster = render_raster(simg_decode(simg_payload), raster_seed(simg_payload))
+    ref_simg = "b64:" + base64.b64encode(simg_payload).decode()
+    ref_jpeg = "b64:" + base64.b64encode(encode_jpeg(raster, quality=100)).decode()
+    code_a, _, blocks_a, text_a = ocr_media_ref(ref_simg, cfg, *backends)
+    code_b, _, blocks_b, text_b = ocr_media_ref(ref_jpeg, cfg, *backends)
+    assert code_a == code_b == errors.CODE_OK
+    assert [b["box"] for b in blocks_a] == [b["box"] for b in blocks_b]
+    import difflib
+
+    assert difflib.SequenceMatcher(None, text_a, text_b).ratio() >= 0.75
+
+    # corrupt JPEG -> the reference's imdecode error codes
+    bad = encode_jpeg(raster)[:60]
+    code, _, _, _ = ocr_media_ref("b64:" + base64.b64encode(bad).decode(),
+                                  cfg, *backends)
+    assert code == errors.CODE_ERR_BASE64_IM_DECODE
