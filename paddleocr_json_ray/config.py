@@ -36,6 +36,10 @@ class PipelineConfig:
     ensure_ascii: bool = True           # \uXXXX escape in JSON output mode
     models_path: str = ""               # real-model backend dir (optional)
     rec_char_dict_path: str = ""        # overrides corpus dict when set
+    # structure mode ships DISABLED, matching the reference CLI's rejection
+    # of -type=structure (cpp/src/main.cpp:126-130); flip to run the
+    # pixel-backed layout/table flow (stages/structure.py)
+    structure_enabled: bool = False
 
     # ---- extraction layer ----
     parser: str = "multi_para"          # tbpu parser key (api/python/tbpu/__init__.py:14-29)
