@@ -39,6 +39,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = span_level_results(sf_dir)
         return ds.select_columns(["doc_id", "offset", "kind", "code", "span_text"])
 
+    def structure_tables(sf_dir: str):
+        # flag-gated structure mode over deterministic ruled-table payloads
+        # (PNG-encoded; independent of sf tables by design — the structure
+        # path has no testdata analogue); rows-only check
+        import pyarrow as pa
+        import ray.data
+
+        from paddleocr_json_ray.config import PipelineConfig
+        from paddleocr_json_ray.functions.imagecodecs import encode_png
+        from paddleocr_json_ray.stages.structure import StructureStage
+        from paddleocr_json_ray.synth.imaging import SimgBlock
+        from paddleocr_json_ray.synth.tablecode import TableSpec, render_structure_raster
+
+        words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                 "juliet kilo lima mike november").split()
+        ids, payloads = [], []
+        for i in range(12):
+            cells = {(r, c): words[(i + 3 * r + c) % len(words)]
+                     for r in range(2) for c in range(3)}
+            spec = TableSpec(row_edges=[30 + i, 70 + i, 110 + i],
+                             col_edges=[20, 140, 260, 380], cells=cells)
+            cap = SimgBlock(quad=[[20, 130 + i], [240, 130 + i],
+                                  [240, 150 + i], [20, 150 + i]],
+                            text=f"caption {i}", det_prob=0.95)
+            ids.append(f"tbl{i}")
+            payloads.append(encode_png(
+                render_structure_raster(420, 170 + i, [spec], [cap], seed=i)))
+        tab = pa.table({"blob_id": pa.array(ids),
+                        "payload": pa.array(payloads, type=pa.binary())})
+        cfg = PipelineConfig(structure_enabled=True)
+        return (ray.data.from_arrow(tab)
+                .map_batches(StructureStage, batch_format="pyarrow",
+                             concurrency=2, fn_constructor_args=(cfg,))
+                .select_columns(["blob_id", "region_type", "html", "text"]))
+
     return {
         # ---- extraction / OCR family (non-SQL; golden-checked in pytest) ----
         "ocr_e2e": lambda sf: run_extraction(sf).select_columns(
@@ -59,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,     # rows-only (LSH)
         "dedup_simhash": dedup.dedup_simhash,     # rows-only
+        "simhash_pairs": lambda sf: dedup.simhash_dup_pairs(sf),  # rows-only
         "dedup_ngram": dedup.dedup_ngram,         # rows-only
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "dedup_embedding": dedup.dedup_embedding,
@@ -89,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_topk": text_ops.word_topk,
         # ---- composed curation pipeline (extraction -> score -> filter -> dedup) ----
         "curate_corpus": curate,
+        # ---- structure mode (flag-gated; deterministic ruled-table payloads) ----
+        "structure_tables": structure_tables,
     }
 
 

@@ -40,17 +40,10 @@ _MERSENNE61 = (1 << 61) - 1
 
 def _read_docs(sf_dir: str, columns: list[str],
                table: str = "documents") -> ray.data.Dataset:
-    """Documents read with a bytes-derived block count (floor = cluster
-    CPUs).  Ray's default ~200-block read makes every downstream exchange
-    schedule hundreds of micro-tasks on a megabyte-scale table — block
-    count, not data volume, dominated the dedup suite before this."""
-    from ..sources.readers import blocks_for_paths
+    """Bounded pruned read (see sources.readers.read_table)."""
+    from ..sources.readers import read_table
 
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return ray.data.read_parquet(
-        path, columns=columns,
-        override_num_blocks=blocks_for_paths(path, floor=cpus, target_bytes=16 << 20))
+    return read_table(sf_dir, table, columns)
 
 
 # --------------------------------------------------------------------- exact
@@ -110,8 +103,9 @@ def _survivors(sf_dir: str, pairs_ds: ray.data.Dataset,
     broadcast the loser ids as object-store refs, filter the id column."""
     from .cluster import survivor_filter
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                               columns=[id_col])
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, table, [id_col])
     return survivor_filter(ds, pairs_ds, id_col)
 
 
@@ -707,8 +701,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.35) -> ray.data.Datase
     ids = tab.column("vec_id").to_numpy().astype(np.int64)
     mat_ref = ray.put((ids, _normalize(_mat(tab.column("embedding")))))
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["vec_id", "embedding"])
+    ds = _read_docs(sf_dir, ["vec_id", "embedding"], table="embeddings")
 
     def pairs(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(mat_ref)

@@ -53,8 +53,9 @@ def events_last_signup(sf_dir: str) -> ray.data.Dataset:
     keys, bu_s, bt_s = keys[order], bu[order], bt[order]
     build_ref = ray.put((keys, bu_s, bt_s, base))
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["event_id", "user_id", "ts"])
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def probe(batch: pa.Table) -> pa.Table:
         keys_, bu_, bt_, base_ = ray.get(build_ref)
@@ -82,8 +83,9 @@ def events_value_bands(sf_dir: str) -> ray.data.Dataset:
     aggregated per band: (band, n_events, sum_value)."""
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["value"])
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["value"])
     edges = np.asarray(_BAND_EDGES)
 
     def band(batch: pa.Table) -> pa.Table:
@@ -113,8 +115,10 @@ def top_orders_per_cust(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     truncated to their block-local top-k (sufficient statistics) and healed
     by a distributed grouped re-rank — skew-safe: a hot customer spanning B
     blocks ships k*B rows to ONE heal task, never its full row set."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "orders",
+                    ["o_custkey", "o_orderkey", "o_totalprice"])
 
     def block_topk(batch: pa.Table) -> pa.Table:
         c = batch.column("o_custkey").to_numpy().astype(np.int64)

@@ -32,8 +32,9 @@ def _round2(x: float) -> float:
 
 
 def _read(sf_dir: str, table: str, columns=None, **kw) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns, **kw)
+    from ..sources.readers import read_table
+
+    return read_table(sf_dir, table, columns, **kw)
 
 
 def _join_partitions(*dss: ray.data.Dataset) -> int:
@@ -141,11 +142,9 @@ def lineitem_recent(sf_dir: str, cutoff: str = "1995-01-01") -> ray.data.Dataset
     import datetime
 
     cut = datetime.datetime.fromisoformat(cutoff)
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_extendedprice", "l_shipdate"],
-        filter=pc.field("l_shipdate") >= pa.scalar(cut, type=pa.timestamp("us")),
-    )
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_shipdate"],
+               filter=pc.field("l_shipdate") >= pa.scalar(cut, type=pa.timestamp("us")))
     agg = ds.groupby("l_returnflag").aggregate(Count(), Sum("l_extendedprice"))
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -80,8 +80,9 @@ def knn_brute(sf_dir: str, n_queries: int = 8, k: int = 5) -> ray.data.Dataset:
     q_ids, q_mat = _read_queries(sf_dir, n_queries)
     q_ref = ray.put((q_ids, _normalize(q_mat)))
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["vec_id", "embedding"])
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qids, qmat = ray.get(q_ref)
@@ -138,8 +139,9 @@ def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
 def embedding_lsh_buckets(sf_dir: str) -> ray.data.Dataset:
     """Random-hyperplane bucket assignment: (vec_id, bucket) — the coarse
     index used by the ANN scale path."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["vec_id", "embedding"])
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     planes_holder: dict[int, np.ndarray] = {}
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -167,8 +169,9 @@ def build_ivf_index(sf_dir: str, force: bool = False,
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker) and not force:
         return out
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["vec_id", "embedding"])
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     planes_holder: dict[int, np.ndarray] = {}
 
     def assign(batch: pa.Table) -> pa.Table:

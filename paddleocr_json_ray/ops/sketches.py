@@ -41,8 +41,9 @@ def _hash64(vals: np.ndarray) -> np.ndarray:
 
 def events_distinct_users(sf_dir: str) -> ray.data.Dataset:
     """(event_type, n_users) — exact COUNT(DISTINCT user_id) per type."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["event_type", "user_id"])
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["event_type", "user_id"])
 
     def partial_pairs(batch: pa.Table) -> pa.Table:
         # combiner: this batch's distinct pairs only
@@ -111,8 +112,9 @@ _PCTS = (0.5, 0.9, 0.99)
 def quantity_percentiles(sf_dir: str) -> ray.data.Dataset:
     """Exact PERCENTILE_CONT(0.5/0.9/0.99) of lineitem.l_quantity via
     mergeable per-batch value histograms (the quantity domain is small)."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
-                               columns=["l_quantity"])
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "lineitem", ["l_quantity"])
 
     def hist(batch: pa.Table) -> pa.Table:
         v = batch.column("l_quantity").to_numpy().astype(np.float64)

@@ -30,8 +30,9 @@ _RE_WS = re.compile(r"\s+")
 
 
 def _read_documents(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=list(columns))
+    from ..sources.readers import read_table
+
+    return read_table(sf_dir, "documents", columns)
 
 
 def text_clean(sf_dir: str) -> ray.data.Dataset:

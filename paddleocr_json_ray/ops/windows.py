@@ -30,8 +30,9 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 def events_tumbling(sf_dir: str, unit: str = "hour") -> ray.data.Dataset:
     """(event_type, window_start, n_events, sum_value) per tumbling window."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["event_type", "ts", "value"])
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
 
     def add_window(batch: pa.Table) -> pa.Table:
         win = pc.floor_temporal(batch.column("ts"), unit=unit)
@@ -63,8 +64,9 @@ def events_sliding(sf_dir: str, size_us: int = 3_600_000_000,
     repeated size/hop times with shifted integer window keys), then the
     native partial-aggregate groupby — no windowing runtime, no state."""
     k = size_us // hop_us
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["event_type", "ts", "value"])
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
 
     def fan_out(batch: pa.Table) -> pa.Table:
         us = batch.column("ts").cast(pa.int64()).to_numpy()
@@ -127,8 +129,9 @@ def user_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset
     Skew-safe: a hot user spanning B blocks ships its per-block session
     summaries (compressed, never raw events) to ONE heal task, and the
     driver sees no rows at all."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["user_id", "event_id", "ts"])
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts"])
     srt = ds.sort(["user_id", "ts", "event_id"])
 
     def block_sessions(batch: pa.Table) -> pa.Table:

@@ -43,6 +43,24 @@ def blocks_for_paths(path: str | list[str], floor: int = 64,
     return max(floor, -(-total // max(1, target_bytes)))
 
 
+def read_table(sf_dir: str, table: str, columns=None,
+               target_bytes: int = 16 << 20, **kw) -> ray.data.Dataset:
+    """Pruned, block-bounded read of one scale-factor table: columns pruned
+    at the read, block count derived from on-disk bytes with a
+    cluster-CPU floor.  Ray's default ~200-block read makes every
+    downstream exchange schedule hundreds of micro-tasks on megabyte-scale
+    tables (measured: the dedup suite was block-count-bound, not
+    data-bound)."""
+    import ray as _ray
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    return ray.data.read_parquet(
+        path, columns=list(columns) if columns is not None else None,
+        override_num_blocks=blocks_for_paths(path, floor=cpus,
+                                             target_bytes=target_bytes), **kw)
+
+
 def read_interleaved(path: str, override_num_blocks: int | None = None) -> ray.data.Dataset:
     """Read the interleaved table.  Lance datasets (the north rule's
     preferred format) are used when the path is a .lance dataset AND the
