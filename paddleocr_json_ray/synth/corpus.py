@@ -37,8 +37,19 @@ CORPUS_ROOT = os.environ.get("PJR_CORPUS_ROOT", "/tmp/pjr_corpus")
 CORPUS_VERSION = "v10"  # v9 horizontal reading; v10 median halo probe
 
 # interleaved docs per source document row, by scale name (bench scale sized
-# so per-run compute amortizes fixed pool-spawn/read overhead at 32 CPUs)
+# so per-run compute amortizes fixed pool-spawn/read overhead at 32 CPUs).
+# A basename suffix "xN" (e.g. sf0.1x2 — a dir of links to the sf tables)
+# multiplies the repeat: the strong-scaling measurement regime.
 _REPEAT = {"sf0.001": 1, "sf0.01": 4, "sf0.1": 8}
+
+
+def _repeat_for(name: str) -> int:
+    base, mult = name, 1
+    if "x" in name:
+        head, tail = name.rsplit("x", 1)
+        if tail.isdigit():
+            base, mult = head, int(tail)
+    return _REPEAT.get(base, 1) * mult
 
 SPAN_STRUCT = pa.struct([
     ("kind", pa.string()),
@@ -261,7 +272,7 @@ def build_corpus(sf_dir: str, cfg: PipelineConfig | None = None, force: bool = F
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
-    repeat = _REPEAT.get(os.path.basename(os.path.normpath(sf_dir)), 1)
+    repeat = _repeat_for(os.path.basename(os.path.normpath(sf_dir)))
 
     # dict charset: all characters the generator can emit (document texts +
     # template words); reversed text uses the same charset
