@@ -40,23 +40,32 @@ def _hash64(vals: np.ndarray) -> np.ndarray:
 
 
 def events_distinct_users(sf_dir: str) -> ray.data.Dataset:
-    """(event_type, n_users) — exact COUNT(DISTINCT user_id) per type."""
+    """(event_type, n_users) — exact COUNT(DISTINCT user_id) per type.
+
+    Two native partial-aggregating exchanges, both combiner-first: batch-
+    local distinct pairs -> keyed distinct groupby -> per-type Count.  The
+    driver never holds the pair set (that was the round-2 shape; HLL below
+    remains the documented unbounded-cardinality path)."""
+    from ray.data.aggregate import Count
+
     from ..sources.readers import read_table
 
     ds = read_table(sf_dir, "events", ["event_type", "user_id"])
 
     def partial_pairs(batch: pa.Table) -> pa.Table:
         # combiner: this batch's distinct pairs only
-        tab = batch.group_by(["event_type", "user_id"]).aggregate([])
-        return tab
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
 
-    pairs = ds.map_batches(partial_pairs, batch_format="pyarrow").to_pandas()
-    agg = pairs.drop_duplicates().groupby("event_type").size().reset_index(name="n_users")
-    agg = agg.sort_values("event_type", ignore_index=True)
-    return ray.data.from_arrow(pa.table({
-        "event_type": pa.array(agg["event_type"], type=pa.string()),
-        "n_users": pa.array(agg["n_users"].astype("int64"), type=pa.int64()),
-    }))
+    pairs = (ds.map_batches(partial_pairs, batch_format="pyarrow")
+               .groupby(["event_type", "user_id"]).aggregate(Count())
+               .select_columns(["event_type"]))
+    agg = pairs.groupby("event_type").aggregate(Count())
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "n_users": b.column("count()").cast(pa.int64()),
+        }),
+        batch_format="pyarrow").sort("event_type")
 
 
 def hll_registers(batch: pa.Table, col: str = "user_id") -> pa.Table:
