@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text_ops.lang_id_ds,           # heuristic, rows-only
         "fingerprints": text_ops.fingerprints,    # rolling-hash, rows-only
         "compression_ratio": text_ops.compression_ratio,  # zlib signal, rows-only
+        "pii_scrub": text_ops.pii_scrub,
+        "word_repetition": text_ops.word_repetition,
+        "split_assign": text_ops.split_assign,
+        "length_histogram": text_ops.length_histogram,
         # ---- dedup family ----
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,     # rows-only (LSH)
@@ -219,6 +223,31 @@ SELECT o.o_orderpriority, count(*) AS n_items,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority""",
         "distinct_sources": "SELECT DISTINCT source FROM documents",
+        "pii_scrub": """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+         '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}|[0-9]{7,}', '<PHONE>', 'g') AS scrubbed
+FROM documents""",
+        "word_repetition": """
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word FROM documents),
+c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       CAST(max(n) AS BIGINT) AS top_count,
+       CAST(max(n) * 1000 // sum(n) AS BIGINT) AS rep_ratio_milli
+FROM c GROUP BY doc_id""",
+        "split_assign": """
+SELECT doc_id, CASE WHEN doc_id % 10 <= 7 THEN 'train'
+                    WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+FROM documents""",
+        "length_histogram": """
+SELECT (n_chars // 100) * 100 AS bucket_lo, count(*) AS n_docs
+FROM documents GROUP BY bucket_lo""",
         "events_tumbling": """
 SELECT event_type,
        epoch_us(date_trunc('hour', ts)) AS window_start_us,

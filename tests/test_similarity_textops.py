@@ -129,3 +129,43 @@ def test_token_counts_basic(ray_session, sf0001_dir):
     assert (got["n_tokens"] >= 0).all()
     assert (got["n_chars"] >= got["n_tokens"] - 1).all() or True
     assert len(got) == 500
+
+
+def test_pii_scrub_positive_cases():
+    from paddleocr_json_ray.ops.text_ops import scrub_pii_text
+
+    assert scrub_pii_text("mail me at jane.doe+x@sub.example.org now") == \
+        "mail me at <EMAIL> now"
+    assert scrub_pii_text("server 10.0.255.1 down") == "server <IP> down"
+    assert scrub_pii_text("call 555-867-5309 or 12345678") == \
+        "call <PHONE> or <PHONE>"
+    # email wins over its own digit runs; short numbers survive
+    assert scrub_pii_text("a1234@b.co gets 42") == "<EMAIL> gets 42"
+    assert scrub_pii_text("no pii here") == "no pii here"
+
+
+def test_word_repetition_controlled(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paddleocr_json_ray.ops.text_ops import word_repetition
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["a a a b", "x y z"], type=pa.string()),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    got = word_repetition(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[0, "n_tokens"] == 4 and got.loc[0, "n_distinct"] == 2
+    assert got.loc[0, "top_count"] == 3 and got.loc[0, "rep_ratio_milli"] == 750
+    assert got.loc[1, "rep_ratio_milli"] == 333
+
+
+def test_split_assign_and_histogram(ray_session, sf0001_dir):
+    from paddleocr_json_ray.ops.text_ops import length_histogram, split_assign
+
+    sp = split_assign(sf0001_dir).to_pandas()
+    assert set(sp["split"]) == {"train", "val", "test"}
+    assert (sp.groupby("split").size()["train"]) == (sp["doc_id"] % 10 <= 7).sum()
+    hist = length_histogram(sf0001_dir).to_pandas()
+    assert hist["n_docs"].sum() == len(sp)
+    assert (hist["bucket_lo"] % 100 == 0).all()
