@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- similarity search ----
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,            # ANN, rows-only by design
+        "kmeans_embeddings": similarity.kmeans_embeddings,  # iterative, rows-only
         # ---- relational surface ----
         "agg_pricing": relational.agg_pricing,
         "top_orders": relational.top_orders,

@@ -250,3 +250,73 @@ def knn_ivf(sf_dir: str, n_queries: int = 8, k: int = 5,
     return (ds.map_batches(partial, batch_format="pyarrow", batch_size=512)
               .groupby("query_id").map_groups(_merge_topk_fn(k, with_bucket=True),
                                               batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------------ k-means
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 8) -> ray.data.Dataset:
+    """(vec_id, cluster) after Lloyd iterations — the canonical broadcast-
+    small-state iterative pattern: centroids (k x dim floats, control-plane
+    sized) broadcast via ``ray.put`` each round; every batch assigns
+    vectors and emits PARTIAL per-cluster sums + counts (k rows per block —
+    the combiner), so the driver reduces O(k x blocks) rows per round and
+    never sees a vector row.  Deterministic: init = the k lowest vec_ids'
+    vectors; ties break to the lower cluster index.
+
+    At 100 TB the same loop holds: per-round driver traffic is k x dim
+    floats x blocks, independent of corpus size."""
+    from ..sources.readers import read_table
+
+    import pyarrow.parquet as pq
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+
+    init = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", k)])
+    order = np.argsort(init.column("vec_id").to_numpy())
+    cents = _mat(init.column("embedding"))[order]
+
+    def partial_sums(batch: pa.Table, cents_ref) -> pa.Table:
+        c = ray.get(cents_ref)
+        mat = _mat(batch.column("embedding"))
+        d2 = ((mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        assign = np.argmin(d2, axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=len(c))
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "cluster": pa.array(nz.astype(np.int64)),
+            "count": pa.array(counts[nz].astype(np.int64)),
+            "vecsum": pa.array([sums[i].tobytes() for i in nz], type=pa.binary()),
+        })
+
+    dim = cents.shape[1]
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+        part = ds.map_batches(partial_sums, batch_format="pyarrow",
+                              fn_args=(cents_ref,)).to_pandas()
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for cl, n, blob in zip(part["cluster"], part["count"], part["vecsum"]):
+            sums[cl] += np.frombuffer(blob, dtype=np.float64)
+            counts[cl] += n
+        new = np.where(counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None],
+                       cents)
+        if np.allclose(new, cents, atol=1e-12):
+            cents = new
+            break
+        cents = new
+
+    final_ref = ray.put(cents)
+
+    def assign_only(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        mat = _mat(batch.column("embedding"))
+        d2 = ((mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64))})
+
+    return ds.map_batches(assign_only, batch_format="pyarrow")

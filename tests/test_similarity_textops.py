@@ -169,3 +169,37 @@ def test_split_assign_and_histogram(ray_session, sf0001_dir):
     hist = length_histogram(sf0001_dir).to_pandas()
     assert hist["n_docs"].sum() == len(sp)
     assert (hist["bucket_lo"] % 100 == 0).all()
+
+
+def test_kmeans_recovers_blobs(ray_session, tmp_path):
+    """Three well-separated gaussian blobs: the distributed Lloyd loop must
+    recover the exact partition (deterministic init, combiner-only rounds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(9)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    labels = np.repeat(np.arange(3), 40)
+    mat = centers[labels] + 0.3 * rng.standard_normal((120, 4))
+    # shuffle ids so init picks one vector per... (ids 0,1,2 = one per blob)
+    first3 = np.array([0, 40, 80])
+    order = np.r_[first3, np.setdiff1d(np.arange(120), first3)]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(120), type=pa.int64()),
+        "embedding": pa.array([list(map(float, mat[i])) for i in order],
+                              type=pa.list_(pa.float32())),
+    }), os.path.join(str(tmp_path), "embeddings.parquet"))
+    got = similarity.kmeans_embeddings(str(tmp_path), k=3, iters=10).to_pandas()
+    got = got.sort_values("vec_id")
+    true = labels[order]
+    # cluster ids may permute: check partition equality
+    import collections
+    mapping = {}
+    for cl, tr in zip(got["cluster"], true):
+        mapping.setdefault(cl, collections.Counter())[tr] += 1
+    assert len(mapping) == 3
+    for cl, ctr in mapping.items():
+        assert len(ctr) == 1  # every found cluster is pure
+    # determinism
+    again = similarity.kmeans_embeddings(str(tmp_path), k=3, iters=10).to_pandas()
+    assert list(again.sort_values("vec_id")["cluster"]) == list(got["cluster"])
