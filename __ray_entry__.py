@@ -115,10 +115,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_per_region": relational.suppliers_per_region,
         "revenue_by_priority": relational.revenue_by_priority,
         "distinct_sources": relational.distinct_sources,
+        "custs_without_orders": relational.custs_without_orders,
         # ---- windowed / streaming-style ops over the events table ----
         "events_tumbling": windows.events_tumbling,
         "events_sliding": windows.events_sliding,
         "user_sessions": windows.user_sessions,
+        "events_running_total": windows.events_running_total,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
         "events_value_bands": joins.events_value_bands,
@@ -224,6 +226,10 @@ SELECT o.o_orderpriority, count(*) AS n_items,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority""",
         "distinct_sources": "SELECT DISTINCT source FROM documents",
+        "custs_without_orders": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)""",
         "pii_scrub": """
 SELECT doc_id,
        regexp_replace(
@@ -264,6 +270,16 @@ WITH e AS (
 )
 SELECT event_type, window_start_us, count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM win GROUP BY event_type, window_start_us""",
+        "events_running_total": """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+              ELSE -CAST(floor(-value * 100 + 0.5) AS BIGINT) END AS cents
+  FROM events)
+SELECT event_id,
+       sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS running_cents
+FROM c""",
         "events_distinct_users": """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type""",

@@ -220,3 +220,33 @@ def revenue_by_priority(sf_dir: str) -> ray.data.Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def custs_without_orders(sf_dir: str, min_total: float = 200_000.0) -> ray.data.Dataset:
+    """ANTI-join: customers with no order above ``min_total`` — the
+    exclusion-filter shape (blocklist joins, already-processed-id skips).
+    The probe side streams; the exclusion side reduces to a distinct key
+    set (pruned, predicate-pushed single-column read) broadcast once via
+    ``ray.put`` and checked with one sorted ``searchsorted`` per batch.
+    Partitioning assumption: the distinct exclusion keys fit the object
+    store (ids only — 8 bytes/key); beyond that the same filter runs as a
+    partitioned hash anti-join keyed like ``_join_partitions``."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey"],
+                         filters=[("o_totalprice", ">", min_total)])
+    have = np.unique(keys.column("o_custkey").to_numpy().astype(np.int64))
+    have_ref = ray.put(have)
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = ray.get(have_ref)
+        ids = batch.column("c_custkey").to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(h, ids), max(len(h) - 1, 0))
+        hit = (h[pos] == ids) if len(h) else np.zeros(len(ids), dtype=bool)
+        return batch.filter(pa.array(~hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -196,3 +196,116 @@ def user_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset
 
     healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
     return finals.union(healed)
+
+
+def events_running_total(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, running_cents) — per-user cumulative sum in (ts, event_id)
+    order: the unbounded-preceding window-function shape.
+
+    One global sort by (user, ts, event_id); each block computes run-local
+    prefix sums vectorized.  Only runs touching a block EDGE can continue a
+    user from a previous block, so per-run totals are emitted for boundary
+    runs alone — the offset exchange is O(blocks), not O(users) — healed by
+    a grouped exclusive-cumsum per boundary user and broadcast back as
+    object-store refs.  Values are half-away-rounded integer cents so the
+    prefix sums are hash-exact against the SQL window oracle."""
+    import ray
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    srt = ds.sort(["user_id", "ts", "event_id"])
+
+    def to_cents(v: np.ndarray) -> np.ndarray:
+        av = np.floor(np.abs(v) * 100.0 + 0.5)
+        return (np.sign(v) * av).astype(np.int64)
+
+    def block_prefix(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        e = batch.column("event_id").to_numpy().astype(np.int64)
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        c = to_cents(batch.column("value").to_numpy().astype(np.float64))
+        n = len(u)
+        empty = pa.table({k: pa.array([], type=pa.int64())
+                          for k in ("kind", "event_id", "user_id", "seg_ts",
+                                    "seg_eid", "cents")})
+        if n == 0:
+            return empty
+        bnd = np.flatnonzero(np.diff(u) != 0) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, n]
+        run_id = np.cumsum(np.r_[True, np.diff(u) != 0]) - 1
+        cs = np.cumsum(c)
+        base = np.r_[0, cs[starts[1:] - 1]]
+        partial = cs - base[run_id]
+        is_edge_run = (run_id == 0) | (run_id == len(starts) - 1)
+        # rows: seg identity only for edge runs (others never need an offset)
+        seg_ts = np.where(is_edge_run, t[starts[run_id]], 0)
+        seg_eid = np.where(is_edge_run, e[starts[run_id]], -1)
+        rows = pa.table({
+            "kind": pa.array(np.zeros(n, dtype=np.int64)),
+            "event_id": pa.array(e),
+            "user_id": pa.array(u),
+            "seg_ts": pa.array(seg_ts.astype(np.int64)),
+            "seg_eid": pa.array(seg_eid.astype(np.int64)),
+            "cents": pa.array(partial),
+        })
+        # one total row per EDGE run (first/last of the block)
+        er = np.unique(run_id[is_edge_run])
+        seg = pa.table({
+            "kind": pa.array(np.ones(len(er), dtype=np.int64)),
+            "event_id": pa.array(np.zeros(len(er), dtype=np.int64)),
+            "user_id": pa.array(u[starts[er]], type=pa.int64()),
+            "seg_ts": pa.array(t[starts[er]], type=pa.int64()),
+            "seg_eid": pa.array(e[starts[er]], type=pa.int64()),
+            "cents": pa.array(cs[stops[er] - 1] - base[er], type=pa.int64()),
+        })
+        return pa.concat_tables([rows, seg])
+
+    out = srt.map_batches(block_prefix, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    rows = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)).drop_columns(["kind"]),
+        batch_format="pyarrow")
+    segs = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1))
+                   .select(["user_id", "seg_ts", "seg_eid", "cents"]),
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        ts = group.column("seg_ts").to_numpy().astype(np.int64)
+        eid = group.column("seg_eid").to_numpy().astype(np.int64)
+        tot = group.column("cents").to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts))
+        off = np.zeros(len(order), dtype=np.int64)
+        off[order[1:]] = np.cumsum(tot[order])[:-1]
+        return pa.table({
+            "user_id": group.column("user_id"),
+            "seg_ts": group.column("seg_ts"),
+            "seg_eid": group.column("seg_eid"),
+            "offset": pa.array(off, type=pa.int64()),
+        })
+
+    offsets = segs.groupby("user_id").map_groups(heal, batch_format="pyarrow")
+    refs = offsets.materialize().to_arrow_refs()
+
+    def add_offsets(batch: pa.Table, offset_refs) -> pa.Table:
+        tabs = [t for t in ray.get(list(offset_refs)) if t.num_rows]
+        lut: dict = {}
+        for t_ in tabs:
+            for u_, ts_, e_, o_ in zip(t_.column("user_id").to_pylist(),
+                                       t_.column("seg_ts").to_pylist(),
+                                       t_.column("seg_eid").to_pylist(),
+                                       t_.column("offset").to_pylist()):
+                lut[(u_, ts_, e_)] = o_
+        u = batch.column("user_id").to_pylist()
+        st = batch.column("seg_ts").to_pylist()
+        se = batch.column("seg_eid").to_pylist()
+        c = batch.column("cents").to_numpy().astype(np.int64)
+        off = np.fromiter((lut.get((u_, t_, e_), 0) if e_ >= 0 else 0
+                           for u_, t_, e_ in zip(u, st, se)),
+                          dtype=np.int64, count=len(u))
+        return pa.table({"event_id": batch.column("event_id"),
+                         "running_cents": pa.array(c + off, type=pa.int64())})
+
+    return rows.map_batches(add_offsets, batch_format="pyarrow", fn_args=(refs,))

@@ -147,3 +147,33 @@ def test_skewed_hot_keys(ray_session, tmp_path):
     got_s = set(zip(sess["user_id"], sess["session_id"], sess["n_events"],
                     sess["session_start_us"], sess["session_end_us"]))
     assert got_s == _sessions_oracle(custs, ts, gap)
+
+
+def test_running_total_hot_user(ray_session, tmp_path):
+    """Cumulative window under 50% hot-key skew: block-boundary offset
+    chains must compose exactly across many blocks."""
+    from paddleocr_json_ray.ops import windows
+
+    rng = np.random.default_rng(77)
+    n = 30_000
+    hot = rng.random(n) < 0.5
+    users = np.where(hot, 3, rng.integers(100, 200, size=n)).astype(np.int64)
+    base = 1_600_000_000_000_000
+    ts = base + rng.integers(0, 10**10, size=n)
+    vals = np.round(rng.uniform(-5, 50, size=n), 4)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+        "value": pa.array(vals),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    got = windows.events_running_total(str(tmp_path)).to_pandas() \
+        .set_index("event_id")["running_cents"]
+    cents = np.where(vals >= 0, np.floor(vals * 100 + 0.5),
+                     -np.floor(-vals * 100 + 0.5)).astype(np.int64)
+    for uid in (3, 150):
+        rows = np.flatnonzero(users == uid)
+        order = rows[np.lexsort((rows, ts[rows]))]
+        expect = np.cumsum(cents[order])
+        np.testing.assert_array_equal(
+            got.loc[[int(i) for i in order]].to_numpy(), expect)
