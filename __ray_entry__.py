@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": windows.events_sliding,
         "user_sessions": windows.user_sessions,
         "events_running_total": windows.events_running_total,
+        "events_rolling_sum": windows.events_rolling_sum,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
         "events_value_bands": joins.events_value_bands,
@@ -270,6 +271,16 @@ WITH e AS (
 )
 SELECT event_type, window_start_us, count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM win GROUP BY event_type, window_start_us""",
+        "events_rolling_sum": """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+              ELSE -CAST(floor(-value * 100 + 0.5) AS BIGINT) END AS cents
+  FROM events)
+SELECT event_id,
+       sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_cents
+FROM c""",
         "events_running_total": """
 WITH c AS (
   SELECT event_id, user_id, ts,

@@ -309,3 +309,103 @@ def events_running_total(sf_dir: str) -> ray.data.Dataset:
                          "running_cents": pa.array(c + off, type=pa.int64())})
 
     return rows.map_batches(add_offsets, batch_format="pyarrow", fn_args=(refs,))
+
+
+def events_rolling_sum(sf_dir: str, window: int = 3) -> ray.data.Dataset:
+    """(event_id, rolling_cents) — per-user sum of the last ``window`` rows
+    in (ts, event_id) order: the bounded ROWS-PRECEDING window shape.
+
+    Sorted-run pattern with a BOUNDED sufficient statistic: only the first
+    window-1 rows of a run touching a block edge can be wrong locally, and
+    fixing them needs only the previous block's last window-1 rows of that
+    user.  Each block therefore emits its interior rows final (vectorized
+    sliding sums), withholds those few rows as fix-me rows, and ships the
+    context rows; a grouped heal recomputes just the withheld rows.  Skew-
+    safe: a hot user costs 2*(window-1) rows per block boundary, never its
+    row count.  Integer cents keep the result hash-exact vs the SQL
+    oracle."""
+    import ray  # noqa: F401  (symmetry with events_running_total)
+
+    from ..sources.readers import read_table
+
+    k = window
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    srt = ds.sort(["user_id", "ts", "event_id"])
+
+    def to_cents(v: np.ndarray) -> np.ndarray:
+        av = np.floor(np.abs(v) * 100.0 + 0.5)
+        return (np.sign(v) * av).astype(np.int64)
+
+    def block_rolling(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        e = batch.column("event_id").to_numpy().astype(np.int64)
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        c = to_cents(batch.column("value").to_numpy().astype(np.float64))
+        n = len(u)
+        cols = ("kind", "event_id", "user_id", "ts", "cents")
+        if n == 0:
+            return pa.table({x: pa.array([], type=pa.int64()) for x in cols})
+        bnd = np.flatnonzero(np.diff(u) != 0) + 1
+        starts = np.r_[0, bnd]
+        run_id = np.cumsum(np.r_[True, np.diff(u) != 0]) - 1
+        # run-local sliding sum of the last k rows (vectorized)
+        cs = np.cumsum(c)
+        pos = np.arange(n) - starts[run_id]          # index within the run
+        lo = np.maximum(np.arange(n) - k + 1, starts[run_id])
+        roll = cs - np.where(lo > 0, cs[lo - 1], 0)
+        # rows needing cross-block context: first k-1 rows of the block's
+        # FIRST run (it may continue a user from the previous block) — these
+        # are WITHHELD from the final output and re-emitted by the heal
+        fix = (run_id == 0) & (pos < k - 1)
+        # context COPIES for the next block's heal: last k-1 rows of the
+        # block's LAST run (these rows' own local rolls stay final)
+        last = len(starts) - 1
+        ctx = (run_id == last) & (np.arange(n) >= n - (k - 1)) & ~fix
+        kind = np.zeros(n, dtype=np.int64)
+        kind[fix] = 1
+        base_tab = pa.table({
+            "kind": pa.array(kind),
+            "event_id": pa.array(e),
+            "user_id": pa.array(u),
+            "ts": pa.array(t),
+            "cents": pa.array(np.where(fix, c, roll), type=pa.int64()),
+        })
+        ctx_tab = pa.table({
+            "kind": pa.array(np.full(int(ctx.sum()), 2, dtype=np.int64)),
+            "event_id": pa.array(e[ctx]),
+            "user_id": pa.array(u[ctx]),
+            "ts": pa.array(t[ctx]),
+            "cents": pa.array(c[ctx], type=pa.int64()),
+        })
+        return pa.concat_tables([base_tab, ctx_tab])
+
+    out = srt.map_batches(block_rolling, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    finals = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0))
+                   .select(["event_id", "cents"])
+                   .rename_columns(["event_id", "rolling_cents"]),
+        batch_format="pyarrow")
+    edges = out.map_batches(
+        lambda b: b.filter(pc.greater(b.column("kind"), 0)),
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        e = group.column("event_id").to_numpy().astype(np.int64)
+        t = group.column("ts").to_numpy().astype(np.int64)
+        c = group.column("cents").to_numpy().astype(np.int64)
+        kind = group.column("kind").to_numpy().astype(np.int64)
+        # dedupe rows shipped as both fix and context (tiny groups)
+        _, first = np.unique(e, return_index=True)
+        e, t, c, kind = e[first], t[first], c[first], kind[first]
+        order = np.lexsort((e, t))
+        e, t, c, kind = e[order], t[order], c[order], kind[order]
+        cs = np.cumsum(c)
+        lo = np.maximum(np.arange(len(e)) - k + 1, 0)
+        roll = cs - np.where(lo > 0, cs[lo - 1], 0)
+        keep = kind == 1
+        return pa.table({"event_id": pa.array(e[keep], type=pa.int64()),
+                         "rolling_cents": pa.array(roll[keep], type=pa.int64())})
+
+    healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
+    return finals.union(healed)

@@ -171,9 +171,16 @@ def test_running_total_hot_user(ray_session, tmp_path):
         .set_index("event_id")["running_cents"]
     cents = np.where(vals >= 0, np.floor(vals * 100 + 0.5),
                      -np.floor(-vals * 100 + 0.5)).astype(np.int64)
+    roll = windows.events_rolling_sum(str(tmp_path)).to_pandas() \
+        .set_index("event_id")["rolling_cents"]
+    assert len(roll) == n and not roll.index.duplicated().any()
     for uid in (3, 150):
         rows = np.flatnonzero(users == uid)
         order = rows[np.lexsort((rows, ts[rows]))]
         expect = np.cumsum(cents[order])
         np.testing.assert_array_equal(
             got.loc[[int(i) for i in order]].to_numpy(), expect)
+        exp_roll = np.array([cents[order][max(0, i - 2):i + 1].sum()
+                             for i in range(len(order))])
+        np.testing.assert_array_equal(
+            roll.loc[[int(i) for i in order]].to_numpy(), exp_roll)
