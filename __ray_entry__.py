@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": sketches.events_distinct_users,
         "distinct_users_hll": sketches.hll_distinct_users,  # approx, rows-only
         "quantity_percentiles": sketches.quantity_percentiles,
+        "quantity_percentiles_by_flag": sketches.quantity_percentiles_by_flag,
         "word_topk": text_ops.word_topk,
         # ---- composed curation pipeline (extraction -> score -> filter -> dedup) ----
         "curate_corpus": curate,
@@ -312,6 +313,12 @@ SELECT o_custkey, o_orderkey, rank FROM (
                             ORDER BY o_totalprice DESC, o_orderkey) AS rank
   FROM orders) t
 WHERE rank <= 3""",
+        "quantity_percentiles_by_flag": """
+SELECT l_returnflag,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
+       percentile_cont(0.99) WITHIN GROUP (ORDER BY l_quantity) AS p99
+FROM lineitem GROUP BY l_returnflag""",
         "quantity_percentiles": """
 SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
        percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,

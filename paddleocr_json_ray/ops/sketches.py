@@ -152,3 +152,44 @@ def quantity_percentiles(sf_dir: str) -> ray.data.Dataset:
         "p90": pa.array([pct(0.9)], type=pa.float64()),
         "p99": pa.array([pct(0.99)], type=pa.float64()),
     }))
+
+
+def quantity_percentiles_by_flag(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group PERCENTILE_CONT(0.5/0.9/0.99) of l_quantity by
+    l_returnflag — the grouped order-statistic shape.  Same mergeable
+    value-histogram pattern as the global version: per-batch (flag, value,
+    count) combiners shrink the exchange to the value domain x groups
+    (control-plane sized: the quantity domain is ~50 values), interpolation
+    happens over the merged histogram."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [("l_quantity", "count")]).rename_columns(
+            ["l_returnflag", "val", "cnt"])
+
+    part = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    rows = {"l_returnflag": [], "p50": [], "p90": [], "p99": []}
+    for flag, grp in sorted(part.groupby("l_returnflag")):
+        vals = grp["val"].to_numpy().astype(np.float64)
+        cnts = grp["cnt"].to_numpy().astype(np.int64)
+        u, inv = np.unique(vals, return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, inv, cnts)
+        cum = np.cumsum(tot)
+        n = int(cum[-1])
+        rows["l_returnflag"].append(flag)
+        for name, p in zip(("p50", "p90", "p99"), _PCTS):
+            h = (n - 1) * p
+            lo_i = int(np.searchsorted(cum, int(np.floor(h)) + 1))
+            hi_i = int(np.searchsorted(cum, int(np.floor(h)) + 2))
+            lo, hi = float(u[lo_i]), float(u[min(hi_i, len(u) - 1)])
+            rows[name].append(lo + (h - np.floor(h)) * (hi - lo))
+    return ray.data.from_arrow(pa.table({
+        "l_returnflag": pa.array(rows["l_returnflag"], type=pa.string()),
+        "p50": pa.array(rows["p50"], type=pa.float64()),
+        "p90": pa.array(rows["p90"], type=pa.float64()),
+        "p99": pa.array(rows["p99"], type=pa.float64()),
+    }))
