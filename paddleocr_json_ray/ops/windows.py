@@ -3,14 +3,19 @@
 The reference has no event-time machinery (SURVEY.md §2.8) — these are the
 custom operators a training-data pipeline needs, expressed Ray-Data-first:
 
-  * ``events_tumbling`` — tumbling time window as a derived grouping key
-    (timestamp truncation inside ``map_batches``), then the native partial
-    -aggregate groupby.  No special windowing runtime needed for bounded
-    batch data.
-  * ``user_sessions`` — gap-based sessionization: ``groupby(user_id)``
-    co-locates a user's events, ``map_groups`` sorts by time and splits on
-    gaps > timeout.  Per-user state never crosses the group boundary, so the
-    one shuffle is the only coordination.
+  * ``events_tumbling`` / ``events_sliding`` — window keys derived IN-BATCH
+    (timestamp truncation / k-fold fan-out), then the native partial-
+    aggregate groupby.  No windowing runtime needed for bounded batch data.
+  * ``user_sessions`` — gap-based sessionization on the sorted-run pattern:
+    one global (user, ts) sort, vectorized per-block sessionization, and a
+    grouped heal that merges block-local PARTIAL sessions (the mergeable
+    sufficient statistic) for users straddling block boundaries.
+  * ``events_running_total`` — unbounded-preceding cumulative sum: run-
+    local prefix sums per block + an O(blocks) offset chain healed per
+    boundary user.
+  * ``events_rolling_sum`` — bounded ROWS-k-PRECEDING window: only the
+    first k-1 rows of a boundary run need the previous block's last k-1
+    rows, so the heal exchange is constant per block boundary.
 """
 
 from __future__ import annotations
