@@ -80,7 +80,11 @@ def run_suite() -> dict:
     headline = ["ocr_e2e", "dedup_minhash", "dedup_exact", "dedup_ngram",
                 "knn_brute", "knn_ivf", "agg_pricing", "revenue_by_priority",
                 "quality_scores", "media_thumbnails", "word_topk",
-                "events_sliding", "top_orders_per_cust"]
+                "events_sliding", "top_orders_per_cust",
+                # round-3 additions
+                "dedup_embedding", "user_sessions", "events_running_total",
+                "events_rolling_sum", "kmeans_embeddings", "word_repetition",
+                "curate_corpus"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:
