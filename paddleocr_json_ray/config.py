@@ -52,8 +52,8 @@ class PipelineConfig:
     # 'shuffle': general groupby(doc_id) + sort-within-group re-assembly for
     # inputs with scattered spans.  Both paths are equality-tested.
     assemble_mode: str = "auto"
-    det_concurrency: int = 8            # actor-pool size for the det stage
-    rec_concurrency: int = 8            # actor-pool size for cls+rec stage
+    det_concurrency: int = 0            # actor-pool size for det (0 = auto: cluster CPUs)
+    rec_concurrency: int = 0            # actor-pool size for cls+rec (0 = auto)
     det_batch_size: int = 16            # media spans per det batch (images are heavy)
     rec_batch_size: int = 32            # spans per rec batch (crops flattened inside)
     # doc rows per explode/normalizer batch.  NOTE: this also sets the fused

@@ -36,6 +36,22 @@ from ..stages.ocr_fused import OcrStage
 from ..stages.rec import RecStage
 
 
+def _want(n: int) -> int:
+    """Resolve a configured pool size: 0 = auto, size to the cluster — the
+    serialized config stays cluster-independent and the default pipeline
+    (curate, entry(), CLI) uses the whole box instead of a constant that
+    under-fills any cluster wider than it (measured: curate at the old
+    constant 8 ran the 27 s extraction in ~80 s on 32 CPUs)."""
+    if n > 0:
+        return n
+    try:
+        import ray as _ray
+
+        return int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
 def _pool_size(want: int) -> int:
     """Fixed-size pool capped to the cluster: Ray Data's autoscaling pool
     ramps too slowly for second-scale tasks (measured ~12/32 actors busy),
@@ -56,7 +72,7 @@ def _span_stage(ds: ray.data.Dataset, cfg: PipelineConfig, dict_path: str) -> ra
     decoded = spans.map_batches(decode_media, batch_format="pyarrow",
                                 batch_size=cfg.det_batch_size * 4)
     if cfg.fuse_ocr_stages:
-        pool = _pool_size(cfg.det_concurrency)
+        pool = _pool_size(_want(cfg.det_concurrency))
         return decoded.map_batches(
             OcrStage,
             fn_constructor_args=(cfg, dict_path),
@@ -67,11 +83,11 @@ def _span_stage(ds: ray.data.Dataset, cfg: PipelineConfig, dict_path: str) -> ra
         )
     # two pools must LEAVE CPUs for read/assemble tasks or the pipeline
     # deadlocks on small clusters: cap each pool at half the task headroom
-    per_pool = max(1, _pool_size(cfg.det_concurrency * 2) // 2)
+    per_pool = max(1, _pool_size(_want(cfg.det_concurrency) * 2) // 2)
     det = decoded.map_batches(
         DetStage,
         fn_constructor_args=(cfg,),
-        concurrency=(1, min(cfg.det_concurrency, per_pool)),
+        concurrency=(1, min(_want(cfg.det_concurrency), per_pool)),
         batch_size=cfg.det_batch_size,
         batch_format="pyarrow",
         num_cpus=cfg.num_cpus_per_actor,
@@ -79,7 +95,7 @@ def _span_stage(ds: ray.data.Dataset, cfg: PipelineConfig, dict_path: str) -> ra
     return det.map_batches(
         RecStage,
         fn_constructor_args=(cfg, dict_path),
-        concurrency=(1, min(cfg.rec_concurrency, per_pool)),
+        concurrency=(1, min(_want(cfg.rec_concurrency), per_pool)),
         batch_size=cfg.rec_batch_size,
         batch_format="pyarrow",
         num_cpus=cfg.num_cpus_per_actor,
@@ -109,7 +125,7 @@ def build_pipeline(cfg: PipelineConfig | None = None, dict_path: str | None = No
         # general path: span results are tiny vs the media they came from;
         # coalesce before the sort-shuffle — its overhead scales with block
         # count, and the OCR stage leaves one small block per task
-        rec = rec.repartition(_pool_size(cfg.det_concurrency))
+        rec = rec.repartition(_pool_size(_want(cfg.det_concurrency)))
         return rec.groupby("doc_id").map_groups(assemble_document, batch_format="pyarrow")
 
     return run
@@ -120,7 +136,7 @@ def _read_blocks_for(cfg: PipelineConfig, path: str | None = None) -> int:
     block count bounds task parallelism in Ray Data, and corpus files are
     few — ~8 docs-per-task granularity at the default pool size, scaled by
     on-disk bytes (~32 MB/block) so block size stays bounded at 100x."""
-    floor = max(64, cfg.det_concurrency * 8)
+    floor = max(64, _want(cfg.det_concurrency) * 8)
     if path is None:
         return floor
     from ..sources.readers import blocks_for_paths
