@@ -22,6 +22,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from paddleocr_json_ray.ops import (
+        decontam,
         dedup,
         joins,
         multimodal,
@@ -94,6 +95,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_repetition": text_ops.word_repetition,
         "split_assign": text_ops.split_assign,
         "length_histogram": text_ops.length_histogram,
+        "sample_docs": text_ops.sample_docs,
+        "tfidf_top_terms": text_ops.tfidf_top_terms,
+        "decontaminate": decontam.decontaminate,
+        "bloom_decontaminate": decontam.bloom_decontaminate,  # sketch, rows-only
         # ---- dedup family ----
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,     # rows-only (LSH)
@@ -116,12 +121,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": relational.revenue_by_priority,
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
+        "revenue_rollup": relational.revenue_rollup,
         # ---- windowed / streaming-style ops over the events table ----
         "events_tumbling": windows.events_tumbling,
         "events_sliding": windows.events_sliding,
         "user_sessions": windows.user_sessions,
         "events_running_total": windows.events_running_total,
         "events_rolling_sum": windows.events_rolling_sum,
+        "events_lag_diff": windows.events_lag_diff,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
         "events_value_bands": joins.events_value_bands,
@@ -328,6 +335,48 @@ FROM lineitem""",
 SELECT word, count(*) AS n FROM (
   SELECT unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents)
 GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+        "events_lag_diff": """
+SELECT event_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS lag_us
+FROM events""",
+        "revenue_rollup": """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "sample_docs": """
+SELECT doc_id FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200""",
+        "tfidf_top_terms": """
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.word AS term,
+             tf.tf * ((SELECT n FROM n) * 1000 // df.df) AS score_milli
+      FROM tf JOIN df USING (word))
+SELECT doc_id, term, rank, score_milli FROM (
+  SELECT doc_id, term, score_milli,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_milli DESC, term) AS rank
+  FROM s) t
+WHERE rank <= 3""",
+        "decontaminate": """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+g AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM g
+         WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id)
+SELECT doc_id,
+       greatest(len(t) - 7, 0) AS n_grams,
+       coalesce(h.n_hit, 0) AS n_hit,
+       CASE WHEN len(t) >= 8
+            THEN coalesce(h.n_hit, 0) * 1000 // (len(t) - 7)
+            ELSE 0 END AS contam_milli
+FROM toks LEFT JOIN hits h USING (doc_id)""",
         "user_sessions": """
 WITH flagged AS (
   SELECT user_id, event_id, ts,

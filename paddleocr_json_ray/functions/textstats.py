@@ -138,6 +138,25 @@ def doc_fingerprint(text: str, window: int = 8) -> int:
     return int(acc.min().astype(np.int64))
 
 
+def token_gram_hashes(text: str, n: int = 8) -> np.ndarray:
+    """uint64 hash per ``n``-token-gram POSITION (len = n_tokens - n + 1,
+    empty when the text is shorter): polynomial combine of per-token FNV
+    hashes, identical for identical space-joined grams — the membership key
+    for benchmark decontamination.  Vectorized over positions; the only
+    Python loop is the per-token FNV (token-count-bounded)."""
+    toks = _RE_TOKEN.findall(text)
+    if len(toks) < n:
+        return np.empty(0, dtype=np.uint64)
+    th = fnv1a64_tokens(toks)
+    m = len(toks) - n + 1
+    with np.errstate(over="ignore"):
+        acc = np.zeros(m, dtype=np.uint64)
+        mult = np.uint64(1099511628211)
+        for j in range(n):
+            acc = acc * mult + th[j:j + m]
+    return acc
+
+
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
     """k-byte shingle hash set (uint64, unique) of normalized text,
     vectorized: polynomial rolling hash over UTF-8 byte windows (identical

@@ -222,6 +222,46 @@ def revenue_by_priority(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): leaf groups plus per-flag
+    subtotals plus the grand total, rolled-up levels labelled 'ALL' (sentinel
+    instead of SQL NULL so the hash compare is type-stable).
+
+    Shape: ONE native partial-aggregate groupby at the finest granularity;
+    the higher levels re-aggregate the tiny leaf result (rows bounded by the
+    key-combination count, not the data) in a single-batch step — the input
+    is never read or shuffled more than once.  Exact because l_quantity is
+    integer-valued (float64 sums are order-independent)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(), Sum("l_quantity"))
+
+    def levels(batch: pa.Table) -> pa.Table:
+        flags = batch.column("l_returnflag").to_pylist()
+        stats = batch.column("l_linestatus").to_pylist()
+        n = np.asarray(batch.column("count()").to_pylist(), dtype=np.int64)
+        q = np.asarray(batch.column("sum(l_quantity)").to_pylist(), dtype=np.float64)
+        out_f, out_s, out_n, out_q = list(flags), list(stats), n.tolist(), q.tolist()
+        for f in sorted(set(flags)):
+            m = np.fromiter((x == f for x in flags), dtype=bool, count=len(flags))
+            out_f.append(f); out_s.append("ALL")
+            out_n.append(int(n[m].sum())); out_q.append(float(q[m].sum()))
+        out_f.append("ALL"); out_s.append("ALL")
+        out_n.append(int(n.sum())); out_q.append(float(q.sum()))
+        return pa.table({
+            "l_returnflag": pa.array(out_f, type=pa.string()),
+            "l_linestatus": pa.array(out_s, type=pa.string()),
+            "n_items": pa.array(out_n, type=pa.int64()),
+            "sum_qty": pa.array([_round2(v) for v in out_q]),
+        })
+
+    return agg.repartition(1).map_batches(levels, batch_format="pyarrow",
+                                          batch_size=None)
+
+
 def custs_without_orders(sf_dir: str, min_total: float = 200_000.0) -> ray.data.Dataset:
     """ANTI-join: customers with no order above ``min_total`` — the
     exclusion-filter shape (blocklist joins, already-processed-id skips).

@@ -228,6 +228,103 @@ def split_assign(sf_dir: str) -> ray.data.Dataset:
         fn, batch_format="pyarrow")
 
 
+def sample_docs(sf_dir: str, k: int = 200) -> ray.data.Dataset:
+    """(doc_id) — deterministic uniform corpus sample: the k documents with
+    the smallest md5(doc_id) — the bottom-k-by-hash sketch (equivalently a
+    KMV sample).  Engine-independent (md5 of the decimal id string) and
+    mergeable: each block keeps only its local bottom-k (the combiner — the
+    global bottom-k is contained in the union of block-local bottom-ks), so
+    the exchange carries at most k rows per block regardless of data size."""
+    import hashlib
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keyed = sorted((hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids)[:k]
+        return pa.table({
+            "h": pa.array([h for h, _ in keyed], type=pa.string()),
+            "doc_id": pa.array([i for _, i in keyed], type=pa.int64()),
+        })
+
+    return (_read_documents(sf_dir, columns=("doc_id",))
+            .map_batches(bottomk, batch_format="pyarrow")
+            .sort(["h", "doc_id"])
+            .limit(k)
+            .select_columns(["doc_id"]))
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """(doc_id, term, rank, score_milli) — each document's top-k terms by an
+    integer-exact tf-idf variant: score = tf * (N * 1000 // df), ties broken
+    (score desc, term asc).  The linear inverse-df keeps every intermediate
+    an integer, so the result is hash-exact against the SQL oracle (ln-based
+    idf would be at the mercy of libm ulp differences).
+
+    Two passes, both vocabulary-bounded after the combiner:
+      1. document frequency: per-batch distinct (word, ndocs) partials ->
+         native Sum groupby (vocab-sized result), broadcast once via
+         ``ray.put`` as sorted arrays;
+      2. per-doc scoring: tf from the doc alone + a vectorized
+         ``searchsorted`` df lookup, block-local top-k per document (no
+         exchange at all — doc rows never straddle batches)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set(_RE_TOKEN_ASCII.findall(t)))
+        return pa.table({"word": pa.array(list(c.keys()), type=pa.string()),
+                         "ndocs": pa.array(list(c.values()), type=pa.int64())})
+
+    df_tab = (ds.map_batches(df_partial, batch_format="pyarrow")
+                .groupby("word").aggregate(Sum("ndocs"))
+                .materialize())
+    n_docs = int(ds.count())
+    parts = [t for t in ray.get(df_tab.to_arrow_refs()) if t.num_rows]
+    words = np.concatenate([np.asarray(t.column("word").to_pylist(), dtype=object)
+                            for t in parts]) if parts else np.empty(0, dtype=object)
+    dfs = np.concatenate([t.column("sum(ndocs)").to_numpy() for t in parts]) \
+        if parts else np.empty(0, dtype=np.int64)
+    order = np.argsort(words)
+    vocab_ref = ray.put((words[order], dfs[order].astype(np.int64), n_docs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        vwords, vdf, n = ray.get(vocab_ref)
+        out = {"doc_id": [], "term": [], "rank": [], "score_milli": []}
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            c = Counter(_RE_TOKEN_ASCII.findall(text))
+            if not c:
+                continue
+            terms = np.asarray(list(c.keys()), dtype=object)
+            tf = np.asarray(list(c.values()), dtype=np.int64)
+            pos = np.searchsorted(vwords, terms)
+            df = vdf[np.minimum(pos, len(vdf) - 1)]
+            s = tf * (n * 1000 // df)
+            # top-k by (score desc, term asc): argsort on term then stable
+            # sort on -score keeps term order inside equal scores
+            t_order = np.argsort(terms, kind="stable")
+            s_order = t_order[np.argsort(-s[t_order], kind="stable")][:k]
+            out["doc_id"].extend([doc_id] * len(s_order))
+            out["term"].extend(terms[s_order].tolist())
+            out["rank"].extend(range(1, len(s_order) + 1))
+            out["score_milli"].extend(int(x) for x in s[s_order])
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "term": pa.array(out["term"], type=pa.string()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "score_milli": pa.array(out["score_milli"], type=pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def length_histogram(sf_dir: str, bucket: int = 100) -> ray.data.Dataset:
     """(bucket_lo, n_docs) — document-length histogram over the table's own
     n_chars column: pruned single-column read, in-batch bucket key, native

@@ -16,6 +16,10 @@ custom operators a training-data pipeline needs, expressed Ray-Data-first:
   * ``events_rolling_sum`` — bounded ROWS-k-PRECEDING window: only the
     first k-1 rows of a boundary run need the previous block's last k-1
     rows, so the heal exchange is constant per block boundary.
+  * ``events_lag_diff`` — the LAG window shape (time since the same user's
+    previous event): the sufficient statistic is ONE row per block edge —
+    only a block's first row can have its predecessor in another block, and
+    only a block's last row can be that predecessor.
 """
 
 from __future__ import annotations
@@ -314,6 +318,95 @@ def events_running_total(sf_dir: str) -> ray.data.Dataset:
                          "running_cents": pa.array(c + off, type=pa.int64())})
 
     return rows.map_batches(add_offsets, batch_format="pyarrow", fn_args=(refs,))
+
+
+def events_lag_diff(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, lag_us nullable) — microseconds since the same user's
+    previous event in (ts, event_id) order: the LAG window-function shape.
+
+    Sorted-run pattern with a ONE-ROW sufficient statistic per block edge:
+    after the global (user, ts, event_id) sort, every row's predecessor is
+    in the same block except the block's FIRST row, whose predecessor (if
+    any) is some earlier block's LAST row of the same user — sort
+    contiguity guarantees it is the nearest such row.  Each block emits all
+    interior lags final, withholds its first row, and ships its last row as
+    context; a grouped heal re-derives the withheld lags.  Skew-safe: a hot
+    user costs 2 rows per block it spans, never its row count."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts"])
+    srt = ds.sort(["user_id", "ts", "event_id"])
+
+    def block_lag(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        e = batch.column("event_id").to_numpy().astype(np.int64)
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        n = len(u)
+        if n == 0:
+            return pa.table({"kind": pa.array([], type=pa.int8()),
+                             "event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "ts": pa.array([], type=pa.int64()),
+                             "lag_us": pa.array([], type=pa.int64())})
+        lag = np.empty(n, dtype=np.int64)
+        lag[1:] = t[1:] - t[:-1]
+        same = np.empty(n, dtype=bool)
+        same[0] = False
+        same[1:] = u[1:] == u[:-1]
+        kind = np.zeros(n, dtype=np.int8)
+        kind[0] = 1                        # withheld: predecessor unknown
+        ctx = n - 1 if n > 1 else None     # last row: context copy
+        lag_col = pa.array(
+            [int(v) if s else None for v, s, k2 in zip(lag, same, kind)],
+            type=pa.int64())
+        base = pa.table({"kind": pa.array(kind),
+                         "event_id": pa.array(e),
+                         "user_id": pa.array(u),
+                         "ts": pa.array(t),
+                         "lag_us": lag_col})
+        if ctx is None:
+            return base
+        ctx_tab = pa.table({"kind": pa.array([2], type=pa.int8()),
+                            "event_id": pa.array([int(e[ctx])], type=pa.int64()),
+                            "user_id": pa.array([int(u[ctx])], type=pa.int64()),
+                            "ts": pa.array([int(t[ctx])], type=pa.int64()),
+                            "lag_us": pa.array([None], type=pa.int64())})
+        return pa.concat_tables([base, ctx_tab])
+
+    out = srt.map_batches(block_lag, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    finals = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0))
+                   .select(["event_id", "lag_us"]),
+        batch_format="pyarrow")
+    edges = out.map_batches(
+        lambda b: b.filter(pc.greater(b.column("kind"), 0)),
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        e = group.column("event_id").to_numpy().astype(np.int64)
+        t = group.column("ts").to_numpy().astype(np.int64)
+        kind = group.column("kind").to_numpy().astype(np.int8)
+        # a single-row block ships its row only as kind-1; rows never repeat
+        # within a kind, but a row may be both another block's context and
+        # this block's withheld row is impossible (ctx excludes row 0), so
+        # dedupe by event_id keeping the withheld flag if present
+        order = np.lexsort((-kind.astype(np.int64), e))
+        e, t, kind = e[order], t[order], kind[order]
+        first = np.r_[True, np.diff(e) != 0]
+        e, t, kind = e[first], t[first], kind[first]
+        order = np.lexsort((e, t))
+        e, t, kind = e[order], t[order], kind[order]
+        lag = np.empty(len(e), dtype=np.int64)
+        lag[1:] = t[1:] - t[:-1]
+        keep = kind == 1
+        vals = [int(lag[i]) if i > 0 else None
+                for i in np.flatnonzero(keep)]
+        return pa.table({"event_id": pa.array(e[keep], type=pa.int64()),
+                         "lag_us": pa.array(vals, type=pa.int64())})
+
+    healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
+    return finals.union(healed)
 
 
 def events_rolling_sum(sf_dir: str, window: int = 3) -> ray.data.Dataset:

@@ -1,0 +1,155 @@
+"""Round-3 curation additions vs brute-force oracles: benchmark
+decontamination (exact + Bloom), LAG window, ROLLUP levels, bottom-k-by-hash
+sampling, integer-exact tf-idf top terms."""
+
+import hashlib
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from paddleocr_json_ray.ops import decontam, relational, text_ops, windows
+
+_TOK = re.compile(r"[^ \t\n\r\f\v]+")
+
+_WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+          "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    """120 docs; ids divisible by 13 form the pseudo-benchmark.  Several
+    non-benchmark docs deliberately embed verbatim 8-gram runs from
+    benchmark docs (contaminated), most share nothing."""
+    rng = np.random.default_rng(42)
+    texts = []
+    for i in range(120):
+        toks = [_WORDS[int(j)] for j in rng.integers(0, len(_WORDS), size=30)]
+        texts.append(" ".join(toks))
+    # plant contamination: copy a 10-token run from benchmark doc 13 into
+    # docs 5 and 7, and make doc 9 an exact copy of benchmark doc 26
+    bench_toks = texts[13].split()
+    t5 = texts[5].split()
+    texts[5] = " ".join(t5[:5] + bench_toks[3:13] + t5[15:])
+    t7 = texts[7].split()
+    texts[7] = " ".join(bench_toks[10:20] + t7[10:])
+    texts[9] = texts[26]
+    d = tmp_path_factory.mktemp("docs")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(120), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }), os.path.join(str(d), "documents.parquet"))
+    return str(d), texts
+
+
+def _brute_contam(texts, n=8, mod=13):
+    grams = [[" ".join(_TOK.findall(t)[i:i + n])
+              for i in range(max(len(_TOK.findall(t)) - n + 1, 0))]
+             for t in texts]
+    bench = set()
+    for i, g in enumerate(grams):
+        if i % mod == 0:
+            bench.update(g)
+    out = {}
+    for i, g in enumerate(grams):
+        hit = sum(1 for x in g if x in bench)
+        out[i] = (len(g), hit, hit * 1000 // len(g) if g else 0)
+    return out
+
+
+def test_decontaminate_exact(ray_session, docs_dir):
+    d, texts = docs_dir
+    got = decontam.decontaminate(d).to_pandas().set_index("doc_id")
+    expect = _brute_contam(texts)
+    assert len(got) == len(texts)
+    for i, (ng, nh, milli) in expect.items():
+        row = got.loc[i]
+        assert (row["n_grams"], row["n_hit"], row["contam_milli"]) == (ng, nh, milli)
+    # the planted contamination is detected; untouched docs are clean
+    assert got.loc[5, "n_hit"] >= 3 and got.loc[7, "n_hit"] >= 3
+    assert got.loc[9, "contam_milli"] == 1000  # verbatim benchmark copy
+
+
+def test_bloom_never_undercounts(ray_session, docs_dir):
+    """Bloom membership has no false negatives: per-doc approximate hit
+    count >= the exact count, and equals it in aggregate within a small
+    false-positive budget."""
+    d, texts = docs_dir
+    exact = decontam.decontaminate(d).to_pandas().set_index("doc_id")
+    approx = decontam.bloom_decontaminate(d).to_pandas().set_index("doc_id")
+    assert (approx["n_hit"] >= exact["n_hit"]).all()
+    extra = int((approx["n_hit"] - exact["n_hit"]).sum())
+    total = int(exact["n_grams"].sum())
+    assert extra <= max(2, total // 100)  # << 1% FP at this fill factor
+
+
+def test_lag_diff_bruteforce_hot_user(ray_session, tmp_path):
+    """LAG under 50% hot-key skew: only 2 rows per block cross the heal
+    exchange, result must equal the per-user sorted diff exactly."""
+    rng = np.random.default_rng(99)
+    n = 30_000
+    hot = rng.random(n) < 0.5
+    users = np.where(hot, 3, rng.integers(100, 200, size=n)).astype(np.int64)
+    base = 1_600_000_000_000_000
+    ts = base + rng.integers(0, 10**10, size=n)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    got = windows.events_lag_diff(str(tmp_path)).to_pandas() \
+        .set_index("event_id")["lag_us"]
+    assert len(got) == n and not got.index.duplicated().any()
+    for uid in (3, 150, 199):
+        rows = np.flatnonzero(users == uid)
+        order = rows[np.lexsort((rows, ts[rows]))]
+        t = ts[order]
+        vals = got.loc[[int(i) for i in order]].to_numpy(dtype=np.float64)
+        assert np.isnan(vals[0])
+        np.testing.assert_array_equal(vals[1:].astype(np.int64), t[1:] - t[:-1])
+
+
+def test_rollup_levels(ray_session, tmp_path):
+    flags = ["A", "A", "A", "B", "B", "N"]
+    stats = ["F", "O", "O", "F", "F", "O"]
+    qty = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(flags), "l_linestatus": pa.array(stats),
+        "l_quantity": pa.array(qty),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = relational.revenue_rollup(str(tmp_path)).to_pandas()
+    rows = {(r.l_returnflag, r.l_linestatus): (r.n_items, r.sum_qty)
+            for r in got.itertuples()}
+    assert rows[("A", "F")] == (1, 1.0) and rows[("A", "O")] == (2, 5.0)
+    assert rows[("A", "ALL")] == (3, 6.0)
+    assert rows[("B", "ALL")] == (2, 9.0)
+    assert rows[("N", "ALL")] == (1, 6.0)
+    assert rows[("ALL", "ALL")] == (6, 21.0)
+    assert len(rows) == 4 + 3 + 1  # leaves + per-flag + grand total
+
+
+def test_sample_docs_bottom_k(ray_session, docs_dir):
+    d, texts = docs_dir
+    got = text_ops.sample_docs(d, k=10).to_pandas()["doc_id"].tolist()
+    expect = sorted(range(len(texts)),
+                    key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:10]
+    assert got == expect
+
+
+def test_tfidf_top_terms_bruteforce(ray_session, docs_dir):
+    d, texts = docs_dir
+    got = text_ops.tfidf_top_terms(d, k=3).to_pandas()
+    n = len(texts)
+    df = Counter()
+    for t in texts:
+        df.update(set(_TOK.findall(t)))
+    for i in (0, 5, 9, 13, 57):
+        tf = Counter(_TOK.findall(texts[i]))
+        scored = sorted(((-tf[w] * (n * 1000 // df[w]), w) for w in tf))
+        expect = [(w, r + 1, -s) for r, (s, w) in enumerate(scored[:3])]
+        rows = got[got["doc_id"] == i].sort_values("rank")
+        assert list(zip(rows["term"], rows["rank"], rows["score_milli"])) == expect
