@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": text_ops.split_assign,
         "length_histogram": text_ops.length_histogram,
         "sample_docs": text_ops.sample_docs,
+        "sample_per_source": text_ops.sample_per_source,
+        "unigram_logprob": text_ops.unigram_logprob,  # libm ln, rows-only
         "tfidf_top_terms": text_ops.tfidf_top_terms,
         "decontaminate": decontam.decontaminate,
         "bloom_decontaminate": decontam.bloom_decontaminate,  # sketch, rows-only
@@ -349,6 +351,13 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
         "sample_docs": """
 SELECT doc_id FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200""",
+        "sample_per_source": """
+SELECT source, doc_id, rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+  FROM documents) t
+WHERE rank <= 20""",
         "tfidf_top_terms": """
 WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents),
 tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),

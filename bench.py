@@ -84,7 +84,10 @@ def run_suite() -> dict:
                 # round-3 additions
                 "dedup_embedding", "user_sessions", "events_running_total",
                 "events_rolling_sum", "kmeans_embeddings", "word_repetition",
-                "curate_corpus"]
+                "curate_corpus",
+                # round-3b additions
+                "decontaminate", "bloom_decontaminate", "tfidf_top_terms",
+                "events_lag_diff", "revenue_rollup", "sample_docs"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

@@ -325,6 +325,109 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def sample_per_source(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """(source, doc_id, rank) — STRATIFIED deterministic sample: the k
+    documents with the smallest md5(doc_id) per source (every stratum gets
+    equal representation however skewed the corpus).  Per-batch bottom-k
+    per source is the combiner, so each block contributes at most
+    k x |sources in block| rows to the exchange; the grouped pick is then
+    bounded by k x blocks per stratum.  ``source`` here is a low-cardinality
+    stratum key (per-group dispatch is fine); for high-cardinality strata
+    use the sorted-run ranking of ``joins.top_orders_per_cust``."""
+    import hashlib
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        rows = sorted(zip(batch.column("source").to_pylist(),
+                          (hashlib.md5(str(i).encode()).hexdigest()
+                           for i in batch.column("doc_id").to_pylist()),
+                          batch.column("doc_id").to_pylist()))
+        keep, seen = [], {}
+        for src, h, i in rows:
+            c = seen.get(src, 0)
+            if c < k:
+                keep.append((src, h, i))
+                seen[src] = c + 1
+        return pa.table({
+            "source": pa.array([r[0] for r in keep], type=pa.string()),
+            "h": pa.array([r[1] for r in keep], type=pa.string()),
+            "doc_id": pa.array([r[2] for r in keep], type=pa.int64()),
+        })
+
+    parts = (_read_documents(sf_dir, columns=("doc_id", "source"))
+             .map_batches(bottomk, batch_format="pyarrow"))
+
+    def pick(group: pa.Table) -> pa.Table:
+        rows = sorted(zip(group.column("h").to_pylist(),
+                          group.column("doc_id").to_pylist()))[:k]
+        return pa.table({
+            "source": group.column("source").slice(0, len(rows)),
+            "doc_id": pa.array([i for _, i in rows], type=pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+        })
+
+    return parts.groupby("source").map_groups(pick, batch_format="pyarrow")
+
+
+def unigram_logprob(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens, avg_logprob_milli) — corpus-unigram language-model
+    score per document (the CCNet/KenLM-style quality signal: natural text
+    scores near the corpus average, gibberish and boilerplate score far
+    below/above).  avg_logprob_milli = round(mean over tokens of
+    ln P(token)) x 1000, integer.
+
+    Pass 1 builds the unigram model with the word-count combiner + native
+    Sum groupby (vocabulary-bounded), broadcast once via ``ray.put`` as
+    sorted arrays; pass 2 scores each document vectorized (searchsorted
+    lookup, one mean per doc).  Not SQL-oracled: ln() is libm-dependent;
+    pinned instead by a brute-force pytest."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_RE_TOKEN_ASCII.findall(t))
+        return pa.table({"word": pa.array(list(c.keys()), type=pa.string()),
+                         "n": pa.array(list(c.values()), type=pa.int64())})
+
+    vocab = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("word").aggregate(Sum("n")).materialize())
+    parts = [t for t in ray.get(vocab.to_arrow_refs()) if t.num_rows]
+    words = np.concatenate([np.asarray(t.column("word").to_pylist(), dtype=object)
+                            for t in parts]) if parts else np.empty(0, dtype=object)
+    counts = np.concatenate([t.column("sum(n)").to_numpy() for t in parts]) \
+        if parts else np.empty(0, dtype=np.int64)
+    order = np.argsort(words)
+    words, counts = words[order], counts[order].astype(np.float64)
+    total = counts.sum()
+    logp = np.log(counts / total) if total else counts
+    model_ref = ray.put((words, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vwords, vlogp = ray.get(model_ref)
+        ids, n_toks, milli = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = _RE_TOKEN_ASCII.findall(text)
+            ids.append(doc_id)
+            n_toks.append(len(toks))
+            if not toks:
+                milli.append(0)
+                continue
+            pos = np.searchsorted(vwords, np.asarray(toks, dtype=object))
+            avg = float(vlogp[np.minimum(pos, len(vlogp) - 1)].mean())
+            milli.append(-int(np.floor(-avg * 1000 + 0.5)))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "n_tokens": pa.array(n_toks, type=pa.int64()),
+                         "avg_logprob_milli": pa.array(milli, type=pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def length_histogram(sf_dir: str, bucket: int = 100) -> ray.data.Dataset:
     """(bucket_lo, n_docs) — document-length histogram over the table's own
     n_chars column: pruned single-column read, in-batch bucket key, native

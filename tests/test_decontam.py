@@ -140,6 +140,43 @@ def test_sample_docs_bottom_k(ray_session, docs_dir):
     assert got == expect
 
 
+def test_sample_per_source_stratified(ray_session, tmp_path):
+    """Every stratum yields exactly min(k, stratum size) rows in md5 order,
+    independent of stratum skew (one source owns 80% of docs)."""
+    rng = np.random.default_rng(7)
+    n = 500
+    srcs = np.where(rng.random(n) < 0.8, "web",
+                    rng.choice(["news", "wiki", "code"], size=n))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "source": pa.array(srcs.tolist(), type=pa.string()),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    got = text_ops.sample_per_source(str(tmp_path), k=5).to_pandas()
+    for src in np.unique(srcs):
+        ids = np.flatnonzero(srcs == src)
+        expect = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:5]
+        rows = got[got["source"] == src].sort_values("rank")
+        assert list(rows["doc_id"]) == [int(i) for i in expect]
+        assert list(rows["rank"]) == list(range(1, len(expect) + 1))
+
+
+def test_unigram_logprob_bruteforce(ray_session, docs_dir):
+    d, texts = docs_dir
+    got = text_ops.unigram_logprob(d).to_pandas().set_index("doc_id")
+    counts = Counter()
+    for t in texts:
+        counts.update(_TOK.findall(t))
+    total = sum(counts.values())
+    for i in (0, 13, 57, 119):
+        toks = _TOK.findall(texts[i])
+        avg = float(np.mean([np.log(counts[w] / total) for w in toks]))
+        expect = -int(np.floor(-avg * 1000 + 0.5))
+        assert got.loc[i, "n_tokens"] == len(toks)
+        assert got.loc[i, "avg_logprob_milli"] == expect
+    # a doc made of the rarest tokens scores below the corpus mean
+    assert got["avg_logprob_milli"].min() < int(got["avg_logprob_milli"].mean())
+
+
 def test_tfidf_top_terms_bruteforce(ray_session, docs_dir):
     d, texts = docs_dir
     got = text_ops.tfidf_top_terms(d, k=3).to_pandas()
