@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- sketches / order statistics ----
         "events_distinct_users": sketches.events_distinct_users,
         "distinct_users_hll": sketches.hll_distinct_users,  # approx, rows-only
+        "heavy_hitters": sketches.heavy_hitters,  # MG/SpaceSaving, rows-only
         "quantity_percentiles": sketches.quantity_percentiles,
         "quantity_percentiles_by_flag": sketches.quantity_percentiles_by_flag,
         "word_topk": text_ops.word_topk,

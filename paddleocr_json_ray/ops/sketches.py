@@ -115,6 +115,73 @@ def hll_distinct_users(sf_dir: str) -> ray.data.Dataset:
     }))
 
 
+_HH_CAP = 4096
+_DEDUCT_KEY = "\x00deducted"  # NUL-prefixed: cannot collide with a token
+
+
+def _mg_reduce(words: list[str], counts: np.ndarray, cap: int):
+    """Misra-Gries reduction to ``cap`` counters: subtract the (cap+1)-th
+    largest count from all and keep positives.  Returns (words, counts,
+    deducted) — the deduction is the summary's one-sided error mass."""
+    if len(words) <= cap:
+        return words, counts, 0
+    kth = np.partition(counts, len(counts) - cap - 1)[len(counts) - cap - 1]
+    keep = counts > kth
+    return ([w for w, m in zip(words, keep) if m],
+            counts[keep] - kth, int(kth))
+
+
+def heavy_hitters(sf_dir: str, k: int = 20, cap: int = _HH_CAP) -> ray.data.Dataset:
+    """(word, count_lo, count_hi, rank) — approximate top-k words via the
+    MERGEABLE Misra-Gries / SpaceSaving summary (Agarwal et al., Mergeable
+    Summaries, PODS'12): the unbounded-vocabulary companion to the exact
+    ``word_topk`` (whose vocab-bounded groupby stops being cheap when the
+    key space is open-ended: URLs, n-grams, user agents).
+
+    Per batch: exact counts MG-reduced to ``cap`` counters plus one
+    deduction row (the summary's error mass).  Counters merge by native
+    Sum groupby (rows bounded by cap x blocks, control-plane sized — never
+    corpus-sized); the global deduction total E gives the one-sided bound
+    true count in [count_lo, count_lo + E] for every surviving word, and
+    any word with true count > E is guaranteed to survive."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    tok = re.compile(r"[^ \t\n\r\f\v]+")
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tok.findall(t))
+        words = list(c.keys())
+        counts = np.fromiter(c.values(), dtype=np.int64, count=len(words))
+        words, counts, ded = _mg_reduce(words, counts, cap)
+        return pa.table({
+            "word": pa.array(words + [_DEDUCT_KEY], type=pa.string()),
+            "n": pa.array(np.r_[counts, ded], type=pa.int64()),
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("word").aggregate(Sum("n")).to_pandas())
+    is_ded = merged["word"] == _DEDUCT_KEY
+    err = int(merged.loc[is_ded, "sum(n)"].sum())
+    rest = merged[~is_ded].sort_values(["sum(n)", "word"],
+                                       ascending=[False, True]).head(k)
+    return ray.data.from_arrow(pa.table({
+        "word": pa.array(rest["word"].tolist(), type=pa.string()),
+        "count_lo": pa.array(rest["sum(n)"].astype("int64").tolist(), type=pa.int64()),
+        "count_hi": pa.array((rest["sum(n)"].astype("int64") + err).tolist(),
+                             type=pa.int64()),
+        "rank": pa.array(range(1, len(rest) + 1), type=pa.int64()),
+    }))
+
+
 _PCTS = (0.5, 0.9, 0.99)
 
 

@@ -52,3 +52,27 @@ def test_percentile_cont_interpolation(ray_session, tmp_path):
     got = sketches.quantity_percentiles(str(tmp_path)).to_pandas().iloc[0]
     for col, p in (("p50", 50), ("p90", 90), ("p99", 99)):
         assert got[col] == pytest.approx(np.percentile(q, p, method="linear"), abs=1e-9)
+
+
+def test_heavy_hitters_zipf(ray_session, tmp_path):
+    """Misra-Gries sketch under zipf skew with a tight capacity: the true
+    top-k survives with exact ranks, and every bound interval contains the
+    true count (the mergeable-summaries guarantee)."""
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i:05d}" for i in range(20_000)])
+    draws = rng.zipf(1.3, size=120_000)
+    draws = draws[draws <= len(vocab)] - 1
+    texts = [" ".join(vocab[draws[i:i + 60]]) for i in range(0, len(draws) - 60, 60)]
+    pq.write_table(pa.table({"text": pa.array(texts)}),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    truth = Counter(vocab[d] for d in draws[:len(texts) * 60])
+    got = sketches.heavy_hitters(str(tmp_path), k=10, cap=512).to_pandas()
+    exact = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got["word"]) == [w for w, _ in exact]
+    for r in got.itertuples():
+        assert r.count_lo <= truth[r.word] <= r.count_hi
