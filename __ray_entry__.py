@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": sketches.heavy_hitters,  # MG/SpaceSaving, rows-only
         "quantity_percentiles": sketches.quantity_percentiles,
         "quantity_percentiles_by_flag": sketches.quantity_percentiles_by_flag,
+        "price_quantiles_tdigest": sketches.price_quantiles_tdigest,  # approx, rows-only
         "word_topk": text_ops.word_topk,
         # ---- composed curation pipeline (extraction -> score -> filter -> dedup) ----
         "curate_corpus": curate,

@@ -14,6 +14,11 @@
     domain: per-batch value histograms merge on the driver; interpolation
     follows SQL PERCENTILE_CONT exactly (rank h=(N-1)p between adjacent
     order statistics).
+  * ``heavy_hitters`` — mergeable Misra-Gries/SpaceSaving top-k with a
+    one-sided error bound: the unbounded-vocabulary companion to the
+    exact ``word_topk``.
+  * ``price_quantiles_tdigest`` — mergeable t-digest quantiles: the
+    unbounded-value-domain companion to the exact histogram percentiles.
 """
 
 from __future__ import annotations
@@ -179,6 +184,65 @@ def heavy_hitters(sf_dir: str, k: int = 20, cap: int = _HH_CAP) -> ray.data.Data
         "count_hi": pa.array((rest["sum(n)"].astype("int64") + err).tolist(),
                              type=pa.int64()),
         "rank": pa.array(range(1, len(rest) + 1), type=pa.int64()),
+    }))
+
+
+_TD_DELTA = 200
+
+
+def _tdigest_compress(means: np.ndarray, weights: np.ndarray,
+                      delta: int = _TD_DELTA):
+    """Re-cluster sorted centroids under the t-digest scale function
+    k(q) = delta * (asin(2q-1)/pi + 1/2)/2 (Dunning & Ertl 2019): each
+    centroid lands in the integer k-bin of its cumulative-weight midpoint
+    and consecutive same-bin centroids fuse (one reduceat, no Python loop
+    over values).  k spans [0, delta/2], so the output is <= delta/2 + 1
+    centroids with fine resolution at the tails."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    if total == 0:
+        return means[:0], weights[:0]
+    q_mid = (np.cumsum(weights) - weights / 2) / total
+    k = delta * (np.arcsin(np.clip(2 * q_mid - 1, -1, 1)) / np.pi + 0.5) / 2
+    bins = np.floor(k).astype(np.int64)
+    starts = np.r_[0, np.flatnonzero(np.diff(bins)) + 1]
+    out_w = np.add.reduceat(weights, starts)
+    out_m = np.add.reduceat(means * weights, starts) / out_w
+    return out_m, out_w
+
+
+def _tdigest_quantile(means: np.ndarray, weights: np.ndarray, p: float) -> float:
+    """Interpolate at centroid cumulative midpoints."""
+    cum = np.cumsum(weights) - weights / 2
+    target = p * weights.sum()
+    return float(np.interp(target, cum, means))
+
+
+def price_quantiles_tdigest(sf_dir: str) -> ray.data.Dataset:
+    """(p50, p90, p99) of lineitem.l_extendedprice via a MERGEABLE t-digest:
+    the UNBOUNDED-value-domain scale path for quantiles (the exact
+    ``quantity_percentiles`` relies on a small value domain for its
+    mergeable histogram — prices/latencies/losses have none).  Each batch
+    emits its centroid rows (<= delta per batch); merging is concatenate +
+    one more compression (associative up to digest tolerance), so the
+    exchange carries O(delta x blocks) rows, never values."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy().astype(np.float64)
+        m, w = _tdigest_compress(v, np.ones(len(v)))
+        return pa.table({"mean": pa.array(m, type=pa.float64()),
+                         "weight": pa.array(w, type=pa.float64())})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m, w = _tdigest_compress(part["mean"].to_numpy(), part["weight"].to_numpy())
+    return ray.data.from_arrow(pa.table({
+        "p50": pa.array([_tdigest_quantile(m, w, 0.5)], type=pa.float64()),
+        "p90": pa.array([_tdigest_quantile(m, w, 0.9)], type=pa.float64()),
+        "p99": pa.array([_tdigest_quantile(m, w, 0.99)], type=pa.float64()),
     }))
 
 

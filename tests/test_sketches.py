@@ -54,6 +54,54 @@ def test_percentile_cont_interpolation(ray_session, tmp_path):
         assert got[col] == pytest.approx(np.percentile(q, p, method="linear"), abs=1e-9)
 
 
+def _rank_error(values: np.ndarray, estimate: float, p: float) -> float:
+    """|empirical rank of the estimate - p| — the t-digest accuracy metric."""
+    return abs(np.searchsorted(np.sort(values), estimate) / len(values) - p)
+
+
+def test_tdigest_quantile_accuracy():
+    """delta=200 digest on a heavy-tailed distribution: rank error under
+    0.01 at the body and 0.005 at the tail (tails get finer centroids)."""
+    rng = np.random.default_rng(11)
+    v = rng.lognormal(3.0, 1.2, size=50_000)
+    m, w = sketches._tdigest_compress(v, np.ones(len(v)))
+    assert len(m) <= sketches._TD_DELTA // 2 + 1
+    for p, tol in ((0.5, 0.01), (0.9, 0.01), (0.99, 0.005)):
+        assert _rank_error(v, sketches._tdigest_quantile(m, w, p), p) < tol
+
+
+def test_tdigest_merge_matches_single_pass():
+    """Mergeability: compress per chunk, concatenate, re-compress — the
+    merged digest's quantiles stay within the same rank-error budget as the
+    single-pass digest (the property the distributed partial/merge relies on)."""
+    rng = np.random.default_rng(23)
+    v = rng.gamma(2.0, 40.0, size=60_000)
+    parts = [sketches._tdigest_compress(c, np.ones(len(c)))
+             for c in np.array_split(v, 7)]
+    m, w = sketches._tdigest_compress(np.concatenate([p[0] for p in parts]),
+                                      np.concatenate([p[1] for p in parts]))
+    assert w.sum() == pytest.approx(len(v))
+    for p in (0.5, 0.9, 0.99):
+        assert _rank_error(v, sketches._tdigest_quantile(m, w, p), p) < 0.015
+
+
+def test_price_quantiles_tdigest_e2e(ray_session, tmp_path):
+    """End-to-end over parquet: estimates land within 1.5% relative of the
+    exact continuous percentiles on a smooth price distribution."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    prices = rng.lognormal(7.0, 0.8, size=30_000)
+    pq.write_table(pa.table({"l_extendedprice": pa.array(prices)}),
+                   os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = sketches.price_quantiles_tdigest(str(tmp_path)).to_pandas().iloc[0]
+    for col, p in (("p50", 50), ("p90", 90), ("p99", 99)):
+        exact = np.percentile(prices, p, method="linear")
+        assert abs(got[col] - exact) / exact < 0.015
+
+
 def test_heavy_hitters_zipf(ray_session, tmp_path):
     """Misra-Gries sketch under zipf skew with a tight capacity: the true
     top-k survives with exact ranks, and every bound interval contains the
