@@ -124,6 +124,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
         "revenue_rollup": relational.revenue_rollup,
+        "events_pivot": relational.events_pivot,
+        "value_stats_by_type": relational.value_stats_by_type,
+        "qty_price_corr": relational.qty_price_corr,
+        "users_click_and_purchase": relational.users_click_and_purchase,
         # ---- windowed / streaming-style ops over the events table ----
         "events_tumbling": windows.events_tumbling,
         "events_sliding": windows.events_sliding,
@@ -131,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": windows.events_running_total,
         "events_rolling_sum": windows.events_rolling_sum,
         "events_lag_diff": windows.events_lag_diff,
+        "events_cume_dist": windows.events_cume_dist,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
         "events_value_bands": joins.events_value_bands,
@@ -344,6 +349,31 @@ SELECT event_id,
        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id) AS lag_us
 FROM events""",
+        "events_pivot": """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       count(*) AS n_events
+FROM events GROUP BY user_id""",
+        "value_stats_by_type": """
+SELECT event_type, count(*) AS n_events,
+       round(avg(value), 2) AS avg_value,
+       round(stddev_samp(value), 2) AS std_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type""",
+        "qty_price_corr": """
+SELECT l_returnflag, count(*) AS n_items,
+       round(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag""",
+        "users_click_and_purchase": """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'""",
+        "events_cume_dist": """
+SELECT event_id, cume_dist() OVER (ORDER BY value) AS cume_dist FROM events""",
         "revenue_rollup": """
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,

@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _round2(x: float) -> float:
@@ -29,6 +29,14 @@ def _round2(x: float) -> float:
     import math
 
     return math.floor(x * 100 + 0.5) / 100 if x >= 0 else -math.floor(-x * 100 + 0.5) / 100
+
+
+def _round_nd(x: float, nd: int) -> float:
+    """DuckDB half-away-from-zero ROUND(x, nd) for signed values."""
+    import math
+
+    s = 10.0 ** nd
+    return math.floor(x * s + 0.5) / s if x >= 0 else -math.floor(-x * s + 0.5) / s
 
 
 def _read(sf_dir: str, table: str, columns=None, **kw) -> ray.data.Dataset:
@@ -260,6 +268,173 @@ def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
 
     return agg.repartition(1).map_batches(levels, batch_format="pyarrow",
                                           batch_size=None)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Per-user event-type PIVOT: one row per user with a count column per
+    event type plus the total — the conditional-aggregation reshape (type
+    histograms per entity, per-source doc counts).
+
+    Shape: the pivot happens IN-BATCH (indicator columns via one vectorized
+    equality per type, then an arrow group_by combiner), so the exchange
+    carries one row per (user x batch) with 6 int columns — the native Sum
+    groupby merges partials.  The column set is the (small, known) type
+    domain; an open-ended domain is the ``heavy_hitters`` shape instead."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cols = {"user_id": batch.column("user_id")}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = pa.array((et == t).astype(np.int64))
+        cols["n_events"] = pa.array(np.ones(len(et), dtype=np.int64))
+        return pa.table(cols).group_by("user_id").aggregate(
+            [(f"n_{t}", "sum") for t in _EVENT_TYPES] + [("n_events", "sum")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(*[Sum(f"n_{t}_sum") for t in _EVENT_TYPES],
+                        Sum("n_events_sum")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = {"user_id": batch.column("user_id")}
+        for t in _EVENT_TYPES:
+            out[f"n_{t}"] = batch.column(f"sum(n_{t}_sum)").cast(pa.int64())
+        out["n_events"] = batch.column("sum(n_events_sum)").cast(pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def value_stats_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Per-type moment statistics over events.value: n, avg, sample stddev,
+    min, max — the sufficient-statistics aggregation shape (quality-score
+    distributions per source, loss stats per shard).
+
+    Each batch reduces to one (n, sum, sum of squares, min, max) row per
+    key via an arrow group_by combiner; the native groupby merges them
+    (sums add, extremes max) and avg/std derive at the end.  The exchange
+    is keys x blocks rows regardless of data size."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sq = pc.multiply(batch.column("value"), batch.column("value"))
+        return (batch.append_column("value_sq", sq)
+                     .group_by("event_type")
+                     .aggregate([("value", "count"), ("value", "sum"),
+                                 ("value_sq", "sum"), ("value", "min"),
+                                 ("value", "max")]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("value_count"), Sum("value_sum"), Sum("value_sq_sum"),
+                        Min("value_min"), Max("value_max")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = np.asarray(batch.column("sum(value_count)").to_pylist(), dtype=np.float64)
+        s = np.asarray(batch.column("sum(value_sum)").to_pylist(), dtype=np.float64)
+        s2 = np.asarray(batch.column("sum(value_sq_sum)").to_pylist(), dtype=np.float64)
+        var = np.maximum(s2 - s * s / n, 0.0) / np.maximum(n - 1, 1.0)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": pa.array(n.astype(np.int64), type=pa.int64()),
+            "avg_value": pa.array([_round2(v) for v in s / n]),
+            "std_value": pa.array([_round2(v) for v in np.sqrt(var)]),
+            "min_value": batch.column("min(value_min)"),
+            "max_value": batch.column("max(value_max)"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def qty_price_corr(sf_dir: str) -> ray.data.Dataset:
+    """Pearson correlation of (l_quantity, l_extendedprice) per returnflag —
+    the bivariate-moments shape (feature/label correlation per shard).
+
+    Same sufficient-statistics pattern as ``value_stats_by_type`` with the
+    cross term added: per-batch (n, sx, sy, sxx, syy, sxy) rows merge by
+    native Sum groupby; corr derives once at the end.  Rounded to 3dp (the
+    naive-moments formula and SQL's stable one agree far beyond that)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity",
+                                            "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_quantity")
+        y = batch.column("l_extendedprice")
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "n": pa.array(np.ones(len(x), dtype=np.int64)),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y),
+        })
+        return t.group_by("l_returnflag").aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("l_returnflag")
+             .aggregate(*[Sum(f"{c}_sum") for c in ("n", "sx", "sy", "sxx",
+                                                    "syy", "sxy")]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        g = {c: np.asarray(batch.column(f"sum({c}_sum)").to_pylist(),
+                           dtype=np.float64)
+             for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        cov = g["n"] * g["sxy"] - g["sx"] * g["sy"]
+        vx = g["n"] * g["sxx"] - g["sx"] * g["sx"]
+        vy = g["n"] * g["syy"] - g["sy"] * g["sy"]
+        corr = cov / np.sqrt(vx * vy)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "n_items": pa.array(g["n"].astype(np.int64), type=pa.int64()),
+            "corr_qty_price": pa.array([_round_nd(v, 3) for v in corr]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def users_click_and_purchase(sf_dir: str) -> ray.data.Dataset:
+    """Users appearing in BOTH the click and the purchase event sets — the
+    set-INTERSECTION shape (ids present in two corpora, docs passing two
+    independent filters).
+
+    One exchange: the read is filtered to the two types (predicate pushed),
+    each batch reduces to per-user presence flags (arrow group_by max), and
+    the native Max groupby merges them; the intersection is a flag filter
+    on the merged result.  Contrast with the naive two-distinct-sets +
+    join plan, which costs three exchanges."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"],
+               filter=pc.field("event_type").isin(["click", "purchase"]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        return (pa.table({
+            "user_id": batch.column("user_id"),
+            "has_click": pa.array((et == "click").astype(np.int64)),
+            "has_purchase": pa.array((et == "purchase").astype(np.int64)),
+        }).group_by("user_id").aggregate([("has_click", "max"),
+                                          ("has_purchase", "max")]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Max("has_click_max"), Max("has_purchase_max")))
+    def both(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(batch.column("max(has_click_max)"), 0),
+                       pc.greater(batch.column("max(has_purchase_max)"), 0))
+        return batch.filter(keep).select(["user_id"])
+
+    return agg.map_batches(both, batch_format="pyarrow")
 
 
 def custs_without_orders(sf_dir: str, min_total: float = 200_000.0) -> ray.data.Dataset:

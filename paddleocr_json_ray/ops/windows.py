@@ -20,6 +20,10 @@ custom operators a training-data pipeline needs, expressed Ray-Data-first:
     previous event): the sufficient statistic is ONE row per block edge —
     only a block's first row can have its predecessor in another block, and
     only a block's last row can be that predecessor.
+  * ``events_cume_dist`` — the GLOBAL rank shape (CUME_DIST over the whole
+    table): one value sort, per-block vectorized local ranks, and an
+    O(blocks) statistics exchange that heals offsets and cross-block ties;
+    no row ever leaves its block.
 """
 
 from __future__ import annotations
@@ -407,6 +411,129 @@ def events_lag_diff(sf_dir: str) -> ray.data.Dataset:
 
     healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
     return finals.union(healed)
+
+
+def events_cume_dist(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, cume_dist) — CUME_DIST() OVER (ORDER BY value): the
+    fraction of rows with value <= this row's value.  The GLOBAL (whole-
+    table) rank shape: unlike the per-user windows above there is no
+    partitioning key to shuffle by, so the pattern is one global value
+    sort + per-block local ranks + an O(blocks) sufficient-statistics heal.
+
+    CUME_DIST is a pure function of the value (count of <= v over N), so
+    after the sort every block can rank its rows locally (one vectorized
+    ``searchsorted`` against its own sorted values); the only cross-block
+    facts a row needs are (a) how many rows live in earlier blocks — all of
+    which are <= v by sort order — and (b) for rows TIED with the block
+    max, how many copies of that value continue into later blocks.  Both
+    derive from one tiny stat row per block (n_rows, min/max value, tie
+    counts at each end): sorted-contiguity guarantees a later block's rows
+    are all >= this block's max, with equality only at its min.  The stat
+    table is control-plane sized (O(blocks)), broadcast back once; rows
+    never leave their block and a heavily tied value domain costs nothing
+    extra (the tie heal moves counts, not rows)."""
+    import ray
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+    srt = ds.sort("value")
+
+    def block_rank(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy().astype(np.float64)
+        e = batch.column("event_id").to_numpy().astype(np.int64)
+        n = len(v)
+        cols = ("kind", "event_id", "leq", "is_max", "key_v", "key_e",
+                "n_rows", "min_v", "n_eq_min", "max_v", "n_eq_max")
+        if n == 0:
+            return pa.table({c: pa.array([], type=pa.float64() if c in
+                            ("key_v", "min_v", "max_v") else pa.int64())
+                             for c in cols})
+        leq = np.searchsorted(v, v, side="right")  # block is value-sorted
+        rows = pa.table({
+            "kind": pa.array(np.zeros(n, dtype=np.int64)),
+            "event_id": pa.array(e),
+            "leq": pa.array(leq.astype(np.int64)),
+            "is_max": pa.array((v == v[-1]).astype(np.int64)),
+            "key_v": pa.array(np.full(n, v[0])),
+            "key_e": pa.array(np.full(n, e[0], dtype=np.int64)),
+            "n_rows": pa.array(np.zeros(n, dtype=np.int64)),
+            "min_v": pa.array(np.zeros(n, dtype=np.float64)),
+            "n_eq_min": pa.array(np.zeros(n, dtype=np.int64)),
+            "max_v": pa.array(np.zeros(n, dtype=np.float64)),
+            "n_eq_max": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+        stat = pa.table({
+            "kind": pa.array([1], type=pa.int64()),
+            "event_id": pa.array([0], type=pa.int64()),
+            "leq": pa.array([0], type=pa.int64()),
+            "is_max": pa.array([0], type=pa.int64()),
+            "key_v": pa.array([float(v[0])]),
+            "key_e": pa.array([int(e[0])], type=pa.int64()),
+            "n_rows": pa.array([n], type=pa.int64()),
+            "min_v": pa.array([float(v[0])]),
+            "n_eq_min": pa.array([int(np.searchsorted(v, v[0], side="right"))],
+                                 type=pa.int64()),
+            "max_v": pa.array([float(v[-1])]),
+            "n_eq_max": pa.array([int(n - np.searchsorted(v, v[-1], side="left"))],
+                                 type=pa.int64()),
+        })
+        return pa.concat_tables([rows, stat])
+
+    out = srt.map_batches(block_rank, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    rows = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0))
+                   .select(["event_id", "leq", "is_max", "key_v", "key_e"]),
+        batch_format="pyarrow")
+    stats = (out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1))
+                   .select(["key_v", "key_e", "n_rows", "min_v", "n_eq_min",
+                            "max_v", "n_eq_max"]),
+        batch_format="pyarrow").to_pandas())  # O(blocks): control-plane sized
+
+    # stat order: (min, max, first event) — equivalent to true block order up
+    # to permutations of identical-range (all-tied) blocks, which CUME_DIST
+    # cannot observe (it counts values, not positions)
+    stats = stats.sort_values(["min_v", "max_v", "key_e"], kind="stable")
+    n_total = int(stats["n_rows"].sum())
+    offsets = np.r_[0, np.cumsum(stats["n_rows"].to_numpy())[:-1]]
+    # eq_after: copies of this block's max living in later blocks (later
+    # blocks hold them only at their min, by sorted contiguity)
+    eq_after = np.zeros(len(stats), dtype=np.int64)
+    suffix: dict[float, int] = {}
+    mins = stats["min_v"].to_numpy()
+    maxs = stats["max_v"].to_numpy()
+    nmin = stats["n_eq_min"].to_numpy()
+    for i in range(len(stats) - 1, -1, -1):
+        eq_after[i] = suffix.get(maxs[i], 0)
+        suffix[mins[i]] = suffix.get(mins[i], 0) + int(nmin[i])
+    lut = {(kv, ke): (int(o), int(q))
+           for kv, ke, o, q in zip(stats["key_v"], stats["key_e"], offsets, eq_after)}
+    lut_ref = ray.put(lut)
+
+    def finish(batch: pa.Table, ref) -> pa.Table:
+        m = ray.get(ref)
+        kv = batch.column("key_v").to_numpy()
+        ke = batch.column("key_e").to_numpy()
+        leq = batch.column("leq").to_numpy().astype(np.int64)
+        is_max = batch.column("is_max").to_numpy().astype(np.int64)
+        # one lookup per source BLOCK (keys are block-constant), not per row
+        uniq = {(float(a), int(b)) for a, b in zip(kv, ke)}
+        off = np.empty(len(kv), dtype=np.int64)
+        qaf = np.empty(len(kv), dtype=np.int64)
+        for key in uniq:
+            sel = (kv == key[0]) & (ke == key[1])
+            o, q = m[key]
+            off[sel] = o
+            qaf[sel] = q
+        cnt = leq + off + is_max * qaf
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "cume_dist": pa.array(cnt.astype(np.float64) / float(n_total)),
+        })
+
+    return rows.map_batches(finish, batch_format="pyarrow", fn_args=(lut_ref,))
 
 
 def events_rolling_sum(sf_dir: str, window: int = 3) -> ray.data.Dataset:

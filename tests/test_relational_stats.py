@@ -1,0 +1,109 @@
+"""Pivot / moment-statistics / set-intersection / global-rank operators vs
+brute-force numpy oracles, exercising cross-block tie healing explicitly."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from paddleocr_json_ray.ops import relational, windows
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    rng = np.random.default_rng(17)
+    n = 5000
+    base = 1_600_000_000_000_000
+    # QUANTIZED values: ties are guaranteed to span block boundaries after
+    # the value sort, exercising the cume_dist tie heal
+    tab = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "user_id": pa.array(rng.integers(0, 60, size=n), type=pa.int64()),
+        "ts": pa.array((base + rng.integers(0, 10**12, size=n)).tolist(),
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(rng.choice(
+            ["click", "error", "purchase", "signup", "view"], size=n)),
+        "value": pa.array(np.round(rng.uniform(-5, 20, size=n), 0)),
+    })
+    d = tmp_path_factory.mktemp("evs")
+    pq.write_table(tab, os.path.join(str(d), "events.parquet"))
+    return str(d), tab
+
+
+def test_cume_dist_with_heavy_ties(ray_session, events_dir):
+    d, tab = events_dir
+    got = (windows.events_cume_dist(d).to_pandas()
+           .set_index("event_id")["cume_dist"])
+    v = tab.column("value").to_numpy()
+    sv = np.sort(v)
+    expect = np.searchsorted(sv, v, side="right") / len(v)
+    assert len(got) == len(v)
+    for eid in range(0, len(v), 173):
+        assert got.loc[eid] == expect[eid]  # exact: int count / int N
+
+
+def test_cume_dist_single_value(ray_session, tmp_path):
+    """All rows tied on one value -> every cume_dist is exactly 1.0 even
+    though every block's min == max (the all-tied-block stat-order case)."""
+    n = 800
+    tab = pa.table({"event_id": pa.array(range(n), type=pa.int64()),
+                    "value": pa.array(np.full(n, 3.5))})
+    pq.write_table(tab, os.path.join(str(tmp_path), "events.parquet"))
+    got = windows.events_cume_dist(str(tmp_path)).to_pandas()
+    assert len(got) == n
+    assert (got["cume_dist"] == 1.0).all()
+
+
+def test_value_stats_match_numpy(ray_session, events_dir):
+    d, tab = events_dir
+    got = relational.value_stats_by_type(d).to_pandas().set_index("event_type")
+    et = np.asarray(tab.column("event_type").to_pylist())
+    v = tab.column("value").to_numpy()
+    for t in np.unique(et):
+        x = v[et == t]
+        row = got.loc[t]
+        assert row["n_events"] == len(x)
+        assert row["avg_value"] == pytest.approx(np.mean(x), abs=0.005)
+        assert row["std_value"] == pytest.approx(np.std(x, ddof=1), abs=0.005)
+        assert row["min_value"] == x.min() and row["max_value"] == x.max()
+
+
+def test_corr_matches_numpy(ray_session, tmp_path):
+    rng = np.random.default_rng(31)
+    n = 4000
+    q = rng.integers(1, 51, size=n).astype(np.float64)
+    p = q * 900 + rng.normal(0, 5000, size=n)  # strong positive correlation
+    tab = pa.table({"l_returnflag": pa.array(rng.choice(["A", "N", "R"], size=n)),
+                    "l_quantity": pa.array(q), "l_extendedprice": pa.array(p)})
+    pq.write_table(tab, os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = relational.qty_price_corr(str(tmp_path)).to_pandas().set_index("l_returnflag")
+    flags = np.asarray(tab.column("l_returnflag").to_pylist())
+    for f in ("A", "N", "R"):
+        m = flags == f
+        expect = np.corrcoef(q[m], p[m])[0, 1]
+        assert got.loc[f, "corr_qty_price"] == pytest.approx(expect, abs=0.0015)
+
+
+def test_pivot_counts_and_total(ray_session, events_dir):
+    d, tab = events_dir
+    got = relational.events_pivot(d).to_pandas().set_index("user_id")
+    type_cols = [c for c in got.columns if c != "n_events"]
+    assert (got[type_cols].sum(axis=1) == got["n_events"]).all()
+    et = np.asarray(tab.column("event_type").to_pylist())
+    users = tab.column("user_id").to_numpy()
+    for u in (0, 17, 59):
+        m = users == u
+        assert got.loc[u, "n_events"] == m.sum()
+        assert got.loc[u, "n_click"] == ((et == "click") & m).sum()
+        assert got.loc[u, "n_purchase"] == ((et == "purchase") & m).sum()
+
+
+def test_intersection_matches_sets(ray_session, events_dir):
+    d, tab = events_dir
+    got = set(relational.users_click_and_purchase(d).to_pandas()["user_id"])
+    et = np.asarray(tab.column("event_type").to_pylist())
+    users = tab.column("user_id").to_numpy()
+    expect = set(users[et == "click"]) & set(users[et == "purchase"])
+    assert got == expect
