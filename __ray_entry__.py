@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": multimodal.media_meta,
         "media_thumbnails": multimodal.media_thumbnails,
         "frame_sample": multimodal.frame_sample,
+        "audio_features": multimodal.audio_features,  # WAV DSP, rows-only
         # ---- text analysis (SQL-oracle-matched unless noted) ----
         "text_clean": text_ops.text_clean,
         "token_counts": text_ops.token_counts,
@@ -143,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- sketches / order statistics ----
         "events_distinct_users": sketches.events_distinct_users,
         "distinct_users_hll": sketches.hll_distinct_users,  # approx, rows-only
+        "distinct_users_hll_by_type": sketches.hll_distinct_users_by_type,  # approx, rows-only
         "heavy_hitters": sketches.heavy_hitters,  # MG/SpaceSaving, rows-only
         "quantity_percentiles": sketches.quantity_percentiles,
         "quantity_percentiles_by_flag": sketches.quantity_percentiles_by_flag,

@@ -1,11 +1,12 @@
 """Multimodal column ops: opaque binary payloads + typed metadata, processed
 by actor-pool ``map_batches`` stages.
 
-Real image/audio codecs are not available in this container, so the pixel
-decode for real formats is STUBBED behind ``decode_real_image`` (raises
-NotImplementedError unless cv2/PIL appears); all Ray-side plumbing — binary
-schema, actor signature, batch sizing, output layout — is real and tested
-against the deterministic SIMG payloads.
+Image formats decode via the in-repo PNG/BMP/JPEG codecs (cv2 slots in when
+present); audio decodes via the in-repo RIFF/WAV PCM parser
+(``functions/audiocodecs``), with compressed codecs (MP3/WebP/...) raising
+NotImplementedError at the same clearly-marked seams a codec lib would fill.
+All Ray-side plumbing — binary schema, actor signature, batch sizing,
+output layout — is real and tested.
 """
 
 from __future__ import annotations
@@ -122,6 +123,110 @@ def media_thumbnails(sf_dir: str, concurrency: int | None = None) -> ray.data.Da
     pool = _pool_size(concurrency or 32)
     return _read_blobs(sf_dir).map_batches(
         ThumbnailStage, concurrency=(pool, pool), batch_size=32,
+        batch_format="pyarrow", num_cpus=1)
+
+
+_AUDIO_SR = 16_000
+
+
+def _clip_wav(clip_id: int) -> bytes:
+    """Deterministic synthetic speech-band clip (REAL WAV bytes): a seeded
+    fundamental + two harmonics + noise floor, 0.2-0.6 s at 16 kHz.  The
+    audio analogue of the SIMG raster generator — the payload column is a
+    genuine container format so the decode stage does real parsing."""
+    from ..functions.audiocodecs import encode_wav
+
+    rng = np.random.default_rng(0xA0D10 + clip_id)
+    dur = rng.uniform(0.2, 0.6)
+    f0 = rng.uniform(100.0, 1200.0)
+    t = np.arange(int(dur * _AUDIO_SR)) / _AUDIO_SR
+    sig = (0.6 * np.sin(2 * np.pi * f0 * t)
+           + 0.25 * np.sin(2 * np.pi * 2 * f0 * t)
+           + 0.1 * np.sin(2 * np.pi * 3 * f0 * t)
+           + 0.02 * rng.standard_normal(len(t)))
+    return encode_wav(0.7 * sig, _AUDIO_SR)
+
+
+def audio_clips(sf_dir: str) -> ray.data.Dataset:
+    """Opaque-binary audio column keyed to the documents table: one WAV
+    payload per doc_id (task-based generation — the ingest-side stand-in
+    for reading an audio blob store)."""
+    from ..sources.readers import read_table
+
+    ids = read_table(sf_dir, "documents", ["doc_id"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "clip_id": pa.array(doc_ids, type=pa.int64()),
+            "payload": pa.array([_clip_wav(i) for i in doc_ids], type=pa.binary()),
+        })
+
+    return ids.map_batches(gen, batch_format="pyarrow")
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: WAV decode -> framed DSP features.  The FFT window
+    and bin-frequency vectors are built ONCE per actor in __init__; per
+    payload the frames are a zero-copy stride view and the FFT runs over
+    all frames in one vectorized rfft call."""
+
+    def __init__(self, frame: int = 512, hop: int = 256):
+        self.frame = frame
+        self.hop = hop
+        self.window = np.hanning(frame)
+        self.freqs = np.fft.rfftfreq(frame, d=1.0 / _AUDIO_SR)
+
+    def _features(self, payload: bytes):
+        from ..functions.audiocodecs import decode_wav
+
+        try:
+            pcm, sr = decode_wav(payload)
+        except (ValueError, NotImplementedError):
+            return None
+        x = pcm.astype(np.float64).mean(axis=1) / 32768.0  # downmix
+        n = len(x)
+        if n < self.frame:
+            x = np.pad(x, (0, self.frame - n))
+        n_frames = 1 + (len(x) - self.frame) // self.hop
+        frames = np.lib.stride_tricks.as_strided(
+            x, shape=(n_frames, self.frame),
+            strides=(x.strides[0] * self.hop, x.strides[0]))
+        rms = float(np.sqrt(np.mean(x * x)))
+        zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        spec = np.abs(np.fft.rfft(frames * self.window, axis=1))
+        power = spec.sum(axis=1)
+        cent = float(np.mean((spec @ self.freqs)[power > 0] / power[power > 0])) \
+            if (power > 0).any() else 0.0
+        return (sr, n, int(n * 1000 // sr), int(round(rms * 1000)),
+                int(round(zc * 1000)), int(round(cent)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._features(p) for p in batch.column("payload").to_pylist()]
+        ok = [r is not None for r in rows]
+        filled = [r if r is not None else (0, 0, 0, -1, -1, -1) for r in rows]
+        cols = list(zip(*filled)) if filled else [[]] * 6
+        return pa.table({
+            "clip_id": batch.column("clip_id"),
+            "ok": pa.array(ok, type=pa.bool_()),
+            "sample_rate": pa.array(cols[0], type=pa.int32()),
+            "n_samples": pa.array(cols[1], type=pa.int64()),
+            "duration_ms": pa.array(cols[2], type=pa.int64()),
+            "rms_milli": pa.array(cols[3], type=pa.int64()),
+            "zcr_milli": pa.array(cols[4], type=pa.int64()),
+            "centroid_hz": pa.array(cols[5], type=pa.int64()),
+        })
+
+
+def audio_features(sf_dir: str, concurrency: int | None = None) -> ray.data.Dataset:
+    """Per-clip DSP features over the audio column — the audio leg of the
+    multimodal triad (image thumbnails / video frame-sample / audio
+    features).  Same pool sizing rule as the other heavy-payload stages."""
+    from ..pipelines.ocr import _pool_size
+
+    pool = _pool_size(concurrency or 32)
+    return audio_clips(sf_dir).map_batches(
+        AudioFeatureStage, concurrency=(pool, pool), batch_size=64,
         batch_format="pyarrow", num_cpus=1)
 
 

@@ -14,6 +14,8 @@
     domain: per-batch value histograms merge on the driver; interpolation
     follows SQL PERCENTILE_CONT exactly (rank h=(N-1)p between adjacent
     order statistics).
+  * ``hll_distinct_users_by_type`` — the grouped-sketch variant: one
+    register row per (key, batch), max-merged per key.
   * ``heavy_hitters`` — mergeable Misra-Gries/SpaceSaving top-k with a
     one-sided error bound: the unbounded-vocabulary companion to the
     exact ``word_topk``.
@@ -73,12 +75,9 @@ def events_distinct_users(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow").sort("event_type")
 
 
-def hll_registers(batch: pa.Table, col: str = "user_id") -> pa.Table:
-    """One row per batch: 2^p HLL registers over the hashed column."""
-    h = _hash64(batch.column(col).to_numpy().astype(np.int64))
-    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+def _hll_ranks(h: np.ndarray) -> np.ndarray:
+    """1-based position of the leftmost 1 in the low 64-p bits of each hash."""
     rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
-    # rank = position of leftmost 1 in the remaining 64-p bits, 1-based
     nlz = np.zeros(len(h), dtype=np.int64)
     cur = rest.copy()
     top = np.uint64(1) << np.uint64(63)
@@ -88,7 +87,14 @@ def hll_registers(batch: pa.Table, col: str = "user_id") -> pa.Table:
             break
         nlz[unset] += 1
         cur[unset] = cur[unset] << np.uint64(1)
-    rank = nlz + 1
+    return nlz + 1
+
+
+def hll_registers(batch: pa.Table, col: str = "user_id") -> pa.Table:
+    """One row per batch: 2^p HLL registers over the hashed column."""
+    h = _hash64(batch.column(col).to_numpy().astype(np.int64))
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rank = _hll_ranks(h)
     regs = np.zeros(_HLL_M, dtype=np.int8)
     np.maximum.at(regs, idx, rank.astype(np.int8))
     return pa.table({"registers": pa.array([regs.tobytes()], type=pa.binary())})
@@ -117,6 +123,51 @@ def hll_distinct_users(sf_dir: str) -> ray.data.Dataset:
         np.maximum(merged, np.frombuffer(blob, dtype=np.int8), out=merged)
     return ray.data.from_arrow(pa.table({
         "n_users_approx": pa.array([int(round(hll_estimate(merged)))], type=pa.int64()),
+    }))
+
+
+def hll_distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT user_id) PER event_type — the grouped
+    sketch shape.  Each batch emits one register row per key present (an
+    arrow-grouped variant of ``hll_registers``); the merge is elementwise
+    max per key over keys x blocks rows (control-plane sized — registers
+    are 4 KB regardless of cardinality, so a hot key costs the same as a
+    cold one).  Returns (event_type, n_users_approx), rows-only checked;
+    the exact counterpart is ``events_distinct_users``."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_type").to_numpy(zero_copy_only=False)
+        h = _hash64(batch.column("user_id").to_numpy().astype(np.int64))
+        order = np.argsort(keys, kind="stable")
+        keys, h = keys[order], h[order]
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        out_k, out_r = [], []
+        idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        rank = _hll_ranks(h)
+        for s, e in zip(starts, np.r_[starts[1:], len(keys)]):
+            regs = np.zeros(_HLL_M, dtype=np.int8)
+            np.maximum.at(regs, idx[s:e], rank[s:e].astype(np.int8))
+            out_k.append(keys[s])
+            out_r.append(regs.tobytes())
+        return pa.table({"event_type": pa.array(out_k, type=pa.string()),
+                         "registers": pa.array(out_r, type=pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged: dict[str, np.ndarray] = {}
+    for k, blob in zip(parts["event_type"], parts["registers"]):
+        regs = np.frombuffer(blob, dtype=np.int8)
+        if k in merged:
+            np.maximum(merged[k], regs, out=merged[k])
+        else:
+            merged[k] = regs.copy()
+    keys = sorted(merged)
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(keys, type=pa.string()),
+        "n_users_approx": pa.array(
+            [int(round(hll_estimate(merged[k]))) for k in keys], type=pa.int64()),
     }))
 
 
