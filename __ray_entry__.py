@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
         "revenue_rollup": relational.revenue_rollup,
+        "cust_order_counts": relational.cust_order_counts,
         "events_pivot": relational.events_pivot,
         "value_stats_by_type": relational.value_stats_by_type,
         "qty_price_corr": relational.qty_price_corr,
@@ -351,6 +352,11 @@ SELECT event_id,
        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id) AS lag_us
 FROM events""",
+        "cust_order_counts": """
+SELECT c.c_custkey, c.c_name, coalesce(n.n_orders, 0) AS n_orders
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) n
+ON c.c_custkey = n.o_custkey""",
         "events_pivot": """
 SELECT user_id,
        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

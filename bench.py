@@ -87,7 +87,10 @@ def run_suite() -> dict:
                 "curate_corpus",
                 # round-3b additions
                 "decontaminate", "bloom_decontaminate", "tfidf_top_terms",
-                "events_lag_diff", "revenue_rollup", "sample_docs"]
+                "events_lag_diff", "revenue_rollup", "sample_docs",
+                # round-3c additions
+                "events_cume_dist", "events_pivot", "cust_order_counts",
+                "audio_features", "heavy_hitters"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

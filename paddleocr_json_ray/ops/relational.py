@@ -270,6 +270,32 @@ def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
                                           batch_size=None)
 
 
+def cust_order_counts(sf_dir: str) -> ray.data.Dataset:
+    """Order count per customer INCLUDING order-less customers — the LEFT
+    OUTER join shape (entity enrichment where the right side may miss).
+
+    Scale shape: the big side pre-aggregates FIRST (a combiner groupby
+    shrinks orders to one count row per custkey), so the partitioned
+    left-outer hash join exchanges keys x counts, never raw orders; the
+    null fill for unmatched customers is a vectorized coalesce."""
+    counts = (_read(sf_dir, "orders", columns=["o_custkey"])
+              .groupby("o_custkey").aggregate(Count()))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    joined = cust.join(counts, "left_outer",
+                       num_partitions=_join_partitions(cust, counts),
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "c_name": batch.column("c_name"),
+            "n_orders": pc.coalesce(batch.column("count()"),
+                                    pa.scalar(0)).cast(pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
