@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": relational.revenue_by_priority,
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
+        "custs_with_big_orders": relational.custs_with_big_orders,
         "revenue_rollup": relational.revenue_rollup,
         "cust_order_counts": relational.cust_order_counts,
         "events_pivot": relational.events_pivot,
@@ -352,6 +353,10 @@ SELECT event_id,
        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id) AS lag_us
 FROM events""",
+        "custs_with_big_orders": """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""",
         "cust_order_counts": """
 SELECT c.c_custkey, c.c_name, coalesce(n.n_orders, 0) AS n_orders
 FROM customer c LEFT JOIN (

@@ -270,6 +270,24 @@ def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
                                           batch_size=None)
 
 
+def custs_with_big_orders(sf_dir: str, min_total: float = 400_000.0) -> ray.data.Dataset:
+    """Customers having at least one order above ``min_total`` — the SEMI
+    join shape, via Ray's native partitioned left_semi join (the partner
+    to ``custs_without_orders``' broadcast anti-join: use THIS plan when
+    the filtering key set is too large to broadcast).
+
+    The probe side is distinct-reduced first (combiner groupby on the
+    predicate-pushed single-column read), so the semi join exchanges one
+    row per qualifying customer, not one per qualifying order."""
+    keys = (_read(sf_dir, "orders", columns=["o_custkey"],
+                  filter=pc.field("o_totalprice") > pa.scalar(min_total))
+            .groupby("o_custkey").aggregate(Count()))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return cust.join(keys, "left_semi",
+                     num_partitions=_join_partitions(cust, keys),
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+
 def cust_order_counts(sf_dir: str) -> ray.data.Dataset:
     """Order count per customer INCLUDING order-less customers — the LEFT
     OUTER join shape (entity enrichment where the right side may miss).
