@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,            # ANN, rows-only by design
         "kmeans_embeddings": similarity.kmeans_embeddings,  # iterative, rows-only
+        "label_centroids": similarity.label_centroids,
         # ---- relational surface ----
         "agg_pricing": relational.agg_pricing,
         "top_orders": relational.top_orders,
@@ -205,6 +206,12 @@ WHERE rn = 1""",
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35""",
+        "label_centroids": """
+SELECT label, dim, round(avg(x), 3) AS avg_val FROM (
+  SELECT label, unnest(range(len(embedding))) AS dim,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings)
+GROUP BY label, dim""",
         "knn_brute": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
 sims AS (

@@ -253,6 +253,54 @@ def knn_ivf(sf_dir: str, n_queries: int = 8, k: int = 5,
 
 
 # ------------------------------------------------------------------ k-means
+def label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """(label, dim, avg_val) — element-wise per-label mean of the embedding
+    column: the grouped VECTOR-aggregation shape (class prototypes, cluster
+    summaries, feature-normalization stats).
+
+    Per batch the [n, D] matrix reduces to one partial-sum vector per label
+    present (vectorized ``np.add.at`` over the label index), exploded to
+    (label, dim, s, n) rows; the native Sum groupby merges them, so the
+    exchange carries labels x D x blocks rows — control-plane sized — and
+    the raw vectors never shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _mat(batch.column("embedding"))
+        labels = batch.column("label").to_numpy().astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq))
+        d = mat.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), type=pa.int32()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts, d).astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["label", "dim"]).aggregate(Sum("s"), Sum("n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        from .relational import _round_nd
+
+        s = np.asarray(batch.column("sum(s)").to_pylist())
+        n = np.asarray(batch.column("sum(n)").to_pylist())
+        return pa.table({
+            "label": batch.column("label"),
+            "dim": batch.column("dim"),
+            "avg_val": pa.array([_round_nd(v, 3) for v in s / n]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 8) -> ray.data.Dataset:
     """(vec_id, cluster) after Lloyd iterations — the canonical broadcast-
     small-state iterative pattern: centroids (k x dim floats, control-plane
