@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_histogram": text_ops.length_histogram,
         "sample_docs": text_ops.sample_docs,
         "sample_per_source": text_ops.sample_per_source,
+        "shuffle_positions": text_ops.shuffle_positions,
         "unigram_logprob": text_ops.unigram_logprob,  # libm ln, rows-only
         "tfidf_top_terms": text_ops.tfidf_top_terms,
         "decontaminate": decontam.decontaminate,
@@ -403,6 +404,10 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
         "sample_docs": """
 SELECT doc_id FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200""",
+        "shuffle_positions": """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+FROM documents""",
         "sample_per_source": """
 SELECT source, doc_id, rank FROM (
   SELECT source, doc_id,

@@ -252,6 +252,95 @@ def sample_docs(sf_dir: str, k: int = 200) -> ray.data.Dataset:
             .select_columns(["doc_id"]))
 
 
+def shuffle_positions(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, pos) — DETERMINISTIC global shuffle for training export:
+    pos is the 1-based rank under the md5-keyed total order (doc_id
+    tiebreak).  The resumable, engine-independent alternative to
+    ``random_shuffle()``: a re-run (or a resumed partial run) reproduces
+    the identical order, so shard N of the export is always the same rows.
+
+    Shape: one keyed sort; each block emits its rows with their LOCAL
+    index plus one count-stat row; block offsets derive from the O(blocks)
+    stat table (control-plane sized) broadcast back once.  No tie healing
+    needed — the (hash, doc_id) order is strict."""
+    import hashlib
+
+    import numpy as np
+    import ray
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "h": pa.array([hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                          type=pa.string()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+        })
+
+    srt = (_read_documents(sf_dir, columns=("doc_id",))
+           .map_batches(add_key, batch_format="pyarrow")
+           .sort(["h", "doc_id"]))
+
+    def block_pos(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"kind": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "local": pa.array([], type=pa.int64()),
+                             "key_h": pa.array([], type=pa.string()),
+                             "key_d": pa.array([], type=pa.int64())})
+        first_h = batch.column("h")[0].as_py()
+        first_d = int(batch.column("doc_id")[0].as_py())
+        rows = pa.table({
+            "kind": pa.array(np.zeros(n, dtype=np.int64)),
+            "doc_id": batch.column("doc_id"),
+            "local": pa.array(np.arange(n, dtype=np.int64)),
+            "key_h": pa.array([first_h] * n, type=pa.string()),
+            "key_d": pa.array(np.full(n, first_d, dtype=np.int64)),
+        })
+        stat = pa.table({
+            "kind": pa.array([1], type=pa.int64()),
+            "doc_id": pa.array([n], type=pa.int64()),  # carries the count
+            "local": pa.array([0], type=pa.int64()),
+            "key_h": pa.array([first_h], type=pa.string()),
+            "key_d": pa.array([first_d], type=pa.int64()),
+        })
+        return pa.concat_tables([rows, stat])
+
+    out = srt.map_batches(block_pos, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    stats = (out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1)),
+        batch_format="pyarrow").to_pandas())  # O(blocks)
+    stats = stats.sort_values(["key_h", "key_d"], kind="stable")
+    offs = {}
+    running = 0
+    for r in stats.itertuples():
+        offs[(r.key_h, r.key_d)] = running
+        running += int(r.doc_id)
+    offs_ref = ray.put(offs)
+
+    def finish(batch: pa.Table, ref) -> pa.Table:
+        m = ray.get(ref)
+        kh = batch.column("key_h").to_pylist()
+        kd = batch.column("key_d").to_numpy()
+        local = batch.column("local").to_numpy()
+        off = np.empty(len(kh), dtype=np.int64)
+        for key in {(h, int(d)) for h, d in zip(kh, kd)}:  # one per block
+            sel = np.fromiter((a == key[0] and int(b) == key[1]
+                               for a, b in zip(kh, kd)),
+                              dtype=bool, count=len(kh))
+            off[sel] = m[key]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "pos": pa.array(local + off + 1, type=pa.int64()),
+        })
+
+    rows = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)),
+        batch_format="pyarrow")
+    return rows.map_batches(finish, batch_format="pyarrow", fn_args=(offs_ref,))
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """(doc_id, term, rank, score_milli) — each document's top-k terms by an
     integer-exact tf-idf variant: score = tf * (N * 1000 // df), ties broken
