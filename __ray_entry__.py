@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
         "custs_with_big_orders": relational.custs_with_big_orders,
+        "activity_full_join": relational.activity_full_join,
         "revenue_rollup": relational.revenue_rollup,
         "cust_order_counts": relational.cust_order_counts,
         "events_pivot": relational.events_pivot,
@@ -361,6 +362,15 @@ SELECT event_id,
        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id) AS lag_us
 FROM events""",
+        "activity_full_join": """
+SELECT coalesce(o.k, e.k) AS entity_id,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(e.n_events, 0) AS n_events
+FROM (SELECT o_custkey AS k, count(*) AS n_orders FROM orders
+      WHERE o_totalprice > 300000 GROUP BY o_custkey) o
+FULL JOIN (SELECT user_id AS k, count(*) AS n_events FROM events
+           GROUP BY user_id) e
+ON o.k = e.k""",
         "custs_with_big_orders": """
 SELECT c_custkey, c_name FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o

@@ -288,6 +288,40 @@ def custs_with_big_orders(sf_dir: str, min_total: float = 400_000.0) -> ray.data
                      on=("c_custkey",), right_on=("o_custkey",))
 
 
+def activity_full_join(sf_dir: str, min_total: float = 300_000.0) -> ray.data.Dataset:
+    """Per-entity big-order count vs event count — the FULL OUTER join
+    shape (reconciling two activity logs where either side may miss an
+    entity; the order side is restricted to totals above ``min_total`` so
+    both unmatched classes genuinely occur).
+
+    Both sides pre-aggregate to one row per key before the partitioned
+    full-outer hash join (the exchange carries two key->count tables, not
+    raw rows); unmatched sides fill with 0 and the surviving key is the
+    coalesced key pair."""
+    orders = (_read(sf_dir, "orders", columns=["o_custkey"],
+                    filter=pc.field("o_totalprice") > pa.scalar(min_total))
+              .groupby("o_custkey").aggregate(Count()))
+    events = (_read(sf_dir, "events", columns=["user_id"])
+              .groupby("user_id").aggregate(Count()))
+    joined = orders.join(events, "full_outer",
+                         num_partitions=_join_partitions(orders, events),
+                         on=("o_custkey",), right_on=("user_id",),
+                         left_suffix="_o", right_suffix="_e")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # Ray's full-outer join coalesces the key pair into the left key
+        # column, so o_custkey already carries right-only keys
+        return pa.table({
+            "entity_id": batch.column("o_custkey").cast(pa.int64()),
+            "n_orders": pc.coalesce(batch.column("count()_o"),
+                                    pa.scalar(0)).cast(pa.int64()),
+            "n_events": pc.coalesce(batch.column("count()_e"),
+                                    pa.scalar(0)).cast(pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def cust_order_counts(sf_dir: str) -> ray.data.Dataset:
     """Order count per customer INCLUDING order-less customers — the LEFT
     OUTER join shape (entity enrichment where the right side may miss).
