@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_recent": relational.lineitem_recent,
         "suppliers_per_region": relational.suppliers_per_region,
         "revenue_by_priority": relational.revenue_by_priority,
+        "revenue_by_part_type": relational.revenue_by_part_type,
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
         "custs_with_big_orders": relational.custs_with_big_orders,
@@ -256,6 +257,11 @@ SELECT o.o_orderpriority, count(*) AS n_items,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority""",
+        "revenue_by_part_type": """
+SELECT p.p_type, count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type""",
         "distinct_sources": "SELECT DISTINCT source FROM documents",
         "custs_without_orders": """
 SELECT c_custkey, c_name FROM customer c

@@ -230,6 +230,49 @@ def revenue_by_priority(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def revenue_by_part_type(sf_dir: str) -> ray.data.Dataset:
+    """Discounted revenue per part type (TPC-H Q14 shape) — lineitem
+    enriched from the part DIMENSION by broadcast (partkey -> type array
+    shipped once via ``ray.put``, indexed vectorized per batch), then the
+    native partial-aggregate groupby.  The join never shuffles lineitem;
+    at a part-table scale past object-store broadcast, this becomes the
+    ``revenue_by_priority`` partitioned hash-join plan instead."""
+    import numpy as np
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    keys = part.column("p_partkey").to_numpy().astype(np.int64)
+    types = np.asarray(part.column("p_type").to_pylist())
+    lut = np.empty(keys.max() + 2, dtype=types.dtype)
+    lut[:] = ""
+    lut[keys] = types  # dense dimension: direct index, no hash probe
+    lut_ref = ray.put(lut)
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def enrich(batch: pa.Table, ref) -> pa.Table:
+        m = ray.get(ref)
+        pk = np.clip(batch.column("l_partkey").to_numpy().astype(np.int64),
+                     0, len(m) - 1)
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"p_type": pa.array(m[pk]), "rev": rev})
+
+    agg = (ds.map_batches(enrich, batch_format="pyarrow", fn_args=(lut_ref,))
+             .groupby("p_type").aggregate(Count(), Sum("rev")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_type": batch.column("p_type"),
+            "n_items": batch.column("count()").cast(pa.int64()),
+            "revenue": pa.array([_round2(v) for v in
+                                 batch.column("sum(rev)").to_pylist()]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): leaf groups plus per-flag
     subtotals plus the grand total, rolled-up levels labelled 'ALL' (sentinel
