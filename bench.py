@@ -90,7 +90,10 @@ def run_suite() -> dict:
                 "events_lag_diff", "revenue_rollup", "sample_docs",
                 # round-3c additions
                 "events_cume_dist", "events_pivot", "cust_order_counts",
-                "audio_features", "heavy_hitters"]
+                "audio_features", "heavy_hitters",
+                # round-3d additions
+                "shuffle_positions", "label_centroids", "activity_full_join",
+                "revenue_by_part_type", "value_stats_by_type"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:
