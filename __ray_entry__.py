@@ -75,6 +75,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              concurrency=2, fn_constructor_args=(cfg,))
                 .select_columns(["blob_id", "region_type", "html", "text"]))
 
+    def _export_summary(sf_dir: str):
+        # full export chain into a throwaway dir; the deterministic summary
+        # row is the checked result (partition layout is asserted in pytest)
+        import tempfile
+
+        import pyarrow as pa
+        import ray.data
+
+        from paddleocr_json_ray.pipelines.curation import export_corpus
+
+        s = export_corpus(sf_dir, tempfile.mkdtemp(prefix="pjr_export_"))
+        return ray.data.from_arrow(pa.table({
+            "n_docs": pa.array([s["n_docs"]], type=pa.int64()),
+            "n_train": pa.array([s["n_train"]], type=pa.int64()),
+            "n_val": pa.array([s["n_val"]], type=pa.int64()),
+            "n_test": pa.array([s["n_test"]], type=pa.int64()),
+        }))
+
     return {
         # ---- extraction / OCR family (non-SQL; golden-checked in pytest) ----
         "ocr_e2e": lambda sf: run_extraction(sf).select_columns(
@@ -158,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_topk": text_ops.word_topk,
         # ---- composed curation pipeline (extraction -> score -> filter -> dedup) ----
         "curate_corpus": curate,
+        "export_corpus_summary": _export_summary,  # partitioned-sink e2e, rows-only
         # ---- structure mode (flag-gated; deterministic ruled-table payloads) ----
         "structure_tables": structure_tables,
     }

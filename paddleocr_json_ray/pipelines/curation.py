@@ -108,3 +108,55 @@ def curate(sf_dir: str, cfg: PipelineConfig | None = None,
     healed = edges.groupby(["text_hash", "h2"]).map_groups(
         heal, batch_format="pyarrow")
     return finals.union(healed)
+
+
+def export_partition_keys(doc_ids: list, shards: int):
+    """(split array, shard array) from md5 of each string doc id: split
+    8/1/1 from the first digest word, shard from the second — the same
+    engine-independent keyed-hash style as ``sample_docs``."""
+    import hashlib
+
+    import numpy as np
+
+    h = [hashlib.md5(str(i).encode()).hexdigest() for i in doc_ids]
+    w1 = np.array([int(x[:8], 16) for x in h], dtype=np.int64)
+    w2 = np.array([int(x[8:16], 16) for x in h], dtype=np.int64)
+    r = w1 % 10
+    split = np.where(r <= 7, "train", np.where(r == 8, "val", "test"))
+    return split, w2 % shards
+
+
+def export_corpus(sf_dir: str, out_dir: str, shards: int = 8,
+                  cfg: PipelineConfig | None = None) -> dict:
+    """Training-export sink: the curated corpus written as hive-partitioned
+    parquet (``split=train|val|test / shard=NN``) — the end of the
+    extract -> score -> filter -> dedup -> export chain.
+
+    Deterministic end to end: split (8/1/1) and shard both derive from
+    md5 of the string doc id (independent digest slices), so a re-run
+    reproduces byte-identical partition membership — consumers (and
+    resumed runs) can skip finished partition directories, and at 100 TB
+    the shard count bounds per-file size and writer parallelism instead of
+    producing one giant file.  Returns a summary dict (the written data
+    stays distributed; nothing rows-level lands on the driver)."""
+    import numpy as np
+
+    cur = curate(sf_dir, cfg)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        sp, sh = export_partition_keys(batch.column("doc_id").to_pylist(),
+                                       shards)
+        return (batch.append_column("split", pa.array(sp))
+                     .append_column("shard", pa.array(sh.astype(np.int64))))
+
+    ds = cur.map_batches(assign, batch_format="pyarrow").materialize()
+    ds.write_parquet(out_dir, partition_cols=["split", "shard"])
+    from ray.data.aggregate import Count
+
+    counts = {r["split"]: r["count()"]
+              for r in ds.groupby("split").aggregate(Count()).take_all()}
+    return {"out_dir": out_dir, "shards": shards,
+            "n_docs": int(sum(counts.values())),
+            "n_train": int(counts.get("train", 0)),
+            "n_val": int(counts.get("val", 0)),
+            "n_test": int(counts.get("test", 0))}

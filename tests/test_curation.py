@@ -15,3 +15,42 @@ def test_curation_pipeline(ray_session, sf0001_dir):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_export_corpus_partitioned_sink(ray_session, sf0001_dir, tmp_path):
+    """Hive-partitioned export: layout, round-trip equality with curate,
+    deterministic shard membership across re-runs."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from paddleocr_json_ray.pipelines.curation import export_corpus
+
+    out = str(tmp_path / "export")
+    s = export_corpus(sf0001_dir, out, shards=4)
+    assert s["n_docs"] == s["n_train"] + s["n_val"] + s["n_test"]
+    splits = sorted(os.path.basename(p) for p in glob.glob(os.path.join(out, "*")))
+    assert splits == ["split=test", "split=train", "split=val"]
+    for sp in splits:
+        shard_dirs = glob.glob(os.path.join(out, sp, "shard=*"))
+        assert 1 <= len(shard_dirs) <= 4
+    back = pq.read_table(out).to_pandas()
+    cur = curate(sf0001_dir).to_pandas()
+    assert len(back) == s["n_docs"] == len(cur)
+    assert set(back["doc_id"]) == set(cur["doc_id"])
+    # split/shard must follow the documented md5 rule exactly
+    from paddleocr_json_ray.pipelines.curation import export_partition_keys
+
+    ids = back["doc_id"].tolist()
+    exp_split, exp_shard = export_partition_keys(ids, 4)
+    assert list(back["split"]) == list(exp_split)
+    assert [int(s) for s in back["shard"]] == [int(s) for s in exp_shard]
+    assert set(back["split"]) == {"train", "val", "test"}
+    # re-export reproduces identical partition membership
+    out2 = str(tmp_path / "export2")
+    export_corpus(sf0001_dir, out2, shards=4)
+    back2 = pq.read_table(out2).to_pandas()
+    key = ["doc_id", "split", "shard"]
+    assert back.sort_values("doc_id")[key].reset_index(drop=True).equals(
+        back2.sort_values("doc_id")[key].reset_index(drop=True))
