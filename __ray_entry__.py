@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         similarity,
         sketches,
+        substring,
         text_ops,
         windows,
     )
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,     # rows-only
         "simhash_pairs": lambda sf: dedup.simhash_dup_pairs(sf),  # rows-only
         "dedup_ngram": dedup.dedup_ngram,         # rows-only
+        "dedup_substrings": substring.dedup_substrings,  # rows-only, brute-force pytest
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "dedup_embedding": dedup.dedup_embedding,
         # ---- similarity search ----

@@ -1,0 +1,160 @@
+"""Exact-substring deduplication (Lee et al., "Deduplicating Training Data
+Makes Language Models Better", ACL 2022): remove every duplicated run of
+``min_len`` tokens EXCEPT its canonical first occurrence, keeping the rest
+of each document — the surgical counterpart to the document-level dedup
+family in ``ops/dedup.py``.
+
+Semantics (L-gram marking approximation of the suffix-array method): a
+token position p of document d is REMOVED iff the L-token gram starting at
+p occurs elsewhere in the corpus (any other document or position) and
+(d, p) is not the gram's canonical owner — the lexicographically smallest
+(doc_id, pos) occurrence.  Overlapping marked windows merge, so any shared
+run of length >= L is excised in one piece from every non-owner copy.
+Grams are 64-bit polynomial hashes of FNV-hashed tokens (collision odds
+~n^2 / 2^64 — negligible at any realistic gram count).
+
+Scale shape, two passes over the corpus (both streaming):
+  * Pass A emits one (gram, packed owner, count) row per DISTINCT gram per
+    batch (an in-batch sort + reduceat combiner — never one row per
+    token), merged by a native Min/Sum groupby.  Duplicated grams
+    (count >= 2) are DUP-BOUNDED — the same bound every candidate-pair
+    stage in ops/dedup.py relies on — and are broadcast once as sorted
+    object-store blocks.
+  * Pass B re-streams documents, recomputes gram hashes per batch, marks
+    non-owner occurrences with one ``searchsorted`` membership probe, and
+    cuts merged windows vectorized.  No shuffle: the only exchange is the
+    gram groupby in pass A.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.textstats import _RE_TOKEN, fnv1a64_tokens
+
+_POS_BITS = 20  # packed owner = doc_id << 20 | pos  (docs hold < 1M tokens)
+_MULT = np.uint64(1099511628211)
+
+
+def _batch_grams(texts: list[str], doc_ids: np.ndarray, min_len: int):
+    """All L-grams of a batch in one vectorized pass: token hashes of every
+    doc concatenate into one stream; gram hashes roll over the stream and
+    grams spanning document boundaries are masked out.  Returns (gram
+    uint64, doc int64, pos int64, tokens-per-doc, token lists)."""
+    tok_lists = [_RE_TOKEN.findall(t) for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    flat = [w for toks in tok_lists for w in toks]
+    h = fnv1a64_tokens(flat)
+    n = len(h)
+    if n < min_len:
+        e = np.empty(0, dtype=np.int64)
+        return e.view(np.uint64), e, e, lens, tok_lists
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n - min_len + 1, dtype=np.uint64)
+        for j in range(min_len):
+            acc = acc * _MULT + h[j:j + len(acc)]
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    doc_of = np.repeat(np.arange(len(lens)), lens)[:len(acc)]
+    pos = np.arange(len(acc)) - starts[doc_of]
+    keep = pos + min_len <= lens[doc_of]  # gram fully inside its document
+    return (acc[keep], doc_ids[doc_of[keep]], pos[keep], lens, tok_lists)
+
+
+def duplicated_gram_owners(sf_dir: str, min_len: int) -> ray.data.Dataset:
+    """(gram, owner) for every gram occurring >= 2 times corpus-wide;
+    owner is the packed (doc_id, pos) of the canonical first occurrence."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        g, d, p, _, _ = _batch_grams(batch.column("text").to_pylist(),
+                                     ids, min_len)
+        packed = (d << _POS_BITS) | p
+        order = np.argsort(g, kind="stable")
+        g, packed = g[order], packed[order]
+        st = np.r_[0, np.flatnonzero(np.diff(g.view(np.int64))) + 1] \
+            if len(g) else np.empty(0, dtype=np.int64)
+        return pa.table({
+            "gram": pa.array(g.view(np.int64)[st], type=pa.int64()),
+            "owner": pa.array(np.minimum.reduceat(packed, st)
+                              if len(g) else packed, type=pa.int64()),
+            "cnt": pa.array(np.diff(np.r_[st, len(g)]), type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("gram").aggregate(Min("owner"), Sum("cnt")))
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(batch.column("sum(cnt)"), 2)
+        t = batch.filter(keep)
+        return pa.table({"gram": t.column("gram"),
+                         "owner": t.column("min(owner)")})
+
+    return agg.map_batches(dup_only, batch_format="pyarrow")
+
+
+def dedup_substrings(sf_dir: str, min_len: int = 20) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_removed, clean_text) — documents with every
+    non-canonical duplicated >= ``min_len``-token run excised."""
+    from ..sources.readers import read_table
+
+    dup_refs = duplicated_gram_owners(sf_dir, min_len) \
+        .materialize().to_arrow_refs()
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def cut(batch: pa.Table, refs) -> pa.Table:
+        tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+        if tabs:
+            dup = pa.concat_tables(tabs)
+            grams = dup.column("gram").to_numpy().astype(np.int64)
+            owners = dup.column("owner").to_numpy().astype(np.int64)
+            order = np.argsort(grams)
+            grams, owners = grams[order], owners[order]
+        else:
+            grams = np.empty(0, dtype=np.int64)
+            owners = np.empty(0, dtype=np.int64)
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        g, d, p, lens, tok_lists = _batch_grams(
+            batch.column("text").to_pylist(), ids, min_len)
+        gi = g.view(np.int64)
+        idx = np.searchsorted(grams, gi) if len(grams) else np.empty(0, np.int64)
+        idx = np.minimum(idx, max(len(grams) - 1, 0))
+        is_dup = (grams[idx] == gi) if len(grams) else np.zeros(len(gi), bool)
+        packed = (d << _POS_BITS) | p
+        marked = is_dup & (owners[idx] != packed) if len(grams) \
+            else np.zeros(len(gi), bool)
+        # cut merged [pos, pos+L) windows per doc
+        removed = np.zeros(len(ids), dtype=np.int64)
+        out_text = []
+        drop_by_doc: dict[int, list[int]] = {}
+        for dd, pp in zip(d[marked], p[marked]):
+            drop_by_doc.setdefault(int(dd), []).append(int(pp))
+        for k, (i, toks) in enumerate(zip(ids, tok_lists)):
+            ps = drop_by_doc.get(int(i))
+            if not ps:
+                out_text.append(" ".join(toks))
+                continue
+            dead = np.zeros(len(toks), dtype=bool)
+            for pp in ps:
+                dead[pp:pp + min_len] = True
+            removed[k] = int(dead.sum())
+            out_text.append(" ".join(t for t, dd_ in zip(toks, dead) if not dd_))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(lens, type=pa.int64()),
+            "n_removed": pa.array(removed, type=pa.int64()),
+            "clean_text": pa.array(out_text, type=pa.string()),
+        })
+
+    return ds.map_batches(cut, batch_format="pyarrow", fn_args=(dup_refs,))
