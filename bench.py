@@ -93,7 +93,8 @@ def run_suite() -> dict:
                 "audio_features", "heavy_hitters",
                 # round-3d additions
                 "shuffle_positions", "label_centroids", "activity_full_join",
-                "revenue_by_part_type", "value_stats_by_type"]
+                "revenue_by_part_type", "value_stats_by_type",
+                "dedup_substrings"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:
