@@ -103,3 +103,45 @@ def test_hll_grouped_matches_exact(ray_session, tmp_path):
     for t in ("a", "b", "c"):
         exact = len(np.unique(users[types == t]))
         assert abs(got.loc[t] - exact) / exact < 0.05
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(n=st.integers(1, 2000), ch=st.integers(1, 2),
+       sr=st.sampled_from([8000, 16000, 44100]), seed=st.integers(0, 2**31))
+def test_wav_roundtrip_property(n, ch, sr, seed):
+    """Any PCM16 payload survives encode->decode bit-exactly."""
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    out, sr2 = decode_wav(encode_wav(pcm, sr))
+    assert sr2 == sr and np.array_equal(out, pcm)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31), chunks=st.integers(1, 12),
+       dist=st.sampled_from(["lognormal", "uniform", "bimodal"]))
+def test_tdigest_merge_rank_error_property(seed, chunks, dist):
+    """Split-compress-merge keeps every checked quantile within the rank
+    budget, for any chunking and several distribution shapes."""
+    from paddleocr_json_ray.ops import sketches
+
+    rng = np.random.default_rng(seed)
+    n = 20_000
+    if dist == "lognormal":
+        v = rng.lognormal(2.0, 1.0, size=n)
+    elif dist == "uniform":
+        v = rng.uniform(-50, 50, size=n)
+    else:
+        v = np.concatenate([rng.normal(-100, 3, n // 2), rng.normal(80, 15, n - n // 2)])
+    parts = [sketches._tdigest_compress(c, np.ones(len(c)))
+             for c in np.array_split(v, chunks)]
+    m, w = sketches._tdigest_compress(np.concatenate([p[0] for p in parts]),
+                                      np.concatenate([p[1] for p in parts]))
+    assert w.sum() == pytest.approx(n)
+    sv = np.sort(v)
+    for p in (0.1, 0.5, 0.9, 0.99):
+        est = sketches._tdigest_quantile(m, w, p)
+        rank = np.searchsorted(sv, est) / n
+        assert abs(rank - p) < 0.02
