@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_signup": joins.events_last_signup,
         "events_value_bands": joins.events_value_bands,
         "top_orders_per_cust": joins.top_orders_per_cust,
+        "user_funnel": joins.user_funnel,
         # ---- sketches / order statistics ----
         "events_distinct_users": sketches.events_distinct_users,
         "distinct_users_hll": sketches.hll_distinct_users,  # approx, rows-only
@@ -362,6 +363,23 @@ WITH bands(band, lo, hi) AS (VALUES
 SELECT b.band, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY b.band""",
+        "user_funnel": """
+WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s ON e.user_id = s.user_id AND epoch_us(e.ts) > s.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT u.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN s.user_id IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s ON u.user_id = s.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id""",
         "top_orders_per_cust": """
 SELECT o_custkey, o_orderkey, rank FROM (
   SELECT o_custkey, o_orderkey,

@@ -171,3 +171,78 @@ def top_orders_per_cust(sf_dir: str, k: int = 3) -> ray.data.Dataset:
 
     healed = edges.groupby("o_custkey").map_groups(heal, batch_format="pyarrow")
     return finals.union(healed)
+
+
+def user_funnel(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, funnel_stage) — how far each user progressed through the
+    ORDERED funnel signup -> click -> purchase (stage 0-3): the sequential
+    event-pattern shape (conversion funnels, multi-step task completion).
+
+    Three chained stages, each a native grouped Min over a broadcast-
+    filtered read: stage k+1's candidate events must be STRICTLY after the
+    user's stage-k first-hit time, which is a per-user lookup (one sorted
+    searchsorted per batch) against the previous stage's users-bounded
+    result broadcast via ``ray.put``.  The exchange per stage is one row
+    per (user x batch) — never raw events; at user cardinalities past
+    object-store broadcast the same chain runs as partitioned hash
+    semi-joins.  Partitioning assumption documented per the module
+    contract: per-user first-hit tables fit the object store."""
+    from ray.data.aggregate import Min
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def first_hits(etype: str, after: dict | None):
+        after_ref = ray.put(after) if after is not None else None
+
+        def pick(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.equal(batch.column("event_type"), etype))
+            u = t.column("user_id").to_numpy().astype(np.int64)
+            ts = t.column("ts").cast(pa.int64()).to_numpy()
+            if after_ref is not None:
+                lut = ray.get(after_ref)
+                keys = np.fromiter((lut.get(int(x), np.iinfo(np.int64).max)
+                                    for x in u), dtype=np.int64, count=len(u))
+                keep = ts > keys
+                u, ts = u[keep], ts[keep]
+            # in-batch combiner: one min row per user present
+            if len(u) == 0:
+                return pa.table({"user_id": pa.array([], type=pa.int64()),
+                                 "ts_us": pa.array([], type=pa.int64())})
+            order = np.argsort(u, kind="stable")
+            u, ts = u[order], ts[order]
+            st = np.r_[0, np.flatnonzero(np.diff(u)) + 1]
+            return pa.table({
+                "user_id": pa.array(u[st], type=pa.int64()),
+                "ts_us": pa.array(np.minimum.reduceat(ts, st), type=pa.int64()),
+            })
+
+        agg = (ds.map_batches(pick, batch_format="pyarrow")
+                 .groupby("user_id").aggregate(Min("ts_us")).to_pandas())
+        return dict(zip(agg["user_id"].astype(int), agg["min(ts_us)"].astype(int)))
+
+    t1 = first_hits("signup", None)
+    t2 = first_hits("click", t1)
+    t3 = first_hits("purchase", t2)
+
+    from ray.data.aggregate import Count
+
+    users = (ds.map_batches(
+        lambda b: b.select(["user_id"]).group_by("user_id").aggregate([]),
+        batch_format="pyarrow")
+        .groupby("user_id").aggregate(Count()))
+    s1, s2, s3 = ray.put(t1), ray.put(t2), ray.put(t3)
+
+    def stage(batch: pa.Table, r1, r2, r3) -> pa.Table:
+        a, b, c = ray.get(r1), ray.get(r2), ray.get(r3)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        st = np.fromiter((3 if x in c else 2 if x in b else 1 if x in a else 0
+                          for x in u), dtype=np.int64, count=len(u))
+        return pa.table({"user_id": pa.array(u, type=pa.int64()),
+                         "funnel_stage": pa.array(st, type=pa.int64())})
+
+    return users.map_batches(stage, batch_format="pyarrow",
+                             fn_args=(s1, s2, s3))

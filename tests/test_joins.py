@@ -184,3 +184,34 @@ def test_running_total_hot_user(ray_session, tmp_path):
                              for i in range(len(order))])
         np.testing.assert_array_equal(
             roll.loc[[int(i) for i in order]].to_numpy(), exp_roll)
+
+
+def test_user_funnel_order_sensitivity(ray_session, tmp_path):
+    """The funnel is ORDERED: events present but out of sequence (purchase
+    before the first post-signup click, click before signup) don't count;
+    ties on the boundary timestamp are strict."""
+    rows = [
+        # user 1: full ordered funnel -> 3
+        (1, 10, "signup"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: purchase BEFORE its click -> stage 2
+        (2, 10, "signup"), (2, 30, "click"), (2, 20, "purchase"),
+        # user 3: click before signup only -> stage 1
+        (3, 20, "signup"), (3, 10, "click"),
+        # user 4: no signup at all -> 0
+        (4, 10, "click"), (4, 20, "purchase"),
+        # user 5: click tied with signup ts (strict >) -> stage 1
+        (5, 10, "signup"), (5, 10, "click"),
+        # user 6: second click after purchase-eligible time -> 3
+        (6, 10, "signup"), (6, 11, "click"), (6, 12, "purchase"), (6, 13, "click"),
+    ]
+    tab = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([10**15 + r[1] * 10**6 for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+    })
+    pq.write_table(tab, os.path.join(str(tmp_path), "events.parquet"))
+    got = (joins.user_funnel(str(tmp_path)).to_pandas()
+           .set_index("user_id")["funnel_stage"])
+    assert got.to_dict() == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1, 6: 3}
