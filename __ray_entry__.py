@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": similarity.knn_ivf,            # ANN, rows-only by design
         "kmeans_embeddings": similarity.kmeans_embeddings,  # iterative, rows-only
         "label_centroids": similarity.label_centroids,
+        "embedding_covariance": similarity.embedding_covariance,
         # ---- relational surface ----
         "agg_pricing": relational.agg_pricing,
         "top_orders": relational.top_orders,
@@ -231,6 +232,13 @@ WHERE rn = 1""",
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35""",
+        "embedding_covariance": """
+WITH e AS (SELECT vec_id, unnest(range(len(embedding))) AS i,
+                  unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+SELECT a.i AS dim_i, b.i AS dim_j,
+       round(covar_samp(a.x, b.x), 5) AS cov
+FROM e a JOIN e b ON a.vec_id = b.vec_id
+GROUP BY a.i, b.i""",
         "label_centroids": """
 SELECT label, dim, round(avg(x), 3) AS avg_val FROM (
   SELECT label, unnest(range(len(embedding))) AS dim,

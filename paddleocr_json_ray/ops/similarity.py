@@ -301,6 +301,56 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def embedding_covariance(sf_dir: str) -> ray.data.Dataset:
+    """(dim_i, dim_j, cov) — sample covariance matrix of the embedding
+    column: the MATRIX-sufficient-statistics shape (PCA / whitening /
+    feature-decorrelation prep).
+
+    Each batch contributes one X^T X Gram matrix (a single [n, D] x
+    [D, n] matmul), a column-sum vector and a count; partials explode to
+    (i, j, sxy) rows and merge through the native Sum groupby, so the
+    exchange carries D^2 + D rows per block (a few KB) — never vectors.
+    The covariance derives once from the merged moments."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _mat(batch.column("embedding"))
+        n, d = mat.shape
+        gram = mat.T @ mat
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        return pa.table({
+            "dim_i": pa.array(np.r_[ii.ravel(), np.arange(d), [-1]],
+                              type=pa.int64()),
+            "dim_j": pa.array(np.r_[jj.ravel(), np.full(d, -1), [-1]],
+                              type=pa.int64()),
+            # (i, j) -> sum x_i x_j; (i, -1) -> sum x_i; (-1, -1) -> count
+            "s": pa.array(np.r_[gram.ravel(), mat.sum(axis=0), [float(n)]]),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["dim_i", "dim_j"]).aggregate(Sum("s")).to_pandas())
+    s = {(int(i), int(j)): v for i, j, v in
+         zip(agg["dim_i"], agg["dim_j"], agg["sum(s)"])}
+    n = s.pop((-1, -1))
+    d = int(max(i for i, _ in s) + 1)
+    sx = np.array([s.pop((i, -1)) for i in range(d)])
+    cov = np.empty((d, d))
+    for (i, j), v in s.items():
+        cov[i, j] = (v - sx[i] * sx[j] / n) / (n - 1)
+    from .relational import _round_nd
+
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    return ray.data.from_arrow(pa.table({
+        "dim_i": pa.array(ii.ravel(), type=pa.int64()),
+        "dim_j": pa.array(jj.ravel(), type=pa.int64()),
+        "cov": pa.array([_round_nd(v, 5) for v in cov.ravel()]),
+    }))
+
+
 def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 8) -> ray.data.Dataset:
     """(vec_id, cluster) after Lloyd iterations — the canonical broadcast-
     small-state iterative pattern: centroids (k x dim floats, control-plane
