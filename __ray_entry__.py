@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_sum": windows.events_rolling_sum,
         "events_lag_diff": windows.events_lag_diff,
         "events_cume_dist": windows.events_cume_dist,
+        "cohort_retention": windows.cohort_retention,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
         "events_value_bands": joins.events_value_bands,
@@ -458,6 +459,14 @@ INTERSECT
 SELECT user_id FROM events WHERE event_type = 'purchase'""",
         "events_cume_dist": """
 SELECT event_id, cume_dist() OVER (ORDER BY value) AS cume_dist FROM events""",
+        "cohort_retention": """
+WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, min(day) AS cday FROM d GROUP BY user_id)
+SELECT f.cday * 86400000000 AS cohort_day_us,
+       d.day - f.cday AS day_offset,
+       count(*) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY f.cday, d.day - f.cday""",
         "revenue_rollup": """
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,

@@ -24,6 +24,9 @@ custom operators a training-data pipeline needs, expressed Ray-Data-first:
     table): one value sort, per-block vectorized local ranks, and an
     O(blocks) statistics exchange that heals offsets and cross-block ties;
     no row ever leaves its block.
+  * ``cohort_retention`` — the retention-matrix shape: first-seen day per
+    user (grouped Min, broadcast) x distinct activity days (pair-bounded
+    combiner groupby) -> (cohort, offset) counts.
 """
 
 from __future__ import annotations
@@ -634,3 +637,73 @@ def events_rolling_sum(sf_dir: str, window: int = 3) -> ray.data.Dataset:
 
     healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
     return finals.union(healed)
+
+
+def cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """(cohort_day_us, day_offset, n_users) — classic retention matrix:
+    users grouped by first-seen day, counted on each later day they were
+    active.  The two-table cohort shape (signup-cohort x activity) built
+    from streaming parts:
+
+      * first-seen day per user: native Min groupby (users-bounded),
+        broadcast once as a user -> cohort lookup;
+      * activity days: per-batch distinct (user, day) combiner then the
+        distinct-pair groupby (pairs bounded by users x days, never raw
+        events);
+      * one vectorized lookup turns pairs into (cohort, offset) keys for
+        the final native Count groupby.
+
+    Partitioning assumption: the per-user cohort table fits the object
+    store (8+8 bytes per user); beyond that the lookup becomes a
+    partitioned hash join keyed like relational._join_partitions."""
+    from ray.data.aggregate import Count, Min
+
+    from ..sources.readers import read_table
+
+    DAY_US = 86_400_000_000
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "day_us": pc.multiply(
+                pc.divide(batch.column("ts").cast(pa.int64()),
+                          pa.scalar(DAY_US)).cast(pa.int64()),
+                pa.scalar(DAY_US)),
+        })
+
+    days = ds.map_batches(to_days, batch_format="pyarrow")
+    first = (days.groupby("user_id").aggregate(Min("day_us"))).to_pandas()
+    lut_ids = np.sort(first["user_id"].to_numpy().astype(np.int64))
+    order = np.argsort(first["user_id"].to_numpy().astype(np.int64))
+    lut_cohort = first["min(day_us)"].to_numpy().astype(np.int64)[order]
+    import ray as _ray
+    ids_ref, coh_ref = _ray.put(lut_ids), _ray.put(lut_cohort)
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id", "day_us"]).aggregate([])
+
+    pairs = (days.map_batches(distinct_pairs, batch_format="pyarrow")
+                 .groupby(["user_id", "day_us"]).aggregate(Count()))
+
+    def keyed(batch: pa.Table, i_ref, c_ref) -> pa.Table:
+        ids = _ray.get(i_ref)
+        coh = _ray.get(c_ref)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        d = batch.column("day_us").to_numpy().astype(np.int64)
+        pos = np.searchsorted(ids, u)
+        c = coh[pos]  # every active user has a first day by construction
+        return pa.table({
+            "cohort_day_us": pa.array(c, type=pa.int64()),
+            "day_offset": pa.array((d - c) // DAY_US, type=pa.int64()),
+        })
+
+    agg = (pairs.map_batches(keyed, batch_format="pyarrow",
+                             fn_args=(ids_ref, coh_ref))
+                .groupby(["cohort_day_us", "day_offset"]).aggregate(Count()))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "cohort_day_us": b.column("cohort_day_us"),
+            "day_offset": b.column("day_offset"),
+            "n_users": b.column("count()").cast(pa.int64()),
+        }), batch_format="pyarrow")
