@@ -222,6 +222,8 @@ def user_funnel(sf_dir: str) -> ray.data.Dataset:
 
         agg = (ds.map_batches(pick, batch_format="pyarrow")
                  .groupby("user_id").aggregate(Min("ts_us")).to_pandas())
+        if agg.empty:  # no event of this type cleared the previous stage
+            return {}
         return dict(zip(agg["user_id"].astype(int), agg["min(ts_us)"].astype(int)))
 
     t1 = first_hits("signup", None)

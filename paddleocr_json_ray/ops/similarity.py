@@ -340,7 +340,7 @@ def embedding_covariance(sf_dir: str) -> ray.data.Dataset:
     sx = np.array([s.pop((i, -1)) for i in range(d)])
     cov = np.empty((d, d))
     for (i, j), v in s.items():
-        cov[i, j] = (v - sx[i] * sx[j] / n) / (n - 1)
+        cov[i, j] = (v - sx[i] * sx[j] / n) / max(n - 1, 1)
     from .relational import _round_nd
 
     ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")

@@ -156,6 +156,10 @@ def hll_distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
                          "registers": pa.array(out_r, type=pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # empty events table
+        return ray.data.from_arrow(pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "n_users_approx": pa.array([], type=pa.int64())}))
     merged: dict[str, np.ndarray] = {}
     for k, blob in zip(parts["event_type"], parts["registers"]):
         regs = np.frombuffer(blob, dtype=np.int8)

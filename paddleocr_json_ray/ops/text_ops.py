@@ -311,6 +311,10 @@ def shuffle_positions(sf_dir: str) -> ray.data.Dataset:
     stats = (out.map_batches(
         lambda b: b.filter(pc.equal(b.column("kind"), 1)),
         batch_format="pyarrow").to_pandas())  # O(blocks)
+    if stats.empty:  # empty documents table
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64())}))
     stats = stats.sort_values(["key_h", "key_d"], kind="stable")
     offs = {}
     running = 0

@@ -494,6 +494,10 @@ def events_cume_dist(sf_dir: str) -> ray.data.Dataset:
                    .select(["key_v", "key_e", "n_rows", "min_v", "n_eq_min",
                             "max_v", "n_eq_max"]),
         batch_format="pyarrow").to_pandas())  # O(blocks): control-plane sized
+    if stats.empty:  # empty input: no blocks emitted any rows
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "cume_dist": pa.array([], type=pa.float64())}))
 
     # stat order: (min, max, first event) — equivalent to true block order up
     # to permutations of identical-range (all-tied) blocks, which CUME_DIST
@@ -674,6 +678,11 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
 
     days = ds.map_batches(to_days, batch_format="pyarrow")
     first = (days.groupby("user_id").aggregate(Min("day_us"))).to_pandas()
+    if first.empty:  # empty events table
+        return ray.data.from_arrow(pa.table({
+            "cohort_day_us": pa.array([], type=pa.int64()),
+            "day_offset": pa.array([], type=pa.int64()),
+            "n_users": pa.array([], type=pa.int64())}))
     lut_ids = np.sort(first["user_id"].to_numpy().astype(np.int64))
     order = np.argsort(first["user_id"].to_numpy().astype(np.int64))
     lut_cohort = first["min(day_us)"].to_numpy().astype(np.int64)[order]
