@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_with_big_orders": relational.custs_with_big_orders,
         "activity_full_join": relational.activity_full_join,
         "revenue_rollup": relational.revenue_rollup,
+        "revenue_cube": relational.revenue_cube,
         "cust_order_counts": relational.cust_order_counts,
         "events_pivot": relational.events_pivot,
         "value_stats_by_type": relational.value_stats_by_type,
@@ -163,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": windows.events_running_total,
         "events_rolling_sum": windows.events_rolling_sum,
         "events_lag_diff": windows.events_lag_diff,
+        "events_lead_diff": windows.events_lead_diff,
         "events_cume_dist": windows.events_cume_dist,
         "cohort_retention": windows.cohort_retention,
         # ---- custom joins / grouped order statistics ----
@@ -416,6 +418,11 @@ SELECT event_id,
        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id) AS lag_us
 FROM events""",
+        "events_lead_diff": """
+SELECT event_id,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - epoch_us(ts) AS lead_us
+FROM events""",
         "activity_full_join": """
 SELECT coalesce(o.k, e.k) AS entity_id,
        coalesce(o.n_orders, 0) AS n_orders,
@@ -473,6 +480,12 @@ SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        count(*) AS n_items,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "revenue_cube": """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
         "sample_docs": """
 SELECT doc_id FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200""",

@@ -313,6 +313,50 @@ def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
                                           batch_size=None)
 
 
+def revenue_cube(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): every grouping-set level —
+    leaves, per-flag subtotals, per-status subtotals, grand total — labelled
+    'ALL' (sentinel instead of SQL NULL so the hash compare is type-stable).
+
+    Same shape as ``revenue_rollup``: ONE native partial-aggregate groupby
+    at the finest granularity, then all 2^k grouping sets re-aggregated from
+    the tiny leaf result (rows bounded by the key-combination count, not the
+    data) in a single-batch step — the input is never read or shuffled more
+    than once."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(), Sum("l_quantity"))
+
+    def levels(batch: pa.Table) -> pa.Table:
+        flags = batch.column("l_returnflag").to_pylist()
+        stats = batch.column("l_linestatus").to_pylist()
+        n = np.asarray(batch.column("count()").to_pylist(), dtype=np.int64)
+        q = np.asarray(batch.column("sum(l_quantity)").to_pylist(), dtype=np.float64)
+        out_f, out_s, out_n, out_q = list(flags), list(stats), n.tolist(), q.tolist()
+        for f in sorted(set(flags)):
+            m = np.fromiter((x == f for x in flags), dtype=bool, count=len(flags))
+            out_f.append(f); out_s.append("ALL")
+            out_n.append(int(n[m].sum())); out_q.append(float(q[m].sum()))
+        for s in sorted(set(stats)):
+            m = np.fromiter((x == s for x in stats), dtype=bool, count=len(stats))
+            out_f.append("ALL"); out_s.append(s)
+            out_n.append(int(n[m].sum())); out_q.append(float(q[m].sum()))
+        out_f.append("ALL"); out_s.append("ALL")
+        out_n.append(int(n.sum())); out_q.append(float(q.sum()))
+        return pa.table({
+            "l_returnflag": pa.array(out_f, type=pa.string()),
+            "l_linestatus": pa.array(out_s, type=pa.string()),
+            "n_items": pa.array(out_n, type=pa.int64()),
+            "sum_qty": pa.array([_round2(v) for v in out_q]),
+        })
+
+    return agg.repartition(1).map_batches(levels, batch_format="pyarrow",
+                                          batch_size=None)
+
+
 def custs_with_big_orders(sf_dir: str, min_total: float = 400_000.0) -> ray.data.Dataset:
     """Customers having at least one order above ``min_total`` — the SEMI
     join shape, via Ray's native partitioned left_semi join (the partner

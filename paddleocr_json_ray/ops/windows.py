@@ -327,24 +327,27 @@ def events_running_total(sf_dir: str) -> ray.data.Dataset:
     return rows.map_batches(add_offsets, batch_format="pyarrow", fn_args=(refs,))
 
 
-def events_lag_diff(sf_dir: str) -> ray.data.Dataset:
-    """(event_id, lag_us nullable) — microseconds since the same user's
-    previous event in (ts, event_id) order: the LAG window-function shape.
+def _adjacent_diff(sf_dir: str, lead: bool, col: str) -> ray.data.Dataset:
+    """Shared LAG/LEAD kernel: (event_id, <col> nullable) — microseconds
+    to the same user's adjacent event in (ts, event_id) order (previous
+    event for LAG, next event for LEAD).
 
     Sorted-run pattern with a ONE-ROW sufficient statistic per block edge:
-    after the global (user, ts, event_id) sort, every row's predecessor is
-    in the same block except the block's FIRST row, whose predecessor (if
-    any) is some earlier block's LAST row of the same user — sort
-    contiguity guarantees it is the nearest such row.  Each block emits all
-    interior lags final, withholds its first row, and ships its last row as
-    context; a grouped heal re-derives the withheld lags.  Skew-safe: a hot
-    user costs 2 rows per block it spans, never its row count."""
+    after the global (user, ts, event_id) sort, every row's neighbor is in
+    the same block except one boundary row per block — for LAG the FIRST
+    row (predecessor, if any, is some earlier block's LAST row of the same
+    user), for LEAD the LAST row (successor is a later block's FIRST row);
+    sort contiguity guarantees the nearest such row is a block-boundary
+    row.  Each block emits all interior diffs final, withholds its one
+    boundary row, and ships the opposite boundary row as context; a
+    grouped heal re-derives the withheld diffs.  Skew-safe: a hot user
+    costs 2 rows per block it spans, never its row count."""
     from ..sources.readers import read_table
 
     ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts"])
     srt = ds.sort(["user_id", "ts", "event_id"])
 
-    def block_lag(batch: pa.Table) -> pa.Table:
+    def block_diff(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy().astype(np.int64)
         e = batch.column("event_id").to_numpy().astype(np.int64)
         t = batch.column("ts").cast(pa.int64()).to_numpy()
@@ -354,37 +357,40 @@ def events_lag_diff(sf_dir: str) -> ray.data.Dataset:
                              "event_id": pa.array([], type=pa.int64()),
                              "user_id": pa.array([], type=pa.int64()),
                              "ts": pa.array([], type=pa.int64()),
-                             "lag_us": pa.array([], type=pa.int64())})
-        lag = np.empty(n, dtype=np.int64)
-        lag[1:] = t[1:] - t[:-1]
-        same = np.empty(n, dtype=bool)
-        same[0] = False
-        same[1:] = u[1:] == u[:-1]
+                             col: pa.array([], type=pa.int64())})
+        diff = np.zeros(n, dtype=np.int64)
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            if lead:
+                diff[:-1] = t[1:] - t[:-1]
+                same[:-1] = u[1:] == u[:-1]
+            else:
+                diff[1:] = t[1:] - t[:-1]
+                same[1:] = u[1:] == u[:-1]
         kind = np.zeros(n, dtype=np.int8)
-        kind[0] = 1                        # withheld: predecessor unknown
-        ctx = n - 1 if n > 1 else None     # last row: context copy
-        lag_col = pa.array(
-            [int(v) if s else None for v, s, k2 in zip(lag, same, kind)],
-            type=pa.int64())
+        kind[n - 1 if lead else 0] = 1     # withheld: neighbor unknown
+        # opposite boundary row: context copy (n==1 rows are kind-1 only —
+        # the heal reads their ts from the withheld row itself)
+        ctx = (0 if lead else n - 1) if n > 1 else None
         base = pa.table({"kind": pa.array(kind),
                          "event_id": pa.array(e),
                          "user_id": pa.array(u),
                          "ts": pa.array(t),
-                         "lag_us": lag_col})
+                         col: pa.array(diff, type=pa.int64(), mask=~same)})
         if ctx is None:
             return base
         ctx_tab = pa.table({"kind": pa.array([2], type=pa.int8()),
                             "event_id": pa.array([int(e[ctx])], type=pa.int64()),
                             "user_id": pa.array([int(u[ctx])], type=pa.int64()),
                             "ts": pa.array([int(t[ctx])], type=pa.int64()),
-                            "lag_us": pa.array([None], type=pa.int64())})
+                            col: pa.array([None], type=pa.int64())})
         return pa.concat_tables([base, ctx_tab])
 
-    out = srt.map_batches(block_lag, batch_format="pyarrow",
+    out = srt.map_batches(block_diff, batch_format="pyarrow",
                           batch_size=None).materialize()
     finals = out.map_batches(
         lambda b: b.filter(pc.equal(b.column("kind"), 0))
-                   .select(["event_id", "lag_us"]),
+                   .select(["event_id", col]),
         batch_format="pyarrow")
     edges = out.map_batches(
         lambda b: b.filter(pc.greater(b.column("kind"), 0)),
@@ -394,26 +400,48 @@ def events_lag_diff(sf_dir: str) -> ray.data.Dataset:
         e = group.column("event_id").to_numpy().astype(np.int64)
         t = group.column("ts").to_numpy().astype(np.int64)
         kind = group.column("kind").to_numpy().astype(np.int8)
-        # a single-row block ships its row only as kind-1; rows never repeat
-        # within a kind, but a row may be both another block's context and
-        # this block's withheld row is impossible (ctx excludes row 0), so
-        # dedupe by event_id keeping the withheld flag if present
+        # dedupe by event_id keeping the withheld flag if present (a row
+        # cannot be both its own block's withheld AND context — ctx is the
+        # opposite boundary — but defensively prefer kind-1)
         order = np.lexsort((-kind.astype(np.int64), e))
         e, t, kind = e[order], t[order], kind[order]
         first = np.r_[True, np.diff(e) != 0]
         e, t, kind = e[first], t[first], kind[first]
         order = np.lexsort((e, t))
         e, t, kind = e[order], t[order], kind[order]
-        lag = np.empty(len(e), dtype=np.int64)
-        lag[1:] = t[1:] - t[:-1]
+        m = len(e)
+        diff = np.zeros(m, dtype=np.int64)
+        have = np.zeros(m, dtype=bool)
+        if m > 1:
+            if lead:
+                diff[:-1] = t[1:] - t[:-1]
+                have[:-1] = True
+            else:
+                diff[1:] = t[1:] - t[:-1]
+                have[1:] = True
         keep = kind == 1
-        vals = [int(lag[i]) if i > 0 else None
-                for i in np.flatnonzero(keep)]
         return pa.table({"event_id": pa.array(e[keep], type=pa.int64()),
-                         "lag_us": pa.array(vals, type=pa.int64())})
+                         col: pa.array(diff[keep], type=pa.int64(),
+                                       mask=~have[keep])})
 
     healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
     return finals.union(healed)
+
+
+def events_lag_diff(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, lag_us nullable) — microseconds since the same user's
+    previous event: LAG(ts) OVER (PARTITION BY user ORDER BY ts, event_id).
+    See ``_adjacent_diff`` for the skew-safe sorted-block plan."""
+    return _adjacent_diff(sf_dir, lead=False, col="lag_us")
+
+
+def events_lead_diff(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, lead_us nullable) — microseconds until the same user's
+    next event: LEAD(ts) OVER (PARTITION BY user ORDER BY ts, event_id),
+    the forward partner of ``events_lag_diff`` (e.g. time-on-page /
+    inter-arrival features).  Same skew-safe sorted-block plan, mirrored:
+    the block's LAST row is withheld and its FIRST row ships as context."""
+    return _adjacent_diff(sf_dir, lead=True, col="lead_us")
 
 
 def events_cume_dist(sf_dir: str) -> ray.data.Dataset:

@@ -113,6 +113,32 @@ def test_lag_diff_bruteforce_hot_user(ray_session, tmp_path):
         np.testing.assert_array_equal(vals[1:].astype(np.int64), t[1:] - t[:-1])
 
 
+def test_lead_diff_bruteforce_hot_user(ray_session, tmp_path):
+    """LEAD under the same 50% hot-key skew: the forward mirror of LAG —
+    last element NaN, interior values equal the per-user forward diff."""
+    rng = np.random.default_rng(41)
+    n = 30_000
+    hot = rng.random(n) < 0.5
+    users = np.where(hot, 3, rng.integers(100, 200, size=n)).astype(np.int64)
+    base = 1_600_000_000_000_000
+    ts = base + rng.integers(0, 10**10, size=n)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    got = windows.events_lead_diff(str(tmp_path)).to_pandas() \
+        .set_index("event_id")["lead_us"]
+    assert len(got) == n and not got.index.duplicated().any()
+    for uid in (3, 150, 199):
+        rows = np.flatnonzero(users == uid)
+        order = rows[np.lexsort((rows, ts[rows]))]
+        t = ts[order]
+        vals = got.loc[[int(i) for i in order]].to_numpy(dtype=np.float64)
+        assert np.isnan(vals[-1])
+        np.testing.assert_array_equal(vals[:-1].astype(np.int64), t[1:] - t[:-1])
+
+
 def test_rollup_levels(ray_session, tmp_path):
     flags = ["A", "A", "A", "B", "B", "N"]
     stats = ["F", "O", "O", "F", "F", "O"]
@@ -130,6 +156,26 @@ def test_rollup_levels(ray_session, tmp_path):
     assert rows[("N", "ALL")] == (1, 6.0)
     assert rows[("ALL", "ALL")] == (6, 21.0)
     assert len(rows) == 4 + 3 + 1  # leaves + per-flag + grand total
+
+
+def test_cube_levels(ray_session, tmp_path):
+    flags = ["A", "A", "A", "B", "B", "N"]
+    stats = ["F", "O", "O", "F", "F", "O"]
+    qty = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(flags), "l_linestatus": pa.array(stats),
+        "l_quantity": pa.array(qty),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = relational.revenue_cube(str(tmp_path)).to_pandas()
+    rows = {(r.l_returnflag, r.l_linestatus): (r.n_items, r.sum_qty)
+            for r in got.itertuples()}
+    # rollup levels...
+    assert rows[("A", "F")] == (1, 1.0) and rows[("A", "ALL")] == (3, 6.0)
+    assert rows[("ALL", "ALL")] == (6, 21.0)
+    # ...plus the per-status subtotals CUBE adds over ROLLUP
+    assert rows[("ALL", "F")] == (3, 10.0)
+    assert rows[("ALL", "O")] == (3, 11.0)
+    assert len(rows) == 4 + 3 + 2 + 1  # leaves + per-flag + per-status + grand
 
 
 def test_sample_docs_bottom_k(ray_session, docs_dir):
