@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": text_ops.sample_docs,
         "sample_per_source": text_ops.sample_per_source,
         "shuffle_positions": text_ops.shuffle_positions,
+        "pack_sequences": text_ops.pack_sequences,
         "unigram_logprob": text_ops.unigram_logprob,  # libm ln, rows-only
         "tfidf_top_terms": text_ops.tfidf_top_terms,
         "decontaminate": decontam.decontaminate,
@@ -493,6 +494,19 @@ ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200""",
 SELECT doc_id,
        row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
 FROM documents""",
+        "pack_sequences": """
+WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS tok_start
+      FROM t)
+SELECT doc_id, n_tokens,
+       tok_start // 2048 AS seq_first,
+       greatest(tok_start, tok_start + n_tokens - 1) // 2048 AS seq_last,
+       tok_start % 2048 AS seq_offset
+FROM c""",
         "sample_per_source": """
 SELECT source, doc_id, rank FROM (
   SELECT source, doc_id,

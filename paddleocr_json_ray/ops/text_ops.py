@@ -345,6 +345,103 @@ def shuffle_positions(sf_dir: str) -> ray.data.Dataset:
     return rows.map_batches(finish, batch_format="pyarrow", fn_args=(offs_ref,))
 
 
+def pack_sequences(sf_dir: str, seq_len: int = 2048) -> ray.data.Dataset:
+    """(doc_id, n_tokens, seq_first, seq_last, seq_offset) — GPT-style
+    concat-and-chunk sequence packing for pretraining: documents are
+    concatenated in doc_id order and cut into fixed ``seq_len``-token
+    training sequences; each document maps to the half-open token interval
+    [tok_start, tok_start + n_tokens) and therefore to sequences
+    seq_first..seq_last with in-sequence start offset seq_offset.
+    Deterministic and resumable: a re-run (or any subset of export shards)
+    reproduces identical placements, unlike an RNG-driven packer.
+
+    Shape (same O(blocks) plan as ``shuffle_positions``): one doc_id sort;
+    each block emits its rows with a LOCAL exclusive token prefix sum plus
+    ONE token-total stat row; global block offsets derive from the
+    control-plane-sized stat table broadcast back once.  Rows never leave
+    their block, so at 100 TB this costs one sort plus O(blocks) driver
+    bytes — no per-doc exchange."""
+    import numpy as np
+    import ray
+
+    srt = _read_documents(sf_dir).sort("doc_id")
+
+    def block_pack(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"kind": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "local_start": pa.array([], type=pa.int64()),
+                             "key_d": pa.array([], type=pa.int64())})
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        nt = np.fromiter((count_tokens(t)
+                          for t in batch.column("text").to_pylist()),
+                         dtype=np.int64, count=n)
+        start = np.zeros(n, dtype=np.int64)
+        np.cumsum(nt[:-1], out=start[1:])          # exclusive prefix sum
+        first_d = int(ids[0])
+        rows = pa.table({
+            "kind": pa.array(np.zeros(n, dtype=np.int64)),
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(nt),
+            "local_start": pa.array(start),
+            "key_d": pa.array(np.full(n, first_d, dtype=np.int64)),
+        })
+        stat = pa.table({
+            "kind": pa.array([1], type=pa.int64()),
+            "doc_id": pa.array([first_d], type=pa.int64()),
+            "n_tokens": pa.array([int(nt.sum())], type=pa.int64()),
+            "local_start": pa.array([0], type=pa.int64()),
+            "key_d": pa.array([first_d], type=pa.int64()),
+        })
+        return pa.concat_tables([rows, stat])
+
+    out = srt.map_batches(block_pack, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    stats = (out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1)),
+        batch_format="pyarrow").to_pandas())  # O(blocks)
+    if stats.empty:  # empty documents table
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "seq_first": pa.array([], type=pa.int64()),
+            "seq_last": pa.array([], type=pa.int64()),
+            "seq_offset": pa.array([], type=pa.int64())}))
+    stats = stats.sort_values("key_d", kind="stable")
+    offs = {}
+    running = 0
+    for r in stats.itertuples():
+        offs[int(r.key_d)] = running
+        running += int(r.n_tokens)
+    offs_ref = ray.put(offs)
+
+    def finish(batch: pa.Table, ref) -> pa.Table:
+        m = ray.get(ref)
+        kd = batch.column("key_d").to_numpy().astype(np.int64)
+        nt = batch.column("n_tokens").to_numpy().astype(np.int64)
+        local = batch.column("local_start").to_numpy().astype(np.int64)
+        off = np.empty(len(kd), dtype=np.int64)
+        for key in np.unique(kd):                  # one per block
+            off[kd == key] = m[int(key)]
+        tok_start = off + local
+        # empty docs occupy no tokens: pin them to their start sequence
+        seq_last = np.maximum(tok_start, tok_start + nt - 1) // seq_len
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(nt),
+            "seq_first": pa.array(tok_start // seq_len, type=pa.int64()),
+            "seq_last": pa.array(seq_last, type=pa.int64()),
+            "seq_offset": pa.array(tok_start % seq_len, type=pa.int64()),
+        })
+
+    rows = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)),
+        batch_format="pyarrow")
+    return rows.map_batches(finish, batch_format="pyarrow", fn_args=(offs_ref,))
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """(doc_id, term, rank, score_milli) — each document's top-k terms by an
     integer-exact tf-idf variant: score = tf * (N * 1000 // df), ties broken

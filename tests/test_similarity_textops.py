@@ -203,3 +203,27 @@ def test_kmeans_recovers_blobs(ray_session, tmp_path):
     # determinism
     again = similarity.kmeans_embeddings(str(tmp_path), k=3, iters=10).to_pandas()
     assert list(again.sort_values("vec_id")["cluster"]) == list(got["cluster"])
+
+
+def test_pack_sequences_invariants(ray_session, tmp_path):
+    """Concat-and-chunk packing: documents tile the token stream in doc_id
+    order with no gaps or overlaps; a long doc spans multiple sequences; an
+    empty doc occupies zero tokens but still gets a placement."""
+    texts = ["w " * 5, "", "a b c", "tok " * 50, "x", "y z " * 10]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array([t.strip() if i != 1 else "" for i, t in enumerate(texts)]),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    L = 16
+    got = (text_ops.pack_sequences(str(tmp_path), seq_len=L)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    n_tok = got["n_tokens"].to_numpy()
+    assert n_tok.tolist() == [5, 0, 3, 50, 1, 20]
+    # reconstruct starts from (seq_first, seq_offset); they must tile
+    starts = got["seq_first"].to_numpy() * L + got["seq_offset"].to_numpy()
+    np.testing.assert_array_equal(starts, np.r_[0, np.cumsum(n_tok)[:-1]])
+    # interval end maps to seq_last; empty doc pins to its start sequence
+    ends = starts + np.maximum(n_tok - 1, 0)
+    np.testing.assert_array_equal(got["seq_last"].to_numpy(), ends // L)
+    assert got.loc[3, "seq_last"] > got.loc[3, "seq_first"]  # spans chunks
+    assert (got["seq_offset"] < L).all()
