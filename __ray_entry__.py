@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_diff": windows.events_lag_diff,
         "events_lead_diff": windows.events_lead_diff,
         "events_cume_dist": windows.events_cume_dist,
+        "orders_dense_rank": windows.orders_dense_rank,
         "cohort_retention": windows.cohort_retention,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
@@ -467,6 +468,11 @@ INTERSECT
 SELECT user_id FROM events WHERE event_type = 'purchase'""",
         "events_cume_dist": """
 SELECT event_id, cume_dist() OVER (ORDER BY value) AS cume_dist FROM events""",
+        "orders_dense_rank": """
+SELECT o_orderkey, o_orderpriority,
+       dense_rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC) AS rnk
+FROM orders""",
         "cohort_retention": """
 WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
 f AS (SELECT user_id, min(day) AS cday FROM d GROUP BY user_id)

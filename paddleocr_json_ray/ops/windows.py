@@ -571,6 +571,130 @@ def events_cume_dist(sf_dir: str) -> ray.data.Dataset:
     return rows.map_batches(finish, batch_format="pyarrow", fn_args=(lut_ref,))
 
 
+def orders_dense_rank(sf_dir: str) -> ray.data.Dataset:
+    """(o_orderkey, o_orderpriority, rnk) — DENSE_RANK() OVER (PARTITION BY
+    o_orderpriority ORDER BY o_totalprice DESC): the grouped rank-of-value
+    window.  Like ``events_cume_dist``, dense rank is a pure function of
+    the (key, value) pair — rank = count of DISTINCT larger values + 1 —
+    so after one (priority asc, price desc) sort every block ranks its own
+    rows with a vectorized distinct-run cumsum and ships ONE stat row per
+    (block x priority-run): (first_val, last_val, n_distinct, run min
+    orderkey as surrogate id).
+
+    The driver orders each priority's runs by (first_val desc, last_val
+    desc): sorted contiguity means a later run's values are all <= an
+    earlier run's, with overlap only at the single boundary value, so the
+    scan accumulates distinct counts and subtracts 1 whenever a run opens
+    on the previous run's closing value (a value straddling blocks is
+    counted once).  Runs that tie on BOTH endpoints are single-value runs
+    whose relative order is unobservable to rank-of-value semantics, same
+    argument as the cume_dist stat table.  O(blocks + priority-runs) driver
+    bytes; rows never leave their block."""
+    import ray
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "orders",
+                    ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    srt = ds.sort(["o_orderpriority", "o_totalprice"],
+                  descending=[False, True])
+
+    def block_rank(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols_t = {"kind": pa.int64(), "o_orderkey": pa.int64(),
+                  "prio": pa.string(), "local": pa.int64(),
+                  "run_ok": pa.int64(), "first_val": pa.float64(),
+                  "last_val": pa.float64(), "n_distinct": pa.int64()}
+        if n == 0:
+            return pa.table({c: pa.array([], type=t) for c, t in cols_t.items()})
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        prio = np.asarray(batch.column("o_orderpriority").to_pylist())
+        val = batch.column("o_totalprice").to_numpy().astype(np.float64)
+        chg_p = np.r_[True, prio[1:] != prio[:-1]]
+        chg_v = chg_p | np.r_[True, val[1:] != val[:-1]]
+        dr = np.cumsum(chg_v)
+        seg_first = np.flatnonzero(chg_p)
+        counts = np.diff(np.r_[seg_first, n])
+        local = dr - np.repeat(dr[seg_first], counts) + 1
+        run_ok = np.repeat(np.minimum.reduceat(ok, seg_first), counts)
+        seg_last = np.r_[seg_first[1:], n] - 1
+        rows = pa.table({
+            "kind": pa.array(np.zeros(n, dtype=np.int64)),
+            "o_orderkey": pa.array(ok),
+            "prio": pa.array(prio, type=pa.string()),
+            "local": pa.array(local.astype(np.int64)),
+            "run_ok": pa.array(run_ok),
+            "first_val": pa.array(np.zeros(n, dtype=np.float64)),
+            "last_val": pa.array(np.zeros(n, dtype=np.float64)),
+            "n_distinct": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+        m = len(seg_first)
+        stat = pa.table({
+            "kind": pa.array(np.ones(m, dtype=np.int64)),
+            "o_orderkey": pa.array(np.zeros(m, dtype=np.int64)),
+            "prio": pa.array(prio[seg_first], type=pa.string()),
+            "local": pa.array(np.zeros(m, dtype=np.int64)),
+            "run_ok": pa.array(np.minimum.reduceat(ok, seg_first)),
+            "first_val": pa.array(val[seg_first]),
+            "last_val": pa.array(val[seg_last]),
+            "n_distinct": pa.array(local[seg_last].astype(np.int64)),
+        })
+        return pa.concat_tables([rows, stat])
+
+    out = srt.map_batches(block_rank, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    rows = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0))
+                   .select(["o_orderkey", "prio", "local", "run_ok"]),
+        batch_format="pyarrow")
+    stats = (out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1))
+                   .select(["prio", "run_ok", "first_val", "last_val",
+                            "n_distinct"]),
+        batch_format="pyarrow").to_pandas())  # O(blocks + runs)
+    if stats.empty:  # empty orders table
+        return ray.data.from_arrow(pa.table({
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "o_orderpriority": pa.array([], type=pa.string()),
+            "rnk": pa.array([], type=pa.int64())}))
+
+    stats = stats.sort_values(
+        ["prio", "first_val", "last_val", "run_ok"],
+        ascending=[True, False, False, True], kind="stable")
+    lut: dict[tuple, int] = {}
+    prev_p, prev_last, cum = None, None, 0
+    for r in stats.itertuples():
+        if r.prio != prev_p:
+            cum = 0
+            adj = 0
+        else:
+            adj = 1 if r.first_val == prev_last else 0
+        off = cum - adj
+        lut[(r.prio, int(r.run_ok))] = off
+        cum = off + int(r.n_distinct)
+        prev_p, prev_last = r.prio, r.last_val
+    lut_ref = ray.put(lut)
+
+    def finish(batch: pa.Table, ref) -> pa.Table:
+        m = ray.get(ref)
+        prio = batch.column("prio").to_pylist()
+        rok = batch.column("run_ok").to_numpy().astype(np.int64)
+        local = batch.column("local").to_numpy().astype(np.int64)
+        off = np.empty(len(prio), dtype=np.int64)
+        for key in {(p, int(k)) for p, k in zip(prio, rok)}:  # one per run
+            sel = np.fromiter((p == key[0] and int(k) == key[1]
+                               for p, k in zip(prio, rok)),
+                              dtype=bool, count=len(prio))
+            off[sel] = m[key]
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderpriority": pa.array(prio, type=pa.string()),
+            "rnk": pa.array(local + off, type=pa.int64()),
+        })
+
+    return rows.map_batches(finish, batch_format="pyarrow", fn_args=(lut_ref,))
+
+
 def events_rolling_sum(sf_dir: str, window: int = 3) -> ray.data.Dataset:
     """(event_id, rolling_cents) — per-user sum of the last ``window`` rows
     in (ts, event_id) order: the bounded ROWS-PRECEDING window shape.

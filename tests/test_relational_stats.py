@@ -56,6 +56,46 @@ def test_cume_dist_single_value(ray_session, tmp_path):
     assert (got["cume_dist"] == 1.0).all()
 
 
+def test_dense_rank_heavy_ties(ray_session, tmp_path):
+    """Grouped DENSE_RANK over a quantized value domain: with only ~12
+    distinct prices per priority, value runs are guaranteed to straddle
+    blocks, exercising the boundary-equality adjustment in the run scan."""
+    rng = np.random.default_rng(23)
+    n = 20_000
+    prios = np.asarray(["1-URGENT", "2-HIGH", "3-MEDIUM"])[
+        rng.integers(0, 3, size=n)]
+    prices = np.round(rng.uniform(0, 12, size=n), 0) * 1000.0
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n), type=pa.int64()),
+        "o_orderpriority": pa.array(prios),
+        "o_totalprice": pa.array(prices),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    got = (windows.orders_dense_rank(str(tmp_path)).to_pandas()
+           .set_index("o_orderkey"))
+    assert len(got) == n and not got.index.duplicated().any()
+    for p in np.unique(prios):
+        vals = prices[prios == p]
+        distinct_desc = np.sort(np.unique(vals))[::-1]
+        sub = got[got["o_orderpriority"] == p]
+        keys = np.asarray(sub.index)
+        expect = 1 + np.searchsorted(-distinct_desc, -prices[keys])
+        np.testing.assert_array_equal(sub["rnk"].to_numpy(), expect)
+
+
+def test_dense_rank_single_value(ray_session, tmp_path):
+    """All rows tied on one value within each priority -> every rank is 1
+    (the all-tied-run permutation case the stat order cannot distinguish)."""
+    n = 900
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n), type=pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT" if i % 2 else "2-HIGH"
+                                     for i in range(n)]),
+        "o_totalprice": pa.array(np.full(n, 777.0)),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    got = windows.orders_dense_rank(str(tmp_path)).to_pandas()
+    assert len(got) == n and (got["rnk"] == 1).all()
+
+
 def test_value_stats_match_numpy(ray_session, events_dir):
     d, tab = events_dir
     got = relational.value_stats_by_type(d).to_pandas().set_index("event_type")
