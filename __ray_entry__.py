@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": sketches.hll_distinct_users,  # approx, rows-only
         "distinct_users_hll_by_type": sketches.hll_distinct_users_by_type,  # approx, rows-only
         "heavy_hitters": sketches.heavy_hitters,  # MG/SpaceSaving, rows-only
+        "cms_word_counts": sketches.cms_word_counts,  # count-min, rows-only
         "quantity_percentiles": sketches.quantity_percentiles,
         "quantity_percentiles_by_flag": sketches.quantity_percentiles_by_flag,
         "price_quantiles_tdigest": sketches.price_quantiles_tdigest,  # approx, rows-only

@@ -242,6 +242,97 @@ def heavy_hitters(sf_dir: str, k: int = 20, cap: int = _HH_CAP) -> ray.data.Data
     }))
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 4096
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
+                       0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+                      dtype=np.uint64)
+
+
+def _cms_word_hashes(words: list[str]) -> np.ndarray:
+    """(depth, len(words)) column indices: a stable md5-derived 64-bit base
+    hash per word, re-mixed through splitmix64 with one seed per row."""
+    import hashlib
+
+    base = np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+         for w in words), dtype=np.uint64, count=len(words))
+    rows = np.empty((_CMS_DEPTH, len(words)), dtype=np.int64)
+    for r in range(_CMS_DEPTH):
+        rows[r] = (_hash64((base ^ _CMS_SEEDS[r]).astype(np.int64))
+                   % np.uint64(_CMS_WIDTH)).astype(np.int64)
+    return rows
+
+
+def cms_word_counts(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """(word, est_count, rank) — point-frequency estimates for the top-k
+    candidate words from a count-min sketch (Cormode & Muthukrishnan,
+    J. Algorithms 2005): the FIXED-MEMORY frequency companion to
+    ``heavy_hitters`` (which finds candidates but carries per-word rows) —
+    CMS answers "how often does word w occur" in depth*width counters no
+    matter how large the vocabulary, with the one-sided guarantee
+    true <= est <= true + (e/width) * N  w.p. 1 - exp(-depth).
+
+    Shape: per batch ONE sketch row (depth x width int64 blob, counters
+    are exact batch counts added at depth hashed columns); blobs merge by
+    elementwise ADD — associative and commutative, so a map_batches
+    combine level collapses blocks 32:1 before the driver folds the rest
+    (extend with more combine levels at 100 TB; each is a 32x reduction).
+    Candidates come from the mergeable Misra-Gries pass (`heavy_hitters`);
+    estimates are the min over the sketch's depth rows."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    import re
+
+    tok = re.compile(r"[^ \t\n\r\f\v]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tok.findall(t))
+        sketch = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+        if c:
+            words = list(c.keys())
+            counts = np.fromiter(c.values(), dtype=np.int64, count=len(words))
+            idx = _cms_word_hashes(words)
+            for r in range(_CMS_DEPTH):
+                np.add.at(sketch[r], idx[r], counts)
+        return pa.table({"sketch": pa.array([sketch.tobytes()],
+                                            type=pa.binary())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(_CMS_DEPTH * _CMS_WIDTH, dtype=np.int64)
+        for blob in batch.column("sketch").to_pylist():
+            acc += np.frombuffer(blob, dtype=np.int64)
+        return pa.table({"sketch": pa.array([acc.tobytes()], type=pa.binary())})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+               .map_batches(combine, batch_format="pyarrow", batch_size=32)
+               .to_pandas())
+    sketch = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+    for blob in parts["sketch"]:
+        sketch += np.frombuffer(blob, dtype=np.int64).reshape(
+            _CMS_DEPTH, _CMS_WIDTH)
+
+    cands = heavy_hitters(sf_dir, k=k).to_pandas()["word"].tolist()
+    if not cands:
+        return ray.data.from_arrow(pa.table({
+            "word": pa.array([], type=pa.string()),
+            "est_count": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64())}))
+    idx = _cms_word_hashes(cands)
+    est = sketch[np.arange(_CMS_DEPTH)[:, None], idx].min(axis=0)
+    order = sorted(range(len(cands)), key=lambda i: (-int(est[i]), cands[i]))
+    return ray.data.from_arrow(pa.table({
+        "word": pa.array([cands[i] for i in order], type=pa.string()),
+        "est_count": pa.array([int(est[i]) for i in order], type=pa.int64()),
+        "rank": pa.array(range(1, len(order) + 1), type=pa.int64()),
+    }))
+
+
 _TD_DELTA = 200
 
 

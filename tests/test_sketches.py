@@ -124,3 +124,32 @@ def test_heavy_hitters_zipf(ray_session, tmp_path):
     assert list(got["word"]) == [w for w, _ in exact]
     for r in got.itertuples():
         assert r.count_lo <= truth[r.word] <= r.count_hi
+
+
+def test_cms_word_counts_zipf(ray_session, tmp_path):
+    """Count-min under zipf skew: estimates NEVER undercount (one-sided),
+    overestimates stay within the eps*N bound, and head words — whose
+    counts dwarf any collision mass — come back exact with exact ranks."""
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i:05d}" for i in range(20_000)])
+    draws = rng.zipf(1.3, size=120_000)
+    draws = draws[draws <= len(vocab)] - 1
+    texts = [" ".join(vocab[draws[i:i + 60]]) for i in range(0, len(draws) - 60, 60)]
+    pq.write_table(pa.table({"text": pa.array(texts)}),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    n_total = len(texts) * 60
+    truth = Counter(vocab[d] for d in draws[:n_total])
+    got = sketches.cms_word_counts(str(tmp_path), k=10).to_pandas()
+    assert len(got) == 10
+    eps_bound = int(np.ceil(np.e / sketches._CMS_WIDTH * n_total))
+    for r in got.itertuples():
+        assert truth[r.word] <= r.est_count <= truth[r.word] + eps_bound
+    exact_top = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    head = got.sort_values("rank").head(5)
+    assert list(head["word"]) == [w for w, _ in exact_top]
+    assert list(head["est_count"]) == [c for _, c in exact_top]
