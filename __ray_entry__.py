@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substrings": substring.dedup_substrings,  # rows-only, brute-force pytest
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "dedup_embedding": dedup.dedup_embedding,
+        "semdedup": dedup.semdedup,                # kmeans-cell cosine, rows-only
         # ---- similarity search ----
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,            # ANN, rows-only by design

@@ -802,3 +802,75 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:
     O(N^2) ``embedding_dup_pairs`` scan stays exact-baseline only."""
     return _survivors(sf_dir, embedding_bucket_pairs(sf_dir, threshold),
                       table="embeddings", id_col="vec_id")
+
+
+def semdedup_pairs(sf_dir: str, threshold: float = 0.35,
+                   k: int | None = None,
+                   bucket_cap: int = 512) -> ray.data.Dataset:
+    """Semantic near-dup pairs, SemDeDup-style (Abbas et al.,
+    arXiv:2303.09540): partition the embedding space with k-means, then
+    compare ONLY within each cluster with exact cosine — the learned-
+    partition alternative to ``embedding_bucket_pairs``' random
+    hyperplanes (data-adaptive cells follow the density, so a probe
+    budget of one cell catches most semantic duplicates; cross-cluster
+    pairs are missed by design, the paper's stated trade).
+
+    Scale shape: the k-means rounds are the broadcast-centroid combiner
+    loop (`kmeans_embeddings`); cluster ids then key the SAME sorted-run
+    exchange as every other dedup family member (16-byte rows, vectorized
+    interior runs, grouped boundary heal, cap = stop-cluster), and
+    candidates verify against the broadcast-once normalized matrix BEFORE
+    the distinct exchange.  k scales with corpus rows (~256 vectors per
+    cell) the way IVF planes scale with bytes."""
+    import pyarrow.parquet as pq
+
+    from .similarity import _mat, _normalize, kmeans_embeddings
+
+    meta = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata
+    if meta.num_rows == 0:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
+    if k is None:
+        k = max(8, meta.num_rows // 256)
+    assign = kmeans_embeddings(sf_dir, k=k)
+
+    rows = assign.map_batches(
+        lambda b: pa.table({"key": b.column("cluster"),
+                            "vec_id": b.column("vec_id")}),
+        batch_format="pyarrow")
+    out = (rows.sort("key")
+               .map_batches(lambda b: _run_bucket_pairs(b, "key", bucket_cap,
+                                                        id_col="vec_id"),
+                            batch_format="pyarrow", batch_size=None))
+    interior, edges = _split_kinds(out, ["id_a", "id_b"], ["key", "id_a"])
+    healed = _heal_bucket_pairs(edges, bucket_cap)
+
+    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = tab.column("vec_id").to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    mat_ref = ray.put((ids[order],
+                       _normalize(_mat(tab.column("embedding")))[order]))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(mat_ref)
+        a = batch.column("id_a").to_numpy().astype(np.uint64)
+        b = batch.column("id_b").to_numpy().astype(np.uint64)
+        u = np.unique((a << np.uint64(32)) | b)  # ids fit 32 bits
+        a = (u >> np.uint64(32)).astype(np.int64)
+        b = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        sims = np.einsum("ij,ij->i", all_mat[np.searchsorted(all_ids, a)],
+                         all_mat[np.searchsorted(all_ids, b)])
+        hit = sims > threshold
+        return pa.table({"id_a": pa.array(a[hit], type=pa.int64()),
+                         "id_b": pa.array(b[hit], type=pa.int64())})
+
+    verified = (interior.union(healed)
+                        .map_batches(verify, batch_format="pyarrow"))
+    return _distinct_pairs(verified)
+
+
+def semdedup(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:
+    """Survivors after SemDeDup semantic dedup (keep min vec_id per
+    near-dup cluster) — see ``semdedup_pairs`` for the plan."""
+    return _survivors(sf_dir, semdedup_pairs(sf_dir, threshold),
+                      table="embeddings", id_col="vec_id")

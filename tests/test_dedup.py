@@ -128,3 +128,39 @@ def test_embedding_pairs(ray_session, tmp_path):
     survivors = set(dedup.dedup_embedding(str(tmp_path), threshold=0.95).to_pandas()["vec_id"])
     assert 20 not in survivors and 21 not in survivors
     assert 0 in survivors and 5 in survivors
+
+
+def test_semdedup_blobs(ray_session, tmp_path):
+    """SemDeDup: near-identical vectors co-cluster under k-means (their
+    centroid distances are near-equal), so every planted in-blob near-dup
+    is caught; exact in-cluster cosine admits no false positives."""
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((4, 16)) * 8.0
+    base = np.concatenate([c + 0.3 * rng.standard_normal((15, 16))
+                           for c in centers]).astype(np.float32)
+    # plant one near-dup per blob (ids 60..63 duplicate 0, 15, 30, 45)
+    dups = np.stack([base[i] + 1e-3 * rng.standard_normal(16).astype(np.float32)
+                     for i in (0, 15, 30, 45)])
+    mat = np.concatenate([base, dups])
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(mat)), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float32())),
+    }), os.path.join(str(tmp_path), "embeddings.parquet"))
+
+    m = mat.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    expected = {(i, j) for i, j in itertools.combinations(range(len(mat)), 2)
+                if sims[i, j] > 0.999}
+    assert {(0, 60), (15, 61), (30, 62), (45, 63)} <= expected
+
+    got = dedup.semdedup_pairs(str(tmp_path), threshold=0.999).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    assert pairs <= expected                      # no false positives
+    assert {(0, 60), (15, 61), (30, 62), (45, 63)} <= pairs
+
+    survivors = set(dedup.semdedup(str(tmp_path), threshold=0.999)
+                    .to_pandas()["vec_id"])
+    assert {60, 61, 62, 63}.isdisjoint(survivors)
+    assert {0, 15, 30, 45} <= survivors
