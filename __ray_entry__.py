@@ -169,7 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lead_diff": windows.events_lead_diff,
         "events_cume_dist": windows.events_cume_dist,
         "orders_dense_rank": windows.orders_dense_rank,
+        "events_rank": windows.events_rank,
+        "events_ntile": windows.events_ntile,
         "cohort_retention": windows.cohort_retention,
+        "user_first_event": windows.user_first_event,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
         "events_value_bands": joins.events_value_bands,
@@ -475,6 +478,18 @@ SELECT o_orderkey, o_orderpriority,
        dense_rank() OVER (PARTITION BY o_orderpriority
                           ORDER BY o_totalprice DESC) AS rnk
 FROM orders""",
+        "events_rank": """
+SELECT event_id, rank() OVER (ORDER BY value) AS rnk FROM events""",
+        "events_ntile": """
+SELECT event_id, ntile(16) OVER (ORDER BY value, event_id) AS tile
+FROM events""",
+        "user_first_event": """
+SELECT user_id, event_id AS first_event_id, epoch_us(ts) AS first_ts_us,
+       event_type AS first_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+      FROM events) t
+WHERE rn = 1""",
         "cohort_retention": """
 WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
 f AS (SELECT user_id, min(day) AS cday FROM d GROUP BY user_id)

@@ -571,6 +571,271 @@ def events_cume_dist(sf_dir: str) -> ray.data.Dataset:
     return rows.map_batches(finish, batch_format="pyarrow", fn_args=(lut_ref,))
 
 
+def user_first_event(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, first_event_id, first_ts_us, first_type) — FIRST_VALUE
+    over each user's (ts, event_id) order: every user's earliest event with
+    its payload columns (the 'acquisition event' enrichment shape; MIN(ts)
+    alone cannot carry the other columns of the winning row).
+
+    Sorted-run first-per-key plan (same as the curation dedupe): one keyed
+    sort, each block keeps the FIRST row of every interior user run as
+    final and emits ONE candidate row per boundary run; a grouped heal
+    picks the (ts, event_id)-min candidate.  A hot user spanning B blocks
+    costs B one-row candidates, never its event count."""
+    import ray
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events",
+                    ["user_id", "event_id", "ts", "event_type"])
+    srt = ds.sort(["user_id", "ts", "event_id"])
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"kind": pa.array([], type=pa.int8()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "first_event_id": pa.array([], type=pa.int64()),
+                             "first_ts_us": pa.array([], type=pa.int64()),
+                             "first_type": pa.array([], type=pa.string())})
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        bnd = np.flatnonzero(np.diff(u) != 0) + 1
+        starts = np.r_[0, bnd]
+        kind = np.zeros(len(starts), dtype=np.int8)
+        kind[0] = kind[-1] = 1
+        idx = pa.array(starts)
+        return pa.table({
+            "kind": pa.array(kind),
+            "user_id": batch.column("user_id").take(idx),
+            "first_event_id": batch.column("event_id").take(idx),
+            "first_ts_us": batch.column("ts").cast(pa.int64()).take(idx),
+            "first_type": batch.column("event_type").take(idx),
+        })
+
+    out = srt.map_batches(firsts, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    payload = ["user_id", "first_event_id", "first_ts_us", "first_type"]
+    finals = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)).select(payload),
+        batch_format="pyarrow")
+    edges = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1)).select(payload),
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        t = group.column("first_ts_us").to_numpy().astype(np.int64)
+        e = group.column("first_event_id").to_numpy().astype(np.int64)
+        win = int(np.lexsort((e, t))[0])
+        return group.slice(win, 1).select(payload)
+
+    healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
+    return finals.union(healed)
+
+
+def events_rank(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, rnk) — RANK() OVER (ORDER BY value): 1 + the count of
+    STRICTLY smaller values; tied rows share a rank and the next rank
+    skips.  Same O(blocks) global-rank plan as ``events_cume_dist``, with
+    the tie heal mirrored to the LOW end: a row only needs (a) how many
+    rows live in earlier blocks — all <= v — and (b) for rows tied with
+    the block MIN, how many copies of that value live in EARLIER blocks
+    (by sorted contiguity, only at their max); subtract those from the
+    earlier-rows offset and the strict-less count is exact.  Rows never
+    leave their block; ties move counts, not rows."""
+    import ray
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+    srt = ds.sort("value")
+
+    def block_rank(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy().astype(np.float64)
+        e = batch.column("event_id").to_numpy().astype(np.int64)
+        n = len(v)
+        cols = ("kind", "event_id", "lt", "is_min", "key_v", "key_e",
+                "n_rows", "min_v", "n_eq_min", "max_v", "n_eq_max")
+        if n == 0:
+            return pa.table({c: pa.array([], type=pa.float64() if c in
+                            ("key_v", "min_v", "max_v") else pa.int64())
+                             for c in cols})
+        lt = np.searchsorted(v, v, side="left")  # block is value-sorted
+        rows = pa.table({
+            "kind": pa.array(np.zeros(n, dtype=np.int64)),
+            "event_id": pa.array(e),
+            "lt": pa.array(lt.astype(np.int64)),
+            "is_min": pa.array((v == v[0]).astype(np.int64)),
+            "key_v": pa.array(np.full(n, v[0])),
+            "key_e": pa.array(np.full(n, e[0], dtype=np.int64)),
+            "n_rows": pa.array(np.zeros(n, dtype=np.int64)),
+            "min_v": pa.array(np.zeros(n, dtype=np.float64)),
+            "n_eq_min": pa.array(np.zeros(n, dtype=np.int64)),
+            "max_v": pa.array(np.zeros(n, dtype=np.float64)),
+            "n_eq_max": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+        stat = pa.table({
+            "kind": pa.array([1], type=pa.int64()),
+            "event_id": pa.array([0], type=pa.int64()),
+            "lt": pa.array([0], type=pa.int64()),
+            "is_min": pa.array([0], type=pa.int64()),
+            "key_v": pa.array([float(v[0])]),
+            "key_e": pa.array([int(e[0])], type=pa.int64()),
+            "n_rows": pa.array([n], type=pa.int64()),
+            "min_v": pa.array([float(v[0])]),
+            "n_eq_min": pa.array([int(np.searchsorted(v, v[0], side="right"))],
+                                 type=pa.int64()),
+            "max_v": pa.array([float(v[-1])]),
+            "n_eq_max": pa.array([int(n - np.searchsorted(v, v[-1], side="left"))],
+                                 type=pa.int64()),
+        })
+        return pa.concat_tables([rows, stat])
+
+    out = srt.map_batches(block_rank, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    rows = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0))
+                   .select(["event_id", "lt", "is_min", "key_v", "key_e"]),
+        batch_format="pyarrow")
+    stats = (out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1))
+                   .select(["key_v", "key_e", "n_rows", "min_v", "n_eq_min",
+                            "max_v", "n_eq_max"]),
+        batch_format="pyarrow").to_pandas())  # O(blocks): control-plane sized
+    if stats.empty:  # empty input
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "rnk": pa.array([], type=pa.int64())}))
+
+    # same all-tied-block permutation argument as cume_dist: rank is a pure
+    # function of the value, so identical-range block order is unobservable
+    stats = stats.sort_values(["min_v", "max_v", "key_e"], kind="stable")
+    offsets = np.r_[0, np.cumsum(stats["n_rows"].to_numpy())[:-1]]
+    # eq_before: copies of this block's min living in EARLIER blocks (they
+    # can only sit at those blocks' max, by sorted contiguity)
+    eq_before = np.zeros(len(stats), dtype=np.int64)
+    prefix: dict[float, int] = {}
+    mins = stats["min_v"].to_numpy()
+    maxs = stats["max_v"].to_numpy()
+    nmax = stats["n_eq_max"].to_numpy()
+    for i in range(len(stats)):
+        eq_before[i] = prefix.get(mins[i], 0)
+        prefix[maxs[i]] = prefix.get(maxs[i], 0) + int(nmax[i])
+    lut = {(kv, ke): (int(o), int(q))
+           for kv, ke, o, q in zip(stats["key_v"], stats["key_e"],
+                                   offsets, eq_before)}
+    lut_ref = ray.put(lut)
+
+    def finish(batch: pa.Table, ref) -> pa.Table:
+        m = ray.get(ref)
+        kv = batch.column("key_v").to_numpy()
+        ke = batch.column("key_e").to_numpy()
+        lt = batch.column("lt").to_numpy().astype(np.int64)
+        is_min = batch.column("is_min").to_numpy().astype(np.int64)
+        uniq = {(float(a), int(b)) for a, b in zip(kv, ke)}  # one per block
+        off = np.empty(len(kv), dtype=np.int64)
+        qbf = np.empty(len(kv), dtype=np.int64)
+        for key in uniq:
+            sel = (kv == key[0]) & (ke == key[1])
+            o, q = m[key]
+            off[sel] = o
+            qbf[sel] = q
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "rnk": pa.array(off - is_min * qbf + lt + 1, type=pa.int64()),
+        })
+
+    return rows.map_batches(finish, batch_format="pyarrow", fn_args=(lut_ref,))
+
+
+def events_ntile(sf_dir: str, n_buckets: int = 16) -> ray.data.Dataset:
+    """(event_id, tile) — NTILE(n) OVER (ORDER BY value, event_id): equi-
+    depth bucket assignment for the training-data quantile-binning shape.
+    The event_id tiebreak makes the total order STRICT, so NTILE is
+    deterministic (NTILE over a tied order is engine-defined — this op
+    deliberately pins the order instead).
+
+    Strict order means no tie healing at all: one sort, each block emits
+    its rows with a LOCAL index plus one count-stat row; global positions
+    derive from the O(blocks) stat table (block firsts sort in true block
+    order because the order is strict), and the standard first-(N mod n)-
+    buckets-get-one-extra formula maps positions to tiles."""
+    import ray
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+    srt = ds.sort(["value", "event_id"])
+
+    def block_pos(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"kind": pa.array([], type=pa.int64()),
+                             "event_id": pa.array([], type=pa.int64()),
+                             "local": pa.array([], type=pa.int64()),
+                             "key_v": pa.array([], type=pa.float64()),
+                             "key_e": pa.array([], type=pa.int64())})
+        e = batch.column("event_id").to_numpy().astype(np.int64)
+        v0 = float(batch.column("value")[0].as_py())
+        rows = pa.table({
+            "kind": pa.array(np.zeros(n, dtype=np.int64)),
+            "event_id": pa.array(e),
+            "local": pa.array(np.arange(n, dtype=np.int64)),
+            "key_v": pa.array(np.full(n, v0)),
+            "key_e": pa.array(np.full(n, e[0], dtype=np.int64)),
+        })
+        stat = pa.table({
+            "kind": pa.array([1], type=pa.int64()),
+            "event_id": pa.array([n], type=pa.int64()),  # carries the count
+            "local": pa.array([0], type=pa.int64()),
+            "key_v": pa.array([v0]),
+            "key_e": pa.array([int(e[0])], type=pa.int64()),
+        })
+        return pa.concat_tables([rows, stat])
+
+    out = srt.map_batches(block_pos, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    stats = (out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1)),
+        batch_format="pyarrow").to_pandas())  # O(blocks)
+    if stats.empty:  # empty events table
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "tile": pa.array([], type=pa.int64())}))
+    stats = stats.sort_values(["key_v", "key_e"], kind="stable")
+    offs = {}
+    running = 0
+    for r in stats.itertuples():
+        offs[(float(r.key_v), int(r.key_e))] = running
+        running += int(r.event_id)
+    n_total = running
+    q, rem = divmod(n_total, n_buckets)
+    offs_ref = ray.put(offs)
+
+    def finish(batch: pa.Table, ref) -> pa.Table:
+        m = ray.get(ref)
+        kv = batch.column("key_v").to_numpy()
+        ke = batch.column("key_e").to_numpy()
+        local = batch.column("local").to_numpy().astype(np.int64)
+        off = np.empty(len(kv), dtype=np.int64)
+        for key in {(float(a), int(b)) for a, b in zip(kv, ke)}:  # per block
+            sel = (kv == key[0]) & (ke == key[1])
+            off[sel] = m[key]
+        pos = off + local
+        cut = rem * (q + 1)
+        big = pos < cut
+        tile = np.where(big, pos // max(q + 1, 1),
+                        rem + (pos - cut) // max(q, 1)) + 1
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "tile": pa.array(tile.astype(np.int64)),
+        })
+
+    rows = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)),
+        batch_format="pyarrow")
+    return rows.map_batches(finish, batch_format="pyarrow", fn_args=(offs_ref,))
+
+
 def orders_dense_rank(sf_dir: str) -> ray.data.Dataset:
     """(o_orderkey, o_orderpriority, rnk) — DENSE_RANK() OVER (PARTITION BY
     o_orderpriority ORDER BY o_totalprice DESC): the grouped rank-of-value

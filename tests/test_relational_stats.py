@@ -56,6 +56,76 @@ def test_cume_dist_single_value(ray_session, tmp_path):
     assert (got["cume_dist"] == 1.0).all()
 
 
+def test_rank_with_heavy_ties(ray_session, events_dir):
+    """Global RANK over the quantized value domain: 1 + strict-less count,
+    with ties guaranteed to straddle blocks (the eq_before heal)."""
+    d, tab = events_dir
+    got = (windows.events_rank(d).to_pandas().set_index("event_id")["rnk"])
+    v = tab.column("value").to_numpy()
+    sv = np.sort(v)
+    expect = np.searchsorted(sv, v, side="left") + 1
+    assert len(got) == len(v)
+    for eid in range(0, len(v), 173):
+        assert got.loc[eid] == expect[eid]
+
+
+def test_rank_single_value(ray_session, tmp_path):
+    n = 800
+    pq.write_table(pa.table({"event_id": pa.array(range(n), type=pa.int64()),
+                             "value": pa.array(np.full(n, 3.5))}),
+                   os.path.join(str(tmp_path), "events.parquet"))
+    got = windows.events_rank(str(tmp_path)).to_pandas()
+    assert len(got) == n and (got["rnk"] == 1).all()
+
+
+def test_ntile_uneven_division(ray_session, events_dir):
+    """NTILE over a strict order: bucket sizes differ by at most one, the
+    larger buckets come first, and the assignment matches the brute-force
+    position formula exactly (5000 rows / 16 tiles -> 8 tiles of 313)."""
+    d, tab = events_dir
+    got = (windows.events_ntile(d, n_buckets=16).to_pandas()
+           .set_index("event_id")["tile"])
+    v = tab.column("value").to_numpy()
+    e = np.arange(len(v))
+    pos = np.empty(len(v), dtype=np.int64)
+    pos[np.lexsort((e, v))] = np.arange(len(v))
+    n, nb = len(v), 16
+    q, rem = divmod(n, nb)
+    cut = rem * (q + 1)
+    expect = np.where(pos < cut, pos // (q + 1), rem + (pos - cut) // q) + 1
+    np.testing.assert_array_equal(got.loc[e].to_numpy(), expect)
+    sizes = np.bincount(expect)[1:]
+    assert sizes.max() - sizes.min() <= 1
+    assert (np.diff(sizes) <= 0).all()  # larger buckets first
+
+
+def test_user_first_event_hot_user(ray_session, tmp_path):
+    """FIRST_VALUE per key under 50% hot-key skew: one candidate row per
+    block crosses the heal, and the winning row carries its full payload."""
+    rng = np.random.default_rng(59)
+    n = 30_000
+    hot = rng.random(n) < 0.5
+    users = np.where(hot, 3, rng.integers(100, 200, size=n)).astype(np.int64)
+    base = 1_600_000_000_000_000
+    ts = base + rng.integers(0, 10**10, size=n)
+    types = np.asarray(["click", "view", "purchase"])[rng.integers(0, 3, size=n)]
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+        "event_type": pa.array(types),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    got = (windows.user_first_event(str(tmp_path)).to_pandas()
+           .set_index("user_id"))
+    assert len(got) == len(np.unique(users))
+    for uid in (3, 150, 199):
+        rows = np.flatnonzero(users == uid)
+        win = rows[np.lexsort((rows, ts[rows]))][0]
+        r = got.loc[uid]
+        assert (r["first_event_id"], r["first_ts_us"], r["first_type"]) == \
+            (win, ts[win], types[win])
+
+
 def test_dense_rank_heavy_ties(ray_session, tmp_path):
     """Grouped DENSE_RANK over a quantized value domain: with only ~12
     distinct prices per priority, value runs are guaranteed to straddle
