@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_histogram": text_ops.length_histogram,
         "sample_docs": text_ops.sample_docs,
         "sample_per_source": text_ops.sample_per_source,
+        "weighted_sample": text_ops.weighted_sample,  # E-S A-Res, rows-only
         "shuffle_positions": text_ops.shuffle_positions,
         "pack_sequences": text_ops.pack_sequences,
         "unigram_logprob": text_ops.unigram_logprob,  # libm ln, rows-only
@@ -158,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": relational.events_pivot,
         "value_stats_by_type": relational.value_stats_by_type,
         "qty_price_corr": relational.qty_price_corr,
+        "value_zscores": relational.value_zscores,
         "users_click_and_purchase": relational.users_click_and_purchase,
         # ---- windowed / streaming-style ops over the events table ----
         "events_tumbling": windows.events_tumbling,
@@ -467,6 +469,14 @@ FROM events GROUP BY event_type""",
 SELECT l_returnflag, count(*) AS n_items,
        round(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price
 FROM lineitem GROUP BY l_returnflag""",
+        "value_zscores": """
+SELECT event_id,
+       round(CASE WHEN count(*) OVER w <= 1
+                    OR stddev_samp(value) OVER w = 0 THEN 0
+                  ELSE (value - avg(value) OVER w)
+                       / stddev_samp(value) OVER w END, 3) AS z
+FROM events
+WINDOW w AS (PARTITION BY event_type)""",
         "users_click_and_purchase": """
 SELECT user_id FROM events WHERE event_type = 'click'
 INTERSECT

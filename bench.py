@@ -94,7 +94,12 @@ def run_suite() -> dict:
                 # round-3d additions
                 "shuffle_positions", "label_centroids", "activity_full_join",
                 "revenue_by_part_type", "value_stats_by_type",
-                "dedup_substrings"]
+                "dedup_substrings",
+                # round-3e additions
+                "semdedup", "pack_sequences", "events_lead_diff",
+                "orders_dense_rank", "events_rank", "events_ntile",
+                "user_first_event", "cms_word_counts", "revenue_cube",
+                "value_zscores", "weighted_sample"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

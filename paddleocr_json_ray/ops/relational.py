@@ -519,6 +519,62 @@ def value_stats_by_type(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def value_zscores(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, z) — per-type z-score normalization, the feature-scaling
+    staple: z = (value - mu_type) / sigma_type with sample stddev.
+
+    Two streaming passes, no shuffle of data rows: pass 1 reduces to
+    per-(type, batch) moment rows merged by native Sum groupby (the
+    ``value_stats_by_type`` combiner); the tiny (mu, sigma) table
+    broadcasts once via ``ray.put`` and pass 2 maps each row against it.
+    Rounded to 3dp — naive merged moments and SQL's stable one-pass
+    algorithm agree far beyond that (same bet as ``qty_price_corr``)."""
+    import numpy as np
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sq = pc.multiply(batch.column("value"), batch.column("value"))
+        return (batch.select(["event_type", "value"])
+                     .append_column("value_sq", sq)
+                     .group_by("event_type")
+                     .aggregate([("value", "count"), ("value", "sum"),
+                                 ("value_sq", "sum")]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("value_count"), Sum("value_sum"),
+                        Sum("value_sq_sum")).to_pandas())
+    if agg.empty:
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "z": pa.array([], type=pa.float64())}))
+    n = agg["sum(value_count)"].to_numpy().astype(np.float64)
+    s = agg["sum(value_sum)"].to_numpy().astype(np.float64)
+    s2 = agg["sum(value_sq_sum)"].to_numpy().astype(np.float64)
+    mu = s / n
+    sigma = np.sqrt(np.maximum(s2 - s * s / n, 0.0) / np.maximum(n - 1, 1.0))
+    lut_ref = ray.put({t: (float(m), float(sd)) for t, m, sd in
+                       zip(agg["event_type"], mu, sigma)})
+
+    def finish(batch: pa.Table, ref) -> pa.Table:
+        m = ray.get(ref)
+        types = batch.column("event_type").to_pylist()
+        v = batch.column("value").to_numpy().astype(np.float64)
+        mus = np.fromiter((m[t][0] for t in types), dtype=np.float64,
+                          count=len(types))
+        sds = np.fromiter((m[t][1] for t in types), dtype=np.float64,
+                          count=len(types))
+        z = np.where(sds > 0, (v - mus) / np.where(sds > 0, sds, 1.0), 0.0)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "z": pa.array([_round_nd(x, 3) for x in z]),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow", fn_args=(lut_ref,))
+
+
 def qty_price_corr(sf_dir: str) -> ray.data.Dataset:
     """Pearson correlation of (l_quantity, l_extendedprice) per returnflag —
     the bivariate-moments shape (feature/label correlation per shard).

@@ -252,6 +252,44 @@ def sample_docs(sf_dir: str, k: int = 200) -> ray.data.Dataset:
             .select_columns(["doc_id"]))
 
 
+def weighted_sample(sf_dir: str, k: int = 200) -> ray.data.Dataset:
+    """(doc_id, weight) — deterministic weight-proportional sample without
+    replacement (Efraimidis & Spirakis, IPL 2006, A-Res): each doc draws a
+    reproducible uniform u from md5(doc_id) and scores key = -ln(u)/w with
+    w = n_chars; the k SMALLEST keys are the sample, and inclusion
+    probability is proportional to weight — the length-weighted corpus
+    sample (token-budget-proportional) next to ``sample_docs``' uniform
+    one.  Deterministic: reruns and resumed shards pick identical docs.
+
+    Same mergeable bottom-k shape as ``sample_docs``: the global bottom-k
+    is contained in the union of block-local bottom-ks, so each block
+    ships at most k rows."""
+    import hashlib
+
+    import numpy as np
+
+    def es_key(i: int, w: int) -> float:
+        d = hashlib.md5(str(i).encode()).digest()
+        u = (int.from_bytes(d[:8], "big") + 1) / float((1 << 64) + 1)
+        return -np.log(u) / max(w, 1)
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ws = batch.column("n_chars").to_pylist()
+        keyed = sorted(((es_key(i, w), i, w) for i, w in zip(ids, ws)))[:k]
+        return pa.table({
+            "key": pa.array([x for x, _, _ in keyed], type=pa.float64()),
+            "doc_id": pa.array([i for _, i, _ in keyed], type=pa.int64()),
+            "weight": pa.array([w for _, _, w in keyed], type=pa.int64()),
+        })
+
+    return (_read_documents(sf_dir, columns=("doc_id", "n_chars"))
+            .map_batches(bottomk, batch_format="pyarrow")
+            .sort(["key", "doc_id"])
+            .limit(k)
+            .select_columns(["doc_id", "weight"]))
+
+
 def shuffle_positions(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, pos) — DETERMINISTIC global shuffle for training export:
     pos is the 1-based rank under the md5-keyed total order (doc_id

@@ -186,6 +186,33 @@ def test_sample_docs_bottom_k(ray_session, docs_dir):
     assert got == expect
 
 
+def test_weighted_sample_es_exact(ray_session, tmp_path):
+    """Efraimidis-Spirakis A-Res: the distributed bottom-k equals the
+    brute-force single-machine selection exactly, and under 100x weight
+    skew the heavy docs dominate the sample (weight-proportional
+    inclusion)."""
+    rng = np.random.default_rng(77)
+    n = 2000
+    n_chars = np.where(rng.random(n) < 0.1, 5000, 50).astype(np.int64)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "n_chars": pa.array(n_chars),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    k = 100
+    got = text_ops.weighted_sample(str(tmp_path), k=k).to_pandas()
+
+    def es_key(i, w):
+        d = hashlib.md5(str(i).encode()).digest()
+        u = (int.from_bytes(d[:8], "big") + 1) / float((1 << 64) + 1)
+        return -np.log(u) / max(w, 1)
+
+    brute = sorted(range(n), key=lambda i: (es_key(i, n_chars[i]), i))[:k]
+    assert got["doc_id"].tolist() == brute
+    assert (got["weight"].to_numpy() == n_chars[np.asarray(brute)]).all()
+    # ~10% of docs carry 100x weight -> they should own ~90% of the sample
+    assert (got["weight"] == 5000).mean() > 0.75
+
+
 def test_sample_per_source_stratified(ray_session, tmp_path):
     """Every stratum yields exactly min(k, stratum size) rows in md5 order,
     independent of stratum skew (one source owns 80% of docs)."""
