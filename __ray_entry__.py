@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": text_ops.sample_docs,
         "sample_per_source": text_ops.sample_per_source,
         "weighted_sample": text_ops.weighted_sample,  # E-S A-Res, rows-only
+        "source_mix_repeats": text_ops.source_mix_repeats,
         "shuffle_positions": text_ops.shuffle_positions,
         "pack_sequences": text_ops.pack_sequences,
         "unigram_logprob": text_ops.unigram_logprob,  # libm ln, rows-only
@@ -527,6 +528,19 @@ ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200""",
 SELECT doc_id,
        row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
 FROM documents""",
+        "source_mix_repeats": """
+WITH c AS (SELECT source, count(*) AS cs FROM documents GROUP BY source),
+w AS (SELECT source, cs,
+             CAST(floor(sqrt(cs) * 1000) AS BIGINT) AS wm FROM c),
+s AS (SELECT CAST(sum(wm) AS BIGINT) AS sw,
+             (SELECT count(*) FROM documents) AS n FROM w),
+r AS (SELECT source, (s.n * wm * 1000) // (s.sw * cs) AS rm FROM w, s)
+SELECT d.doc_id, d.source,
+       rm // 1000 + CASE WHEN
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           % 1000 < rm % 1000
+         THEN 1 ELSE 0 END AS n_copies
+FROM documents d JOIN r USING (source)""",
         "pack_sequences": """
 WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens
            FROM documents),

@@ -99,7 +99,7 @@ def run_suite() -> dict:
                 "semdedup", "pack_sequences", "events_lead_diff",
                 "orders_dense_rank", "events_rank", "events_ntile",
                 "user_first_event", "cms_word_counts", "revenue_cube",
-                "value_zscores", "weighted_sample"]
+                "value_zscores", "weighted_sample", "source_mix_repeats"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

@@ -252,6 +252,63 @@ def sample_docs(sf_dir: str, k: int = 200) -> ray.data.Dataset:
             .select_columns(["doc_id"]))
 
 
+def source_mix_repeats(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, source, n_copies) — temperature-based source rebalancing
+    for a training mixture (the mT5 / XLM-R alpha-sampling shape with
+    alpha = 0.5): source s is resampled in proportion to sqrt(count_s), so
+    under-represented sources are upsampled and dominant ones downsampled
+    while the total document budget stays ~N.  Each doc's copy count is
+    the integer part of its source's repeat rate plus one deterministic
+    hash-Bernoulli extra for the fractional part — reruns and resumed
+    shards produce identical mixtures.
+
+    INTEGER-EXACT cross-engine: the only float steps are IEEE sqrt and
+    one multiply (correctly rounded on every conforming platform); weights
+    are floored to milli units and all rate math is integer, so the hash
+    compare against the SQL oracle is bit-stable.
+
+    Shape: one native Count groupby (rows = |sources|) -> driver computes
+    the tiny rate table -> broadcast once -> one streaming map pass."""
+    import hashlib
+
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _read_documents(sf_dir, columns=("doc_id", "source"))
+    counts = ds.groupby("source").aggregate(Count()).to_pandas()
+    if counts.empty:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "source": pa.array([], type=pa.string()),
+            "n_copies": pa.array([], type=pa.int64())}))
+    c = counts["count()"].to_numpy().astype(np.int64)
+    wm = np.floor(np.sqrt(c.astype(np.float64)) * 1000.0).astype(np.int64)
+    n_total = int(c.sum())
+    sw = int(wm.sum())
+    # repeat rate in milli-copies: N * w_s / (sum_w * c_s), all integer
+    rm = (n_total * wm * 1000) // (sw * c)
+    lut_ref = ray.put({s: int(r) for s, r in zip(counts["source"], rm)})
+
+    def assign(batch: pa.Table, ref) -> pa.Table:
+        m = ray.get(ref)
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        rates = np.fromiter((m[s] for s in srcs), dtype=np.int64,
+                            count=len(srcs))
+        frac = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+             for i in ids), dtype=np.int64, count=len(ids))
+        n_copies = rates // 1000 + (frac < rates % 1000)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "source": pa.array(srcs, type=pa.string()),
+            "n_copies": pa.array(n_copies.astype(np.int64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", fn_args=(lut_ref,))
+
+
 def weighted_sample(sf_dir: str, k: int = 200) -> ray.data.Dataset:
     """(doc_id, weight) — deterministic weight-proportional sample without
     replacement (Efraimidis & Spirakis, IPL 2006, A-Res): each doc draws a

@@ -186,6 +186,35 @@ def test_sample_docs_bottom_k(ray_session, docs_dir):
     assert got == expect
 
 
+def test_source_mix_rebalances(ray_session, tmp_path):
+    """alpha=0.5 temperature mixing: an 80%-dominant source is downsampled
+    and an 8x-smaller one upsampled, the total stays within rounding of N,
+    and the assignment is deterministic across runs."""
+    rng = np.random.default_rng(3)
+    n = 4000
+    srcs = np.where(rng.random(n) < 0.8, "web",
+                    rng.choice(["wiki", "code"], size=n))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "source": pa.array(srcs),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    got = text_ops.source_mix_repeats(str(tmp_path)).to_pandas()
+    assert len(got) == n
+    by_src = got.groupby("source")["n_copies"].sum()
+    c_web = int((srcs == "web").sum())
+    # sqrt rebalance: web's copy share shrinks below its 80% doc share,
+    # minority shares grow above theirs
+    assert by_src["web"] / by_src.sum() < c_web / n
+    for s in ("wiki", "code"):
+        cs = int((srcs == s).sum())
+        assert by_src[s] / by_src.sum() > cs / n
+        assert by_src[s] > cs  # upsampled in absolute copies too
+    assert abs(int(by_src.sum()) - n) <= len(by_src) * 2 + n // 100
+    again = text_ops.source_mix_repeats(str(tmp_path)).to_pandas()
+    assert got.sort_values("doc_id")["n_copies"].tolist() == \
+        again.sort_values("doc_id")["n_copies"].tolist()
+
+
 def test_weighted_sample_es_exact(ray_session, tmp_path):
     """Efraimidis-Spirakis A-Res: the distributed bottom-k equals the
     brute-force single-machine selection exactly, and under 100x weight
