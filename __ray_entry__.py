@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_per_region": relational.suppliers_per_region,
         "revenue_by_priority": relational.revenue_by_priority,
         "revenue_by_part_type": relational.revenue_by_part_type,
+        "returned_revenue_by_cust": relational.returned_revenue_by_cust,
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
         "custs_with_big_orders": relational.custs_with_big_orders,
@@ -176,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": windows.events_ntile,
         "cohort_retention": windows.cohort_retention,
         "user_first_event": windows.user_first_event,
+        "top_event_type_per_user": windows.top_event_type_per_user,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
         "events_value_bands": joins.events_value_bands,
@@ -191,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_percentiles_by_flag": sketches.quantity_percentiles_by_flag,
         "price_quantiles_tdigest": sketches.price_quantiles_tdigest,  # approx, rows-only
         "word_topk": text_ops.word_topk,
+        "bigram_topk": text_ops.bigram_topk,
         # ---- composed curation pipeline (extraction -> score -> filter -> dedup) ----
         "curate_corpus": curate,
         "export_corpus_summary": _export_summary,  # partitioned-sink e2e, rows-only
@@ -305,6 +308,32 @@ SELECT p.p_type, count(*) AS n_items,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_type""",
+        "returned_revenue_by_cust": """
+SELECT c_custkey, c_name, n_name, revenue FROM (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3)
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "top_event_type_per_user": """
+SELECT user_id, top_type, n FROM (
+  SELECT user_id, event_type AS top_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM (SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2)) t
+WHERE rn = 1""",
+        "bigram_topk": """
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS pos FROM d)
+SELECT w1, w2, n FROM (
+  SELECT a.word AS w1, b.word AS w2, count(*) AS n
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2)
+ORDER BY n DESC, w1, w2 LIMIT 30""",
         "distinct_sources": "SELECT DISTINCT source FROM documents",
         "custs_without_orders": """
 SELECT c_custkey, c_name FROM customer c

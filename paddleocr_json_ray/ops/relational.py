@@ -686,3 +686,80 @@ def custs_without_orders(sf_dir: str, min_total: float = 200_000.0) -> ray.data.
         return batch.filter(pa.array(~hit))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def returned_revenue_by_cust(sf_dir: str, n: int = 20) -> ray.data.Dataset:
+    """Top-n customers by revenue on RETURNED items (TPC-H Q10 shape):
+    lineitem(R) |> orders |> customer |> nation — the multi-way join
+    composition query.
+
+    Scale plan: the fact table is reduced BEFORE the exchange — a
+    predicate-filtered, per-batch orderkey combiner shrinks lineitem from
+    rows to (orderkey, partial-revenue) pairs (lineitem files cluster by
+    orderkey, so the combiner is near-total); only the reduced stream
+    enters the partitioned hash join with orders.  The custkey aggregate
+    then runs on the join output with Ray's native partial-agg groupby,
+    and the two true DIMENSIONS (customer names, nation names) are
+    broadcast once and applied to the post-aggregate rows (15k at sf0.1)
+    — never shuffled.  At customer-table scale beyond the object store
+    the enrichment becomes a second ``_join_partitions`` hash join."""
+    import numpy as np
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_returnflag"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        rev = (t.column("l_extendedprice").to_numpy()
+               * (1.0 - t.column("l_discount").to_numpy()))
+        uk, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(uk))
+        np.add.at(sums, inv, rev)
+        return pa.table({"l_orderkey": pa.array(uk),
+                         "rev": pa.array(sums)})
+
+    reduced = li.map_batches(partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = reduced.join(orders, "inner",
+                          num_partitions=_join_partitions(reduced, orders),
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = (joined.select_columns(["o_custkey", "rev"])
+                 .groupby("o_custkey").aggregate(Sum("rev")))
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    ckeys = cust.column("c_custkey").to_numpy().astype(np.int64)
+    cname = np.asarray(cust.column("c_name").to_pylist())
+    cnat = cust.column("c_nationkey").to_numpy().astype(np.int64)
+    nnames = np.asarray(nat.column("n_name").to_pylist())
+    nkeys = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    nlut = np.empty(nkeys.max() + 1, dtype=nnames.dtype)
+    nlut[nkeys] = nnames
+    name_lut = np.empty(ckeys.max() + 1, dtype=cname.dtype)
+    name_lut[ckeys] = cname
+    natname_lut = np.empty(ckeys.max() + 1, dtype=nnames.dtype)
+    natname_lut[ckeys] = nlut[cnat]
+    luts_ref = ray.put((name_lut, natname_lut))
+
+    def enrich(batch: pa.Table, ref) -> pa.Table:
+        names, natnames = ray.get(ref)
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        revenue = np.array([_round2(v) for v in
+                            batch.column("sum(rev)").to_pylist()])
+        return pa.table({
+            "c_custkey": pa.array(ck),
+            "c_name": pa.array(names[ck]),
+            "n_name": pa.array(natnames[ck]),
+            "revenue": pa.array(revenue),
+            "neg_rev": pa.array(-revenue),
+        })
+
+    return (agg.map_batches(enrich, batch_format="pyarrow",
+                            fn_args=(luts_ref,))
+               .sort(["neg_rev", "c_custkey"])
+               .limit(n)
+               .drop_columns(["neg_rev"]))

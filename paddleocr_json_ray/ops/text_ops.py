@@ -730,3 +730,48 @@ def length_histogram(sf_dir: str, bucket: int = 100) -> ray.data.Dataset:
         lambda b: pa.table({"bucket_lo": b.column("bucket_lo"),
                             "n_docs": b.column("count()").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def bigram_topk(sf_dir: str, k: int = 30) -> ray.data.Dataset:
+    """Global top-k adjacent word pairs — the n-gram extension of
+    ``word_topk`` (language-model count tables, collocation mining).
+    Same shape: per-batch bigram Counter combiner (one row per distinct
+    pair per batch; pairs never cross document boundaries), native Sum
+    groupby over the pair vocabulary (vocab^2-bounded, not corpus-
+    bounded), sort + limit with (count desc, w1 asc, w2 asc) ties."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir, columns=("text",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            ws = _RE_TOKEN_ASCII.findall(t)
+            c.update(zip(ws, ws[1:]))
+        w1 = [p[0] for p in c]
+        w2 = [p[1] for p in c]
+        return pa.table({"w1": pa.array(w1, type=pa.string()),
+                         "w2": pa.array(w2, type=pa.string()),
+                         "n": pa.array(list(c.values()), type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["w1", "w2"]).aggregate(Sum("n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"w1": batch.column("w1"),
+                         "w2": batch.column("w2"),
+                         "neg_n": pc.multiply(batch.column("sum(n)"),
+                                              pa.scalar(-1))})
+
+    def to_out(batch: pa.Table) -> pa.Table:
+        return pa.table({"w1": batch.column("w1"),
+                         "w2": batch.column("w2"),
+                         "n": pc.multiply(batch.column("neg_n"),
+                                          pa.scalar(-1))})
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+               .sort(["neg_n", "w1", "w2"])
+               .limit(k)
+               .map_batches(to_out, batch_format="pyarrow"))

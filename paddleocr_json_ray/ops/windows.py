@@ -1133,3 +1133,71 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
             "day_offset": b.column("day_offset"),
             "n_users": b.column("count()").cast(pa.int64()),
         }), batch_format="pyarrow")
+
+
+def top_event_type_per_user(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, top_type, n) — each user's most frequent event type
+    (grouped MODE with a deterministic tie-break: count desc, then type
+    asc).  Two-level plan: Ray's native partial-agg Count groupby builds
+    the (user, type) histogram — the only corpus-sized exchange — then the
+    argmax-per-user runs as the repo's sorted-run first-per-key: sort the
+    histogram by (user asc, n desc, type asc), keep the first row of every
+    interior run, emit ONE candidate per boundary run, heal candidates in
+    a grouped pass.  The histogram is |users| x |types| rows, so the
+    second exchange is bounded by distinct keys, not events."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type"])
+    counts = ds.groupby(["user_id", "event_type"]).aggregate(Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "top_type": batch.column("event_type"),
+            "n": batch.column("count()").cast(pa.int64()),
+        })
+
+    srt = (counts.map_batches(rename, batch_format="pyarrow")
+                 .sort(["user_id", "n", "top_type"],
+                       descending=[False, True, False]))
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"kind": pa.array([], type=pa.int8()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "top_type": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        starts = np.r_[0, np.flatnonzero(np.diff(u) != 0) + 1]
+        kind = np.zeros(len(starts), dtype=np.int8)
+        kind[0] = kind[-1] = 1
+        idx = pa.array(starts)
+        return pa.table({
+            "kind": pa.array(kind),
+            "user_id": batch.column("user_id").take(idx),
+            "top_type": batch.column("top_type").take(idx),
+            "n": batch.column("n").take(idx),
+        })
+
+    out = srt.map_batches(firsts, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    payload = ["user_id", "top_type", "n"]
+    finals = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)).select(payload),
+        batch_format="pyarrow")
+    edges = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1)).select(payload),
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        ns = group.column("n").to_pylist()
+        ts = group.column("top_type").to_pylist()
+        win = min(range(len(ns)), key=lambda i: (-ns[i], ts[i]))
+        return group.slice(win, 1).select(payload)
+
+    healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
+    return finals.union(healed)

@@ -34,7 +34,7 @@ from ..functions.html import strip_boilerplate
 from .imaging import SimgBlock, SimgImage, encode
 
 CORPUS_ROOT = os.environ.get("PJR_CORPUS_ROOT", "/tmp/pjr_corpus")
-CORPUS_VERSION = "v10"  # v9 horizontal reading; v10 median halo probe
+CORPUS_VERSION = "v11"  # v10 median halo probe; v11 one-sided halo decode
 
 # interleaved docs per source document row, by scale name (bench scale sized
 # so per-run compute amortizes fixed pool-spawn/read overhead at 32 CPUs).

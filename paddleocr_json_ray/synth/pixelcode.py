@@ -269,12 +269,21 @@ def cls_probe(crop: np.ndarray) -> tuple[int, float]:
     # reference rotated 90° has its halo on the SIDES instead — fall back
     a_v, b_v, g_v = probe((slice(max(r0 - win, 0), r0), slice(c0, c1)),
                           (slice(r1, r1 + win), slice(c0, c1)))
-    if a_v.size == 0 or b_v.size == 0:
+    if a_v.size == 0 and b_v.size == 0:
         a_v, b_v, g_v = probe((slice(r0, r1), slice(max(c0 - win, 0), c0)),
                               (slice(r0, r1), slice(c1, c1 + win)))
-    if a_v.size == 0 or b_v.size == 0:
+    if a_v.size == 0 and b_v.size == 0:
         return 0, 0.0
-    a, b = float(np.median(a_v)), float(np.median(b_v))
-    if abs(a - b) < 1.0:
-        return 0, 0.0
-    return (0 if a > b else 1), float(np.median(g_v)) / 255.0
+    if a_v.size and b_v.size:
+        a, b = float(np.median(a_v)), float(np.median(b_v))
+        if abs(a - b) < 1.0:
+            return 0, 0.0
+        return (0 if a > b else 1), float(np.median(g_v)) / 255.0
+    # ONE visible band (a tight det box can unclip past only one halo edge):
+    # the band VALUE alone decides — top/left halo paints HALO_TOP_R (212),
+    # bottom/right HALO_BOT_R (208); the 210 midpoint splits them and the
+    # median rejects resize blend at the band edges
+    first = a_v.size > 0
+    m = float(np.median(a_v if first else b_v))
+    reads_top = m > (HALO_TOP_R + HALO_BOT_R) / 2.0
+    return (0 if reads_top == first else 1), float(np.median(g_v)) / 255.0

@@ -217,3 +217,93 @@ def test_intersection_matches_sets(ray_session, events_dir):
     users = tab.column("user_id").to_numpy()
     expect = set(users[et == "click"]) & set(users[et == "purchase"])
     assert got == expect
+
+
+# ---------------------------------------------------------------- round-3e ops
+
+def _mode_expect(tab):
+    from collections import Counter
+
+    per_user = {}
+    for u, t in zip(tab.column("user_id").to_pylist(),
+                    tab.column("event_type").to_pylist()):
+        per_user.setdefault(u, Counter())[t] += 1
+    return {u: min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            for u, c in per_user.items()}
+
+
+def test_top_event_type_per_user(ray_session, events_dir):
+    d, tab = events_dir
+    got = windows.top_event_type_per_user(d).to_pandas().set_index("user_id")
+    expect = _mode_expect(tab)
+    assert len(got) == len(expect)
+    for u, (typ, n) in expect.items():
+        assert got.loc[u, "top_type"] == typ
+        assert got.loc[u, "n"] == n
+
+
+def test_top_event_type_hot_key(ray_session, tmp_path):
+    """One user owns 50% of all rows (its run spans every sorted block):
+    the boundary heal must still pick the (count desc, type asc) winner."""
+    rng = np.random.default_rng(5)
+    n = 4000
+    users = np.where(rng.uniform(size=n) < 0.5, 7,
+                     rng.integers(100, 120, size=n))
+    tab = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "user_id": pa.array(users, type=pa.int64()),
+        "ts": pa.array([1_600_000_000_000_000 + i for i in range(n)],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], size=n)),
+        "value": pa.array(np.zeros(n)),
+    })
+    pq.write_table(tab, os.path.join(str(tmp_path), "events.parquet"))
+    got = (windows.top_event_type_per_user(str(tmp_path))
+           .to_pandas().set_index("user_id"))
+    expect = _mode_expect(tab)
+    assert len(got) == len(expect)
+    for u, (typ, n_) in expect.items():
+        assert (got.loc[u, "top_type"], got.loc[u, "n"]) == (typ, n_)
+
+
+def test_returned_revenue_by_cust(ray_session, sf0001_dir):
+    import pandas as pd
+
+    got = relational.returned_revenue_by_cust(sf0001_dir).to_pandas()
+    li = pq.read_table(os.path.join(sf0001_dir, "lineitem.parquet")).to_pandas()
+    orders = pq.read_table(os.path.join(sf0001_dir, "orders.parquet")).to_pandas()
+    cust = pq.read_table(os.path.join(sf0001_dir, "customer.parquet")).to_pandas()
+    nat = pq.read_table(os.path.join(sf0001_dir, "nation.parquet")).to_pandas()
+    li = li[li.l_returnflag == "R"].copy()
+    li["rev"] = li.l_extendedprice * (1 - li.l_discount)
+    j = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+           .groupby("o_custkey", as_index=False)["rev"].sum()
+           .merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(nat, left_on="c_nationkey", right_on="n_nationkey"))
+    j["revenue"] = j["rev"].round(2)
+    j = (j.sort_values(["revenue", "c_custkey"], ascending=[False, True])
+          .head(20).reset_index())
+    assert len(got) == 20
+    assert got["c_custkey"].tolist() == j["c_custkey"].tolist()
+    assert got["c_name"].tolist() == j["c_name"].tolist()
+    assert got["n_name"].tolist() == j["n_name"].tolist()
+    assert np.allclose(got["revenue"], j["revenue"], atol=0.011)
+
+
+def test_bigram_topk(ray_session, sf0001_dir):
+    import re
+    from collections import Counter
+
+    from paddleocr_json_ray.ops import text_ops
+
+    got = text_ops.bigram_topk(sf0001_dir, k=30).to_pandas()
+    tok = re.compile(r"[^ \t\n\r\f\v]+")
+    c = Counter()
+    docs = pq.read_table(os.path.join(sf0001_dir, "documents.parquet"),
+                         columns=["text"])
+    for t in docs.column("text").to_pylist():
+        ws = tok.findall(t)
+        c.update(zip(ws, ws[1:]))
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    assert [(r.w1, r.w2) for r in got.itertuples()] == [p for p, _ in expect]
+    assert got["n"].tolist() == [n for _, n in expect]
