@@ -178,11 +178,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": windows.cohort_retention,
         "user_first_event": windows.user_first_event,
         "top_event_type_per_user": windows.top_event_type_per_user,
+        "user_paths": windows.user_paths,
+        "rolling_active_users": windows.rolling_active_users,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
         "events_value_bands": joins.events_value_bands,
         "top_orders_per_cust": joins.top_orders_per_cust,
         "user_funnel": joins.user_funnel,
+        "click_to_purchase": joins.click_to_purchase,
         # ---- sketches / order statistics ----
         "events_distinct_users": sketches.events_distinct_users,
         "distinct_users_hll": sketches.hll_distinct_users,  # approx, rows-only
@@ -326,6 +329,24 @@ SELECT user_id, top_type, n FROM (
   FROM (SELECT user_id, event_type, count(*) AS n
         FROM events GROUP BY 1, 2)) t
 WHERE rn = 1""",
+        "user_paths": """
+SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM events GROUP BY user_id""",
+        "rolling_active_users": """
+WITH pairs AS (
+  SELECT DISTINCT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d,
+         user_id FROM events),
+days AS (SELECT DISTINCT d FROM pairs)
+SELECT days.d * 86400000000 AS day_us, count(DISTINCT pairs.user_id) AS n_users
+FROM days JOIN pairs ON pairs.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.d""",
+        "click_to_purchase": """
+SELECT c.user_id, count(*) AS n_pairs
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id""",
         "bigram_topk": """
 WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
 w AS (SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS pos FROM d)

@@ -29,6 +29,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -248,3 +249,147 @@ def user_funnel(sf_dir: str) -> ray.data.Dataset:
 
     return users.map_batches(stage, batch_format="pyarrow",
                              fn_args=(s1, s2, s3))
+
+
+def click_to_purchase(sf_dir: str,
+                      horizon_us: int = 3_600_000_000) -> ray.data.Dataset:
+    """(user_id, n_pairs) — conversion pairs: per user, how many
+    (click, purchase) event pairs have the purchase within ``horizon_us``
+    AFTER the click (the temporal SELF-join: ``e JOIN e ON same user AND
+    0 < Δt <= H``, which a naive plan executes as an all-pairs blowup).
+
+    Time-bucket co-partition instead: every event maps to bucket
+    ``ts // H``; a qualifying purchase is always in the click's bucket or
+    the next one, so clicks fan out to exactly those TWO (user, bucket)
+    keys and one sort co-locates every candidate pair.  Per block,
+    complete (user, bucket) runs count matches with two vectorized
+    ``searchsorted``s over the run's purchase timestamps; runs touching a
+    block edge ship to a distributed grouped heal keyed by (user, bucket).
+    Partitioning assumption: one user's events within one ``horizon_us``
+    bucket fit a heal task (per-user-per-hour volume, not corpus volume);
+    a pathological single-hot-bucket user would need bucket salting +
+    a second combine."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase"))
+        t = batch.filter(keep)
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        is_p = np.asarray(pc.equal(t.column("event_type"), "purchase"))
+        bkt = ts // horizon_us
+        # purchases once in their own bucket; clicks probe bucket and bucket+1
+        pu, pts, pb = u[is_p], ts[is_p], bkt[is_p]
+        cu, cts, cb = u[~is_p], ts[~is_p], bkt[~is_p]
+        return pa.table({
+            "user_id": pa.array(np.concatenate([pu, cu, cu])),
+            "bucket": pa.array(np.concatenate([pb, cb, cb + 1])),
+            "role": pa.array(np.concatenate([
+                np.ones(len(pu), dtype=np.int8),
+                np.zeros(2 * len(cu), dtype=np.int8)])),
+            "ets": pa.array(np.concatenate([pts, cts, cts])),
+        })
+
+    srt = (ds.map_batches(emit, batch_format="pyarrow")
+             .sort(["user_id", "bucket", "ets"]))
+
+    def _count_runs(u, b, role, ets, starts, stops):
+        uid, cnt = [], []
+        for s, e in zip(starts, stops):
+            r = role[s:e]
+            p_ts = ets[s:e][r == 1]
+            c_ts = ets[s:e][r == 0]
+            if len(p_ts) == 0 or len(c_ts) == 0:
+                continue
+            hits = (np.searchsorted(p_ts, c_ts + horizon_us, side="right")
+                    - np.searchsorted(p_ts, c_ts, side="right"))
+            tot = int(hits.sum())
+            if tot:
+                uid.append(int(u[s]))
+                cnt.append(tot)
+        return pa.table({"user_id": pa.array(uid, type=pa.int64()),
+                         "n": pa.array(cnt, type=pa.int64())})
+
+    def block_count(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                          "user_id": pa.array([], type=pa.int64()),
+                          "bucket": pa.array([], type=pa.int64()),
+                          "role": pa.array([], type=pa.int8()),
+                          "ets": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        b = batch.column("bucket").to_numpy().astype(np.int64)
+        role = batch.column("role").to_numpy().astype(np.int8)
+        ets = batch.column("ets").to_numpy().astype(np.int64)
+        key_chg = np.flatnonzero((np.diff(u) != 0) | (np.diff(b) != 0)) + 1
+        starts = np.r_[0, key_chg]
+        stops = np.r_[key_chg, n]
+        interior = _count_runs(u, b, role, ets, starts[1:-1], stops[1:-1]) \
+            if len(starts) > 2 else None
+        lo, hi = starts[0], stops[0]
+        lo2, hi2 = starts[-1], stops[-1]
+        edge_idx = np.r_[np.arange(lo, hi), np.arange(lo2, hi2)] \
+            if len(starts) > 1 else np.arange(lo, hi)
+        rows = {"kind": pa.array(np.ones(len(edge_idx), dtype=np.int8)),
+                "user_id": pa.array(u[edge_idx]),
+                "bucket": pa.array(b[edge_idx]),
+                "role": pa.array(role[edge_idx]),
+                "ets": pa.array(ets[edge_idx]),
+                "n": pa.array(np.zeros(len(edge_idx), dtype=np.int64))}
+        edge_t = pa.table(rows)
+        if interior is None or interior.num_rows == 0:
+            return edge_t
+        int_t = pa.table({
+            "kind": pa.array(np.zeros(interior.num_rows, dtype=np.int8)),
+            "user_id": interior.column("user_id"),
+            "bucket": pa.array(np.zeros(interior.num_rows, dtype=np.int64)),
+            "role": pa.array(np.zeros(interior.num_rows, dtype=np.int8)),
+            "ets": pa.array(np.zeros(interior.num_rows, dtype=np.int64)),
+            "n": interior.column("n"),
+        })
+        return pa.concat_tables([int_t, edge_t])
+
+    out = srt.map_batches(block_count, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    finals = out.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 0))
+                   .select(["user_id", "n"]),
+        batch_format="pyarrow")
+    edges = out.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 1))
+                   .select(["user_id", "bucket", "role", "ets"]),
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        role = group.column("role").to_numpy().astype(np.int8)
+        ets = group.column("ets").to_numpy().astype(np.int64)
+        p_ts = np.sort(ets[role == 1])
+        c_ts = ets[role == 0]
+        if len(p_ts) == 0 or len(c_ts) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        hits = (np.searchsorted(p_ts, c_ts + horizon_us, side="right")
+                - np.searchsorted(p_ts, c_ts, side="right"))
+        tot = int(hits.sum())
+        if tot == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({"user_id": group.column("user_id").slice(0, 1),
+                         "n": pa.array([tot], type=pa.int64())})
+
+    healed = (edges.groupby(["user_id", "bucket"])
+                   .map_groups(heal, batch_format="pyarrow"))
+    agg = finals.union(healed).groupby("user_id").aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("user_id"),
+            "n_pairs": t.column("sum(n)").cast(pa.int64()),
+        }), batch_format="pyarrow")

@@ -1201,3 +1201,136 @@ def top_event_type_per_user(sf_dir: str) -> ray.data.Dataset:
 
     healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
     return finals.union(healed)
+
+
+def user_paths(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, path) — each user's full journey as an ordered '>'-joined
+    event-type string (STRING_AGG ... ORDER BY: the order-SENSITIVE grouped
+    aggregation the engine's other groupbys don't need).  Same sorted-run
+    plan as sessionization: one global (user, ts, event_id) sort, interior
+    user runs join block-locally, boundary runs emit ONE partial segment
+    per block (already-joined substring + its first (ts, event_id) for
+    ordering) and a grouped heal concatenates segments by first-timestamp
+    order.  Healing ships O(blocks) segments per straddling user whose
+    total size equals that user's final path — the output row itself — so
+    no heal input exceeds output size."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts",
+                                       "event_type"])
+    srt = ds.sort(["user_id", "ts", "event_id"])
+
+    def block_paths(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                          "user_id": pa.array([], type=pa.int64()),
+                          "path": pa.array([], type=pa.string()),
+                          "first_ts": pa.array([], type=pa.int64()),
+                          "first_eid": pa.array([], type=pa.int64())})
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        types = batch.column("event_type").to_pylist()
+        bnd = np.flatnonzero(np.diff(u) != 0) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, n]
+        kind = np.zeros(len(starts), dtype=np.int8)
+        kind[0] = kind[-1] = 1
+        return pa.table({
+            "kind": pa.array(kind),
+            "user_id": pa.array(u[starts]),
+            "path": pa.array([">".join(types[s:e])
+                              for s, e in zip(starts, stops)],
+                             type=pa.string()),
+            "first_ts": pa.array(t[starts]),
+            "first_eid": pa.array(eid[starts]),
+        })
+
+    out = srt.map_batches(block_paths, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    finals = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0))
+                   .select(["user_id", "path"]),
+        batch_format="pyarrow")
+    edges = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1))
+                   .select(["user_id", "path", "first_ts", "first_eid"]),
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        t = group.column("first_ts").to_numpy().astype(np.int64)
+        e = group.column("first_eid").to_numpy().astype(np.int64)
+        order = np.lexsort((e, t))
+        segs = group.column("path").to_pylist()
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "path": pa.array([">".join(segs[i] for i in order)],
+                             type=pa.string()),
+        })
+
+    healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
+    return finals.union(healed)
+
+
+_DAY_US = 86_400_000_000
+
+
+def rolling_active_users(sf_dir: str, window_days: int = 7) -> ray.data.Dataset:
+    """(day_us, n_users) — trailing-``window_days`` distinct active users
+    for every day that has events (the rolling-DAU dashboard query:
+    COUNT(DISTINCT) over a sliding time window, which no frame-based
+    running aggregate can express because distinct-ness doesn't subtract).
+
+    Plan: per-batch (day, user) de-dup combiner, k-fold fan-out of each
+    pair to the ``window_days`` window-end days it can serve (the
+    ``events_sliding`` trick applied to distinct-count), then TWO native
+    partial-agg exchanges — (window, user) de-dup, then per-window count —
+    each bounded by days x active-users, never by event volume.  Window
+    ends with no events of their own are dropped against a broadcast
+    day-set (tiny: one int per distinct day)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Count
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        uniq = np.unique(np.stack([d, u], axis=1), axis=0)
+        return pa.table({"d": pa.array(uniq[:, 0]),
+                         "user_id": pa.array(uniq[:, 1])})
+
+    pairs = ds.map_batches(day_pairs, batch_format="pyarrow")
+
+    # the distinct day set is tiny (one row per calendar day) — safe collect
+    day_rows = (pairs.groupby("d").aggregate(Count())
+                     .select_columns(["d"]).take_all())
+    days = np.sort(np.array([r["d"] for r in day_rows], dtype=np.int64))
+    days_ref = _ray.put(days)
+
+    def fan_out(batch: pa.Table, ref) -> pa.Table:
+        dset = _ray.get(ref)
+        d = batch.column("d").to_numpy().astype(np.int64)
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        wd = (d[:, None] + np.arange(window_days)[None, :]).ravel()
+        uu = np.repeat(u, window_days)
+        pos = np.minimum(np.searchsorted(dset, wd), max(len(dset) - 1, 0))
+        keep = (dset[pos] == wd) if len(dset) else np.zeros(len(wd), bool)
+        return pa.table({"wd": pa.array(wd[keep]),
+                         "user_id": pa.array(uu[keep])})
+
+    fanned = pairs.map_batches(fan_out, batch_format="pyarrow",
+                               fn_args=(days_ref,))
+    distinct = fanned.groupby(["wd", "user_id"]).aggregate(Count())
+    counts = (distinct.select_columns(["wd"])
+                      .groupby("wd").aggregate(Count()))
+    return counts.map_batches(
+        lambda b: pa.table({
+            "day_us": pc.multiply(b.column("wd"), pa.scalar(_DAY_US)),
+            "n_users": b.column("count()").cast(pa.int64()),
+        }), batch_format="pyarrow")

@@ -215,3 +215,71 @@ def test_user_funnel_order_sensitivity(ray_session, tmp_path):
     got = (joins.user_funnel(str(tmp_path)).to_pandas()
            .set_index("user_id")["funnel_stage"])
     assert got.to_dict() == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1, 6: 3}
+
+
+def _c2p_expect(tab, horizon_us=3_600_000_000):
+    from collections import defaultdict
+
+    clicks, purchases = defaultdict(list), defaultdict(list)
+    for u, t, e in zip(tab.column("user_id").to_pylist(),
+                       tab.column("ts").cast(pa.int64()).to_pylist(),
+                       tab.column("event_type").to_pylist()):
+        (clicks if e == "click" else purchases if e == "purchase" else
+         defaultdict(list))[u].append(t)
+    out = {}
+    for u, cs in clicks.items():
+        n = sum(1 for c in cs for p in purchases.get(u, [])
+                if c < p <= c + horizon_us)
+        if n:
+            out[u] = n
+    return out
+
+
+def test_click_to_purchase(ray_session, tmp_path):
+    from paddleocr_json_ray.ops import joins
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    base = 1_600_000_000_000_000
+    tab = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "user_id": pa.array(rng.integers(0, 40, size=n), type=pa.int64()),
+        # dense timeline (~2 days) so 1h windows hold many candidates and
+        # regularly straddle the bucket boundary
+        "ts": pa.array((base + rng.integers(0, 2 * 86_400_000_000, size=n))
+                       .tolist(), type=pa.timestamp("us")),
+        "event_type": pa.array(rng.choice(
+            ["click", "purchase", "view"], size=n, p=[0.4, 0.4, 0.2])),
+        "value": pa.array(np.zeros(n)),
+    })
+    pq.write_table(tab, os.path.join(str(tmp_path), "events.parquet"))
+    got = (joins.click_to_purchase(str(tmp_path)).to_pandas()
+           .set_index("user_id")["n_pairs"].to_dict())
+    assert got == _c2p_expect(tab)
+
+
+def test_click_to_purchase_hot_user(ray_session, tmp_path):
+    """Half of all events belong to one user inside a few hours — its
+    (user, bucket) runs straddle every sorted block, forcing the grouped
+    heal to do the counting."""
+    from paddleocr_json_ray.ops import joins
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    base = 1_600_000_000_000_000
+    hot = rng.uniform(size=n) < 0.5
+    users = np.where(hot, 3, rng.integers(50, 80, size=n))
+    ts = np.where(hot,
+                  base + rng.integers(0, 4 * 3_600_000_000, size=n),
+                  base + rng.integers(0, 86_400_000_000, size=n))
+    tab = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "user_id": pa.array(users, type=pa.int64()),
+        "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+        "event_type": pa.array(rng.choice(["click", "purchase"], size=n)),
+        "value": pa.array(np.zeros(n)),
+    })
+    pq.write_table(tab, os.path.join(str(tmp_path), "events.parquet"))
+    got = (joins.click_to_purchase(str(tmp_path)).to_pandas()
+           .set_index("user_id")["n_pairs"].to_dict())
+    assert got == _c2p_expect(tab)

@@ -307,3 +307,54 @@ def test_bigram_topk(ray_session, sf0001_dir):
     expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
     assert [(r.w1, r.w2) for r in got.itertuples()] == [p for p, _ in expect]
     assert got["n"].tolist() == [n for _, n in expect]
+
+
+def _paths_expect(tab):
+    import pandas as pd
+
+    df = tab.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    return df.groupby("user_id")["event_type"].agg(">".join).to_dict()
+
+
+def test_user_paths(ray_session, events_dir):
+    d, tab = events_dir
+    got = windows.user_paths(d).to_pandas().set_index("user_id")["path"]
+    expect = _paths_expect(tab)
+    assert len(got) == len(expect)
+    for u, p in expect.items():
+        assert got.loc[u] == p
+
+
+def test_user_paths_single_user(ray_session, tmp_path):
+    """One user owns every row: the whole corpus is one run spanning all
+    sorted blocks; the heal must stitch every block's segment in order."""
+    n = 3000
+    tab = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "user_id": pa.array(np.full(n, 42), type=pa.int64()),
+        "ts": pa.array([1_600_000_000_000_000 + 1000 * i for i in range(n)],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array([("abc")[i % 3] for i in range(n)]),
+        "value": pa.array(np.zeros(n)),
+    })
+    pq.write_table(tab, os.path.join(str(tmp_path), "events.parquet"))
+    got = windows.user_paths(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got["path"][0] == ">".join(("abc")[i % 3] for i in range(n))
+
+
+def test_rolling_active_users(ray_session, events_dir):
+    d, tab = events_dir
+    got = (windows.rolling_active_users(d).to_pandas()
+           .set_index("day_us")["n_users"])
+    DAY = 86_400_000_000
+    days_of = {}
+    for u, t in zip(tab.column("user_id").to_pylist(),
+                    tab.column("ts").cast(pa.int64()).to_pylist()):
+        days_of.setdefault(t // DAY, set()).add(u)
+    assert len(got) == len(days_of)
+    for d_, _ in days_of.items():
+        expect = set()
+        for back in range(7):
+            expect |= days_of.get(d_ - back, set())
+        assert got.loc[d_ * DAY] == len(expect)
