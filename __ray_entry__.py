@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": relational.revenue_by_priority,
         "revenue_by_part_type": relational.revenue_by_part_type,
         "returned_revenue_by_cust": relational.returned_revenue_by_cust,
+        "small_quantity_revenue": relational.small_quantity_revenue,
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
         "custs_with_big_orders": relational.custs_with_big_orders,
@@ -180,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_type_per_user": windows.top_event_type_per_user,
         "user_paths": windows.user_paths,
         "rolling_active_users": windows.rolling_active_users,
+        "event_type_share": windows.event_type_share,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
         "events_value_bands": joins.events_value_bands,
@@ -329,6 +331,19 @@ SELECT user_id, top_type, n FROM (
   FROM (SELECT user_id, event_type, count(*) AS n
         FROM events GROUP BY 1, 2)) t
 WHERE rn = 1""",
+        "small_quantity_revenue": """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN (
+  SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*)) AS lim
+  FROM lineitem GROUP BY l_partkey) t
+ON l.l_partkey = t.l_partkey
+WHERE l.l_quantity < t.lim""",
+        "event_type_share": """
+SELECT user_id, event_type, n,
+       CAST(n * 1000 // sum(n) OVER (PARTITION BY user_id) AS BIGINT)
+         AS share_milli
+FROM (SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2) t""",
         "user_paths": """
 SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
 FROM events GROUP BY user_id""",

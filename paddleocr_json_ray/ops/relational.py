@@ -763,3 +763,59 @@ def returned_revenue_by_cust(sf_dir: str, n: int = 20) -> ray.data.Dataset:
                .sort(["neg_rev", "c_custkey"])
                .limit(n)
                .drop_columns(["neg_rev"]))
+
+
+def small_quantity_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Single-row {avg_yearly} — revenue/7 over lineitems whose quantity is
+    below 20% of their part's average quantity (TPC-H Q17 shape: the
+    correlated-scalar-subquery filter, i.e. a fact table filtered against
+    an aggregate of ITSELF).
+
+    Two passes over lineitem, no self-join shuffle: pass 1 is the native
+    partial-agg (Sum, Count) groupby per partkey; the resulting per-part
+    thresholds are a DIMENSION-sized table (bounded by |part|, not
+    |lineitem|) broadcast once as a dense direct-index array; pass 2
+    streams lineitem again, filters against the broadcast threshold and
+    partial-sums revenue.  Exactness note: quantities are integral, so
+    both engines' double sums are exact and the strict-< boundary is
+    bit-deterministic regardless of summation order."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    per_part = (li.groupby("l_partkey")
+                  .aggregate(Sum("l_quantity"), Count()))
+
+    def to_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": b.column("l_partkey"),
+            "lim": pc.multiply(
+                pc.divide(b.column("sum(l_quantity)"),
+                          pc.cast(b.column("count()"), pa.float64())),
+                pa.scalar(0.2)),
+        })
+
+    lim_ds = per_part.map_batches(to_rows, batch_format="pyarrow")
+    lim_tab = pa.concat_tables([ray.get(r) for r in lim_ds.to_arrow_refs()])
+    pk = lim_tab.column("pk").to_numpy().astype(np.int64)
+    lim = lim_tab.column("lim").to_numpy()
+    lut = np.full(pk.max() + 1, -np.inf)
+    lut[pk] = lim
+    lut_ref = ray.put(lut)
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table, ref) -> pa.Table:
+        m = ray.get(ref)
+        k = batch.column("l_partkey").to_numpy().astype(np.int64)
+        q = batch.column("l_quantity").to_numpy()
+        p = batch.column("l_extendedprice").to_numpy()
+        return pa.table({"s": pa.array([float(p[q < m[k]].sum())])})
+
+    total = (ds.map_batches(partial, batch_format="pyarrow",
+                            fn_args=(lut_ref,))
+               .aggregate(Sum("s")))["sum(s)"]
+    return ray.data.from_arrow(
+        pa.table({"avg_yearly": pa.array([_round2(total / 7.0)])}))

@@ -2,9 +2,9 @@
 
   * ``events_distinct_users`` — EXACT distinct count per key: per-batch
     partial dedup (the combiner) shrinks rows to distinct (key, user)
-    pairs, and the final merge is a numpy unique over the driver-bounded
-    distinct-pair set (cardinality-bounded: |event_type| x |users|, never
-    corpus-sized).
+    pairs, then two native partial-agg exchanges (keyed distinct, per-key
+    count) — the driver never holds the pair set; cardinality is bounded
+    by |event_type| x |users|, never corpus-sized.
   * ``hll_distinct_users`` — HyperLogLog (Flajolet et al., AofA 2007):
     the UNBOUNDED-cardinality scale path.  Each batch emits one row of
     2^p max-rank registers; registers merge by elementwise max (associative

@@ -1334,3 +1334,83 @@ def rolling_active_users(sf_dir: str, window_days: int = 7) -> ray.data.Dataset:
             "day_us": pc.multiply(b.column("wd"), pa.scalar(_DAY_US)),
             "n_users": b.column("count()").cast(pa.int64()),
         }), batch_format="pyarrow")
+
+
+def event_type_share(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, event_type, n, share_milli) — each type's share of its
+    user's events in integer permille (RATIO_TO_REPORT / ``n * 1000 //
+    SUM(n) OVER (PARTITION BY user)``: the windowed-total normalisation).
+    Integer floor-division keeps the result exact across engines.
+
+    Plan: native partial-agg Count groupby builds the (user, type)
+    histogram (the only corpus-sized exchange), then a user-keyed sort of
+    the histogram computes per-run totals block-locally; runs touching a
+    block edge ship their (type, n) rows — bounded by |event types|, never
+    event volume — to a distributed grouped heal."""
+    from ray.data.aggregate import Count
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type"])
+    counts = ds.groupby(["user_id", "event_type"]).aggregate(Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "n": batch.column("count()").cast(pa.int64()),
+        })
+
+    srt = counts.map_batches(rename, batch_format="pyarrow").sort("user_id")
+
+    def block_share(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                          "user_id": pa.array([], type=pa.int64()),
+                          "event_type": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "share_milli": pa.array([], type=pa.int64())})
+        if m == 0:
+            return empty
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        nv = batch.column("n").to_numpy().astype(np.int64)
+        bnd = np.flatnonzero(np.diff(u) != 0) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, m]
+        totals = np.add.reduceat(nv, starts)
+        per_row_tot = np.repeat(totals, stops - starts)
+        share = nv * 1000 // per_row_tot
+        kind = np.zeros(m, dtype=np.int8)
+        kind[starts[0]:stops[0]] = 1
+        kind[starts[-1]:stops[-1]] = 1
+        return pa.table({
+            "kind": pa.array(kind),
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "n": pa.array(nv),
+            "share_milli": pa.array(share),
+        })
+
+    out = srt.map_batches(block_share, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    payload = ["user_id", "event_type", "n", "share_milli"]
+    finals = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)).select(payload),
+        batch_format="pyarrow")
+    edges = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1))
+                   .select(["user_id", "event_type", "n"]),
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        nv = group.column("n").to_numpy().astype(np.int64)
+        tot = int(nv.sum())
+        return pa.table({
+            "user_id": group.column("user_id"),
+            "event_type": group.column("event_type"),
+            "n": pa.array(nv),
+            "share_milli": pa.array(nv * 1000 // tot),
+        })
+
+    healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
+    return finals.union(healed)

@@ -358,3 +358,34 @@ def test_rolling_active_users(ray_session, events_dir):
         for back in range(7):
             expect |= days_of.get(d_ - back, set())
         assert got.loc[d_ * DAY] == len(expect)
+
+
+def test_event_type_share(ray_session, events_dir):
+    d, tab = events_dir
+    got = (windows.event_type_share(d).to_pandas()
+           .set_index(["user_id", "event_type"]))
+    from collections import Counter
+
+    per_user = {}
+    for u, t in zip(tab.column("user_id").to_pylist(),
+                    tab.column("event_type").to_pylist()):
+        per_user.setdefault(u, Counter())[t] += 1
+    n_rows = sum(len(c) for c in per_user.values())
+    assert len(got) == n_rows
+    for u, c in per_user.items():
+        tot = sum(c.values())
+        for t, n in c.items():
+            assert got.loc[(u, t), "n"] == n
+            assert got.loc[(u, t), "share_milli"] == n * 1000 // tot
+
+
+def test_small_quantity_revenue(ray_session, sf0001_dir):
+    got = relational.small_quantity_revenue(sf0001_dir).to_pandas()
+    li = pq.read_table(os.path.join(sf0001_dir, "lineitem.parquet"),
+                       columns=["l_partkey", "l_quantity",
+                                "l_extendedprice"]).to_pandas()
+    lim = 0.2 * li.groupby("l_partkey")["l_quantity"].mean()
+    keep = li.l_quantity < li.l_partkey.map(lim)
+    expect = round(li.loc[keep, "l_extendedprice"].sum() / 7.0, 2)
+    assert len(got) == 1
+    assert abs(got["avg_yearly"][0] - expect) < 0.02
