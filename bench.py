@@ -99,7 +99,12 @@ def run_suite() -> dict:
                 "semdedup", "pack_sequences", "events_lead_diff",
                 "orders_dense_rank", "events_rank", "events_ntile",
                 "user_first_event", "cms_word_counts", "revenue_cube",
-                "value_zscores", "weighted_sample", "source_mix_repeats"]
+                "value_zscores", "weighted_sample", "source_mix_repeats",
+                # round-3f additions
+                "returned_revenue_by_cust", "top_event_type_per_user",
+                "bigram_topk", "user_paths", "rolling_active_users",
+                "click_to_purchase", "small_quantity_revenue",
+                "event_type_share"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

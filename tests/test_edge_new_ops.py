@@ -75,3 +75,37 @@ def test_embedding_ops_single_vector(ray_session, tmp_path):
     cov = similarity.embedding_covariance(d).to_pandas()
     assert len(cov) == 64  # n=1 -> ddof guard yields finite values
     assert np.isfinite(cov["cov"]).all()
+
+
+@pytest.mark.parametrize("n", [0, 1])
+def test_round3f_event_ops_degenerate(ray_session, tmp_path, n):
+    _write_events(tmp_path, n)
+    d = str(tmp_path)
+    top = windows.top_event_type_per_user(d).to_pandas()
+    assert len(top) == n
+    if n:
+        assert (top["top_type"].iloc[0], top["n"].iloc[0]) == ("click", 1)
+    paths = windows.user_paths(d).to_pandas()
+    assert len(paths) == n
+    if n:
+        assert paths["path"].iloc[0] == "click"
+    rolled = windows.rolling_active_users(d).to_pandas()
+    assert len(rolled) == n
+    if n:
+        assert rolled["n_users"].iloc[0] == 1
+    share = windows.event_type_share(d).to_pandas()
+    assert len(share) == n
+    if n:
+        assert share["share_milli"].iloc[0] == 1000
+    assert joins.click_to_purchase(d).count() == 0  # no purchases at all
+
+
+@pytest.mark.parametrize("n", [0, 1])
+def test_bigram_degenerate(ray_session, tmp_path, n):
+    from paddleocr_json_ray.ops import text_ops
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(["solo"] * n, type=pa.string()),  # 1 token: no pair
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    assert text_ops.bigram_topk(str(tmp_path)).count() == 0
