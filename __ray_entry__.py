@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_part_type": relational.revenue_by_part_type,
         "returned_revenue_by_cust": relational.returned_revenue_by_cust,
         "small_quantity_revenue": relational.small_quantity_revenue,
+        "users_click_no_purchase": relational.users_click_no_purchase,
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
         "custs_with_big_orders": relational.custs_with_big_orders,
@@ -182,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_paths": windows.user_paths,
         "rolling_active_users": windows.rolling_active_users,
         "event_type_share": windows.event_type_share,
+        "session_stats": windows.session_stats,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
         "events_value_bands": joins.events_value_bands,
@@ -338,6 +340,26 @@ FROM lineitem l JOIN (
   FROM lineitem GROUP BY l_partkey) t
 ON l.l_partkey = t.l_partkey
 WHERE l.l_quantity < t.lim""",
+        "users_click_no_purchase": """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND value > 150""",
+        "session_stats": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+m AS (SELECT user_id, tus,
+        CASE WHEN lag(tus) OVER w IS NULL THEN 1
+             WHEN tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+s AS (SELECT user_id, tus,
+        sum(new) OVER (PARTITION BY user_id ORDER BY tus
+                       ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+g AS (SELECT user_id, sid, count(*) AS n_events,
+        max(tus) - min(tus) AS dur FROM s GROUP BY 1, 2)
+SELECT count(*) AS n_sessions,
+       CAST(sum(n_events) * 1000 // count(*) AS BIGINT) AS avg_events_milli,
+       CAST(sum(dur) // count(*) AS BIGINT) AS avg_duration_us
+FROM g""",
         "event_type_share": """
 SELECT user_id, event_type, n,
        CAST(n * 1000 // sum(n) OVER (PARTITION BY user_id) AS BIGINT)

@@ -819,3 +819,40 @@ def small_quantity_revenue(sf_dir: str) -> ray.data.Dataset:
                .aggregate(Sum("s")))["sum(s)"]
     return ray.data.from_arrow(
         pa.table({"avg_yearly": pa.array([_round2(total / 7.0)])}))
+
+
+def users_click_no_purchase(sf_dir: str,
+                            value_floor: float = 150.0) -> ray.data.Dataset:
+    """Users in the click set but NOT the high-value-purchase set (purchase
+    with value > ``value_floor``) — the set-EXCEPT companion to
+    ``users_click_and_purchase``: same single presence-flag exchange
+    (per-batch max-flag combiner, native Max groupby), different final
+    predicate.  No anti-join shuffle: membership on both sides reduces to
+    two bits per user.  The value floor keeps the query non-degenerate on
+    this corpus (every user emits every event type, so the unfiltered
+    EXCEPT is empty at every scale factor)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        return (pa.table({
+            "user_id": batch.column("user_id"),
+            "has_click": pa.array((et == "click").astype(np.int64)),
+            "has_purchase": pa.array(
+                ((et == "purchase") & (val > value_floor)).astype(np.int64)),
+        }).group_by("user_id").aggregate([("has_click", "max"),
+                                          ("has_purchase", "max")]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Max("has_click_max"), Max("has_purchase_max")))
+
+    def only_click(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(batch.column("max(has_click_max)"), 0),
+                       pc.equal(batch.column("max(has_purchase_max)"), 0))
+        return batch.filter(keep).select(["user_id"])
+
+    return agg.map_batches(only_click, batch_format="pyarrow")

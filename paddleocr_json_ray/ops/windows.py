@@ -1414,3 +1414,38 @@ def event_type_share(sf_dir: str) -> ray.data.Dataset:
 
     healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
     return finals.union(healed)
+
+
+def session_stats(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset:
+    """Single-row {n_sessions, avg_events_milli, avg_duration_us} — corpus-
+    level session summary composed ON TOP of the distributed
+    ``user_sessions`` operator (the composition check: a downstream
+    aggregate consuming another operator's streamed output, never a
+    rebuild).  Averages are integer floor-divisions of exact int sums, so
+    the result is bit-identical across engines."""
+    from ray.data.aggregate import Count, Sum
+
+    s = user_sessions(sf_dir, gap_us)
+
+    def add_dur(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_events": batch.column("n_events"),
+            "dur": pc.subtract(batch.column("session_end_us"),
+                               batch.column("session_start_us")),
+        })
+
+    agg = s.map_batches(add_dur, batch_format="pyarrow").aggregate(
+        Count(), Sum("n_events"), Sum("dur"))
+    n = int(agg["count()"] or 0)
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "n_sessions": pa.array([], type=pa.int64()),
+            "avg_events_milli": pa.array([], type=pa.int64()),
+            "avg_duration_us": pa.array([], type=pa.int64())}))
+    return ray.data.from_arrow(pa.table({
+        "n_sessions": pa.array([n], type=pa.int64()),
+        "avg_events_milli": pa.array([int(agg["sum(n_events)"]) * 1000 // n],
+                                     type=pa.int64()),
+        "avg_duration_us": pa.array([int(agg["sum(dur)"]) // n],
+                                    type=pa.int64()),
+    }))

@@ -389,3 +389,34 @@ def test_small_quantity_revenue(ray_session, sf0001_dir):
     expect = round(li.loc[keep, "l_extendedprice"].sum() / 7.0, 2)
     assert len(got) == 1
     assert abs(got["avg_yearly"][0] - expect) < 0.02
+
+
+def test_users_click_no_purchase(ray_session, events_dir):
+    d, tab = events_dir
+    res = relational.users_click_no_purchase(d, value_floor=18.0).to_pandas()
+    got = set(res["user_id"]) if len(res) else set()
+    et = np.asarray(tab.column("event_type").to_pylist())
+    users = tab.column("user_id").to_numpy()
+    vals = tab.column("value").to_numpy()
+    expect = (set(users[et == "click"])
+              - set(users[(et == "purchase") & (vals > 18.0)]))
+    assert expect  # fixture must keep the query non-degenerate
+    assert got == expect
+
+
+def test_session_stats(ray_session, events_dir):
+    d, tab = events_dir
+    got = windows.session_stats(d).to_pandas()
+    df = tab.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    gap = 30 * 60 * 1_000_000
+    tus = df["ts"].astype("int64").to_numpy()
+    uid = df["user_id"].to_numpy()
+    new = np.r_[True, (uid[1:] != uid[:-1]) | (tus[1:] - tus[:-1] > gap)]
+    starts = np.flatnonzero(new)
+    stops = np.append(starts[1:], len(tus))
+    n_sessions = len(starts)
+    n_events = int((stops - starts).sum())
+    dur = int(sum(tus[e - 1] - tus[s] for s, e in zip(starts, stops)))
+    assert got["n_sessions"][0] == n_sessions
+    assert got["avg_events_milli"][0] == n_events * 1000 // n_sessions
+    assert got["avg_duration_us"][0] == dur // n_sessions
