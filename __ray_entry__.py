@@ -162,7 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_counts": relational.cust_order_counts,
         "events_pivot": relational.events_pivot,
         "value_stats_by_type": relational.value_stats_by_type,
+        "value_skew_by_type": relational.value_skew_by_type,
         "qty_price_corr": relational.qty_price_corr,
+        "price_on_qty_regression": relational.price_on_qty_regression,
         "value_zscores": relational.value_zscores,
         "users_click_and_purchase": relational.users_click_and_purchase,
         # ---- windowed / streaming-style ops over the events table ----
@@ -176,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cume_dist": windows.events_cume_dist,
         "orders_dense_rank": windows.orders_dense_rank,
         "events_rank": windows.events_rank,
+        "events_percent_rank": windows.events_percent_rank,
+        "top_value_event_per_user": windows.top_value_event_per_user,
         "events_ntile": windows.events_ntile,
         "cohort_retention": windows.cohort_retention,
         "user_first_event": windows.user_first_event,
@@ -553,9 +557,20 @@ SELECT event_type, count(*) AS n_events,
        round(stddev_samp(value), 2) AS std_value,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY event_type""",
+        "value_skew_by_type": """
+SELECT event_type, count(*) AS n_events,
+       round(skewness(value), 3) AS skew_value,
+       round(kurtosis(value), 3) AS kurt_value
+FROM events GROUP BY event_type""",
         "qty_price_corr": """
 SELECT l_returnflag, count(*) AS n_items,
        round(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag""",
+        "price_on_qty_regression": """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
 FROM lineitem GROUP BY l_returnflag""",
         "value_zscores": """
 SELECT event_id,
@@ -578,6 +593,17 @@ SELECT o_orderkey, o_orderpriority,
 FROM orders""",
         "events_rank": """
 SELECT event_id, rank() OVER (ORDER BY value) AS rnk FROM events""",
+        "events_percent_rank": """
+SELECT event_id,
+       CAST((rank() OVER (ORDER BY value) - 1) * 1000
+            // (count(*) OVER () - 1) AS BIGINT) AS pr_permille
+FROM events""",
+        "top_value_event_per_user": """
+SELECT user_id, event_id AS top_event_id, value AS top_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS rn
+      FROM events) t
+WHERE rn = 1""",
         "events_ntile": """
 SELECT event_id, ntile(16) OVER (ORDER BY value, event_id) AS tile
 FROM events""",

@@ -856,3 +856,109 @@ def users_click_no_purchase(sf_dir: str,
         return batch.filter(keep).select(["user_id"])
 
     return agg.map_batches(only_click, batch_format="pyarrow")
+
+
+def value_skew_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Per-type skewness + excess kurtosis over events.value — the
+    higher-moment extension of ``value_stats_by_type`` (distribution-shape
+    QA over quality/loss columns: a long right tail or heavy outliers show
+    up here before they show up in the mean).
+
+    Same sufficient-statistics plan with 3rd/4th power sums added: each
+    batch reduces to one (n, s1..s4) row per key, the native Sum groupby
+    merges them, and the bias-adjusted sample estimators (DuckDB's
+    skewness/kurtosis formulas, i.e. Fisher-Pearson G1 and excess G2)
+    derive once at the end.  Rounded to 3dp — raw power sums and SQL's
+    streaming algorithm agree far beyond that at mu/sigma ~ 1."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value")
+        v2 = pc.multiply(v, v)
+        return (pa.table({
+            "event_type": batch.column("event_type"),
+            "n": pa.array(np.ones(len(v), dtype=np.int64)),
+            "s1": v, "s2": v2,
+            "s3": pc.multiply(v2, v), "s4": pc.multiply(v2, v2),
+        }).group_by("event_type").aggregate(
+            [(c, "sum") for c in ("n", "s1", "s2", "s3", "s4")]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(*[Sum(f"{c}_sum") for c in ("n", "s1", "s2",
+                                                    "s3", "s4")]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        g = {c: np.asarray(batch.column(f"sum({c}_sum)").to_pylist(),
+                           dtype=np.float64)
+             for c in ("n", "s1", "s2", "s3", "s4")}
+        n = g["n"]
+        mu = g["s1"] / n
+        m2 = g["s2"] / n - mu ** 2
+        m3 = g["s3"] / n - 3 * mu * g["s2"] / n + 2 * mu ** 3
+        m4 = (g["s4"] / n - 4 * mu * g["s3"] / n
+              + 6 * mu ** 2 * g["s2"] / n - 3 * mu ** 4)
+        g1 = m3 / m2 ** 1.5
+        skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+        g2 = m4 / m2 ** 2 - 3.0
+        kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": pa.array(n.astype(np.int64), type=pa.int64()),
+            "skew_value": pa.array([_round_nd(v, 3) for v in skew]),
+            "kurt_value": pa.array([_round_nd(v, 3) for v in kurt]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def price_on_qty_regression(sf_dir: str) -> ray.data.Dataset:
+    """Per-returnflag least-squares fit l_extendedprice ~ l_quantity:
+    REGR_SLOPE / REGR_INTERCEPT / REGR_R2 from the same bivariate moment
+    rows as ``qty_price_corr`` — one streaming pass, one keys x blocks
+    exchange, closed-form finish.  The grouped-linear-model shape (scaling
+    laws per source, price curves per segment) without any per-group
+    dispatch."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity",
+                                            "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_quantity")
+        y = batch.column("l_extendedprice")
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "n": pa.array(np.ones(len(x), dtype=np.int64)),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y),
+        })
+        return t.group_by("l_returnflag").aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("l_returnflag")
+             .aggregate(*[Sum(f"{c}_sum") for c in ("n", "sx", "sy", "sxx",
+                                                    "syy", "sxy")]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        g = {c: np.asarray(batch.column(f"sum({c}_sum)").to_pylist(),
+                           dtype=np.float64)
+             for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        cov = g["n"] * g["sxy"] - g["sx"] * g["sy"]
+        vx = g["n"] * g["sxx"] - g["sx"] * g["sx"]
+        vy = g["n"] * g["syy"] - g["sy"] * g["sy"]
+        slope = cov / vx
+        intercept = (g["sy"] - slope * g["sx"]) / g["n"]
+        r2 = cov * cov / (vx * vy)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "slope": pa.array([_round_nd(v, 3) for v in slope]),
+            "intercept": pa.array([_round_nd(v, 2) for v in intercept]),
+            "r2": pa.array([_round_nd(v, 4) for v in r2]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1449,3 +1449,89 @@ def session_stats(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset
         "avg_duration_us": pa.array([int(agg["sum(dur)"]) // n],
                                     type=pa.int64()),
     }))
+
+
+def events_percent_rank(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, pr_permille) — PERCENT_RANK() OVER (ORDER BY value) as
+    integer permille: floor((rank - 1) * 1000 / (n - 1)).  Composes on the
+    ``events_rank`` plan (whose sort output is already materialized for the
+    two-consumer stat exchange): the only extra work is one streaming count
+    and one arithmetic map over (event_id, rnk) pairs — no second sort, no
+    new exchange.  Integer floor-division keeps the result bit-identical
+    across engines."""
+    import ray
+
+    ranked = events_rank(sf_dir)
+    n = ranked.count()
+    if n <= 1:
+        return ranked.map_batches(
+            lambda b: pa.table({
+                "event_id": b.column("event_id"),
+                "pr_permille": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }), batch_format="pyarrow")
+    denom = n - 1
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = batch.column("rnk").to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "pr_permille": pa.array((r - 1) * 1000 // denom, type=pa.int64()),
+        })
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def top_value_event_per_user(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, top_event_id, top_value) — MAX_BY / arg-max per key: each
+    user's highest-value event with its payload, smallest event_id breaking
+    value ties.  Same sorted-run first-per-key plan as ``user_first_event``
+    with a (value DESC, event_id ASC) order: every block keeps the first
+    row of interior user runs as final and ships ONE candidate row per
+    boundary run to a grouped heal.  A hot user spanning B blocks costs B
+    one-row candidates, never its event count."""
+    import ray
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "value"])
+    srt = ds.sort(["user_id", "value", "event_id"],
+                  descending=[False, True, False])
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"kind": pa.array([], type=pa.int8()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "top_event_id": pa.array([], type=pa.int64()),
+                             "top_value": pa.array([], type=pa.float64())})
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        bnd = np.flatnonzero(np.diff(u) != 0) + 1
+        starts = np.r_[0, bnd]
+        kind = np.zeros(len(starts), dtype=np.int8)
+        kind[0] = kind[-1] = 1
+        idx = pa.array(starts)
+        return pa.table({
+            "kind": pa.array(kind),
+            "user_id": batch.column("user_id").take(idx),
+            "top_event_id": batch.column("event_id").take(idx),
+            "top_value": batch.column("value").take(idx),
+        })
+
+    out = srt.map_batches(firsts, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    payload = ["user_id", "top_event_id", "top_value"]
+    finals = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)).select(payload),
+        batch_format="pyarrow")
+    edges = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1)).select(payload),
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        v = group.column("top_value").to_numpy().astype(np.float64)
+        e = group.column("top_event_id").to_numpy().astype(np.int64)
+        win = int(np.lexsort((e, -v))[0])
+        return group.slice(win, 1).select(payload)
+
+    healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
+    return finals.union(healed)

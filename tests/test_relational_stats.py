@@ -420,3 +420,73 @@ def test_session_stats(ray_session, events_dir):
     assert got["n_sessions"][0] == n_sessions
     assert got["avg_events_milli"][0] == n_events * 1000 // n_sessions
     assert got["avg_duration_us"][0] == dur // n_sessions
+
+
+def test_value_skew_matches_numpy(ray_session, events_dir):
+    d, tab = events_dir
+    got = relational.value_skew_by_type(d).to_pandas().set_index("event_type")
+    et = np.asarray(tab.column("event_type").to_pylist())
+    v = tab.column("value").to_numpy()
+    for t in np.unique(et):
+        x = v[et == t]
+        n = len(x)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        skew = (m3 / m2 ** 1.5) * np.sqrt(n * (n - 1)) / (n - 2)
+        g2 = m4 / m2 ** 2 - 3.0
+        kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        row = got.loc[t]
+        assert row["n_events"] == n
+        assert row["skew_value"] == pytest.approx(skew, abs=0.002)
+        assert row["kurt_value"] == pytest.approx(kurt, abs=0.002)
+
+
+def test_regression_recovers_planted_line(ray_session, tmp_path):
+    rng = np.random.default_rng(41)
+    n = 4000
+    q = rng.integers(1, 51, size=n).astype(np.float64)
+    p = q * 900.0 + 123.0 + rng.normal(0, 50, size=n)
+    tab = pa.table({"l_returnflag": pa.array(rng.choice(["A", "N"], size=n)),
+                    "l_quantity": pa.array(q), "l_extendedprice": pa.array(p)})
+    pq.write_table(tab, os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = (relational.price_on_qty_regression(str(tmp_path))
+           .to_pandas().set_index("l_returnflag"))
+    flags = np.asarray(tab.column("l_returnflag").to_pylist())
+    for f in ("A", "N"):
+        m = flags == f
+        slope, intercept = np.polyfit(q[m], p[m], 1)
+        assert got.loc[f, "slope"] == pytest.approx(slope, abs=0.002)
+        assert got.loc[f, "intercept"] == pytest.approx(intercept, abs=0.02)
+        assert 0.99 < got.loc[f, "r2"] <= 1.0
+
+
+def test_percent_rank_with_heavy_ties(ray_session, events_dir):
+    # quantized values: every distinct value is a big tie group spanning
+    # block boundaries after the sort — the adversarial case for the
+    # O(blocks) tie heal the rank plan relies on
+    d, tab = events_dir
+    got = (windows.events_percent_rank(d).to_pandas()
+           .sort_values("event_id", ignore_index=True))
+    v = tab.column("value").to_numpy()
+    sv = np.sort(v)
+    rnk = np.searchsorted(sv, v, side="left") + 1
+    expect = (rnk - 1) * 1000 // (len(v) - 1)  # fixture event_id == row index
+    assert np.array_equal(got["pr_permille"].to_numpy(), expect)
+
+
+def test_top_value_event_per_user_ties(ray_session, events_dir):
+    # fixture values are 0dp-quantized, so per-user maxima tie often: the
+    # event_id tie-break must pick the smallest id deterministically
+    d, tab = events_dir
+    got = (windows.top_value_event_per_user(d).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    df = tab.to_pandas()
+    win = (df.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True])
+             .groupby("user_id", as_index=False).first())
+    assert np.array_equal(got["user_id"].to_numpy(), win["user_id"].to_numpy())
+    assert np.array_equal(got["top_event_id"].to_numpy(),
+                          win["event_id"].to_numpy())
+    assert np.array_equal(got["top_value"].to_numpy(), win["value"].to_numpy())
