@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_revenue_by_cust": relational.returned_revenue_by_cust,
         "small_quantity_revenue": relational.small_quantity_revenue,
         "users_click_no_purchase": relational.users_click_no_purchase,
+        "big_order_lineitems_bloom": relational.big_order_lineitems_bloom,
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
         "custs_with_big_orders": relational.custs_with_big_orders,
@@ -190,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": windows.session_stats,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
+        "events_next_signup": joins.events_next_signup,
+        "hourly_ohlc": windows.hourly_ohlc,
         "events_value_bands": joins.events_value_bands,
         "top_orders_per_cust": joins.top_orders_per_cust,
         "user_funnel": joins.user_funnel,
@@ -344,6 +347,13 @@ FROM lineitem l JOIN (
   FROM lineitem GROUP BY l_partkey) t
 ON l.l_partkey = t.l_partkey
 WHERE l.l_quantity < t.lim""",
+        "big_order_lineitems_bloom": """
+SELECT l_returnflag, count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 400000)
+GROUP BY l_returnflag""",
         "users_click_no_purchase": """
 SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
 EXCEPT
@@ -469,6 +479,26 @@ SELECT e.event_id, epoch_us(s.ts) AS last_signup_us
 FROM events e
 ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
 ON e.user_id = s.user_id AND e.ts >= s.ts""",
+        "events_next_signup": """
+SELECT e.event_id,
+       (SELECT min(epoch_us(s.ts)) FROM events s
+        WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+          AND s.ts >= e.ts) AS next_signup_us
+FROM events e""",
+        "hourly_ohlc": """
+WITH h AS (SELECT epoch_us(ts) AS tus, epoch_us(ts) // 3600000000 AS hb,
+                  event_id, value FROM events),
+o AS (SELECT hb, value,
+        row_number() OVER (PARTITION BY hb ORDER BY tus, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY hb ORDER BY tus DESC,
+                           event_id DESC) AS rn_z
+      FROM h)
+SELECT hb * 3600000000 AS hour_us,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       max(value) AS high_value, min(value) AS low_value,
+       max(CASE WHEN rn_z = 1 THEN value END) AS close_value,
+       count(*) AS n_events
+FROM o GROUP BY hb""",
         "events_value_bands": """
 WITH bands(band, lo, hi) AS (VALUES
   ('low', -1e308, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e308))

@@ -393,3 +393,48 @@ def click_to_purchase(sf_dir: str,
             "user_id": t.column("user_id"),
             "n_pairs": t.column("sum(n)").cast(pa.int64()),
         }), batch_format="pyarrow")
+
+
+def events_next_signup(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, next_signup_us nullable) — the FORWARD as-of join: the
+    same user's earliest 'signup' at-or-after each event's timestamp.
+    Mirror of ``events_last_signup``: the filtered build side broadcasts
+    once as a sorted packed (user, ts) key array and every probe batch is
+    one ``np.searchsorted(side='left')`` — zero shuffle.  Same partitioning
+    assumption: the build side is a filtered slice that fits the object
+    store; beyond that the identical merge runs after a groupby(user)."""
+    import pyarrow.parquet as pq
+
+    build = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id", "ts", "event_type"],
+                          filters=[("event_type", "=", "signup")])
+    bu = build.column("user_id").to_numpy().astype(np.uint64)
+    bt = build.column("ts").cast(pa.int64()).to_numpy()
+    base = int(bt.min()) if len(bt) else 0
+    keys = (bu << np.uint64(44)) | (bt - base).astype(np.uint64)
+    order = np.argsort(keys)
+    keys, bu_s, bt_s = keys[order], bu[order], bt[order]
+    build_ref = ray.put((keys, bu_s, bt_s, base))
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys_, bu_, bt_, base_ = ray.get(build_ref)
+        users = batch.column("user_id").to_numpy().astype(np.uint64)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        pk = (users << np.uint64(44)) | np.maximum(ts - base_, 0).astype(np.uint64)
+        pos = np.searchsorted(keys_, pk, side="left")
+        safe = np.minimum(pos, max(len(keys_) - 1, 0))
+        valid = (pos < len(keys_)) & (bu_[safe] == users) if len(keys_) \
+            else np.zeros(len(users), dtype=bool)
+        out = bt_[safe] if len(keys_) else np.zeros(len(users), dtype=np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "next_signup_us": pa.array(
+                [int(v) if f else None for v, f in zip(out, valid)],
+                type=pa.int64()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")

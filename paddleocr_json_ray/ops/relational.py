@@ -962,3 +962,98 @@ def price_on_qty_regression(sf_dir: str) -> ray.data.Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SJ_BLOOM_BITS = 1 << 22  # 512 KiB bitmap — fixed memory at any key count
+_SJ_BLOOM_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _key_bloom_positions(keys) -> "object":
+    """k splitmix64-mixed probe positions per int64 key, shape (k, n)."""
+    import numpy as np
+
+    k = np.asarray(keys, dtype=np.uint64)
+    out = np.empty((len(_SJ_BLOOM_SEEDS), len(k)), dtype=np.int64)
+    for i, seed in enumerate(_SJ_BLOOM_SEEDS):
+        h = k * np.uint64(seed)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        out[i] = (h & np.uint64(_SJ_BLOOM_BITS - 1)).astype(np.int64)
+    return out
+
+
+def big_order_lineitems_bloom(sf_dir: str,
+                              min_total: float = 400_000.0) -> ray.data.Dataset:
+    """Revenue per returnflag over lineitems of big orders — the
+    BLOOM-PUSHDOWN semi join: the qualifying-order key set becomes a
+    fixed-size bitmap (512 KiB regardless of key count) built by per-batch
+    OR-merged partials, broadcast once, and applied as a pre-filter on the
+    fact read; only the ~surviving sliver takes the partitioned left_semi
+    join for exact verification (bloom false positives must not leak into
+    an oracle-exact result).  At 100 TB this is the difference between
+    shuffling the whole fact table into the join and shuffling the
+    selectivity-bounded survivor set — the bitmap does the other 99%.
+
+    Two-stage exactness argument: the bloom has NO false negatives (every
+    qualifying row survives the pre-filter) and the semi join removes its
+    false positives, so the composition equals the plain semi join."""
+    import numpy as np
+    import ray as _ray
+
+    # stage 0: fixed-memory bitmap over qualifying order keys
+    keys_ds = _read(sf_dir, "orders", columns=["o_orderkey"],
+                    filter=pc.field("o_totalprice") > pa.scalar(min_total))
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(_SJ_BLOOM_BITS // 64, dtype=np.uint64)
+        k = batch.column("o_orderkey").to_numpy()
+        if len(k):
+            pos = _key_bloom_positions(k).ravel()
+            np.bitwise_or.at(bits, pos >> 6,
+                             np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+
+    merged = np.zeros(_SJ_BLOOM_BITS // 64, dtype=np.uint64)
+    for b in keys_ds.map_batches(bloom_partial,
+                                 batch_format="pyarrow").iter_batches(
+                                     batch_size=None, batch_format="pyarrow"):
+        for blob in b.column("bits").to_pylist():
+            merged |= np.frombuffer(blob, dtype=np.uint64)
+    bloom_ref = _ray.put(merged)
+
+    # stage 1: bloom pre-filter on the pruned fact read
+    fact = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+
+    def prefilter(batch: pa.Table, ref) -> pa.Table:
+        bits = _ray.get(ref)
+        k = batch.column("l_orderkey").to_numpy()
+        if not len(k):
+            return batch
+        pos = _key_bloom_positions(k)
+        hit = np.ones(len(k), dtype=bool)
+        for row in pos:
+            hit &= (bits[row >> 6] >> (row & 63).astype(np.uint64)) \
+                .astype(np.uint64) & np.uint64(1) != 0
+        return batch.filter(pa.array(hit))
+
+    survivors = fact.map_batches(prefilter, batch_format="pyarrow",
+                                 fn_args=(bloom_ref,))
+
+    # stage 2: exact verify on the survivor sliver via partitioned semi join
+    distinct_keys = keys_ds.groupby("o_orderkey").aggregate(Count())
+    verified = survivors.join(
+        distinct_keys, "left_semi",
+        num_partitions=_join_partitions(survivors, distinct_keys),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    agg = (verified.groupby("l_returnflag")
+                   .aggregate(Count(), Sum("l_extendedprice")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "n_items": t.column("count()").cast(pa.int64()),
+            "revenue": pa.array([_round2(v) for v in
+                                 t.column("sum(l_extendedprice)").to_pylist()]),
+        }), batch_format="pyarrow")

@@ -1535,3 +1535,73 @@ def top_value_event_per_user(sf_dir: str) -> ray.data.Dataset:
 
     healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
     return finals.union(healed)
+
+
+def hourly_ohlc(sf_dir: str) -> ray.data.Dataset:
+    """(hour_us, open_value, high_value, low_value, close_value, n_events)
+    — the time-bucketed OHLC shape (first/last by event time + extremes per
+    window; the streaming-telemetry staple that MIN/MAX alone cannot carry).
+
+    No global sort: each batch reduces to one PARTIAL row per touched hour
+    — (first-ts row's value, last-ts row's value, min, max, n) computed by
+    one in-batch lexsort — and a grouped heal merges partials per bucket.
+    Open/close partials are sufficient statistics (the bucket's global
+    first/last row is some batch's first/last row), so the exchange is
+    buckets x blocks rows: bounded by the TIME RANGE, not the data size,
+    and the heal group count is the bucket count.  (ts, event_id) makes the
+    order strict, so results are deterministic under ts ties."""
+    from ..sources.readers import read_table
+
+    _HOUR = 3_600_000_000
+
+    ds = read_table(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"hour_us": pa.int64(), "first_ts": pa.int64(),
+                "first_eid": pa.int64(), "open_value": pa.float64(),
+                "last_ts": pa.int64(), "last_eid": pa.int64(),
+                "close_value": pa.float64(), "low_value": pa.float64(),
+                "high_value": pa.float64(), "n": pa.int64()}
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], type=t) for c, t in cols.items()})
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        e = batch.column("event_id").to_numpy().astype(np.int64)
+        v = batch.column("value").to_numpy().astype(np.float64)
+        hb = t // _HOUR
+        order = np.lexsort((e, t, hb))
+        hb, t, e, v = hb[order], t[order], e[order], v[order]
+        bnd = np.flatnonzero(np.diff(hb) != 0) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, len(hb)]
+        lows = np.minimum.reduceat(v, starts)
+        highs = np.maximum.reduceat(v, starts)
+        return pa.table({
+            "hour_us": pa.array(hb[starts] * _HOUR, type=pa.int64()),
+            "first_ts": pa.array(t[starts]), "first_eid": pa.array(e[starts]),
+            "open_value": pa.array(v[starts]),
+            "last_ts": pa.array(t[stops - 1]), "last_eid": pa.array(e[stops - 1]),
+            "close_value": pa.array(v[stops - 1]),
+            "low_value": pa.array(lows), "high_value": pa.array(highs),
+            "n": pa.array(stops - starts),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        ft = group.column("first_ts").to_numpy().astype(np.int64)
+        fe = group.column("first_eid").to_numpy().astype(np.int64)
+        lt = group.column("last_ts").to_numpy().astype(np.int64)
+        le = group.column("last_eid").to_numpy().astype(np.int64)
+        first = int(np.lexsort((fe, ft))[0])
+        last = int(np.lexsort((le, lt))[-1])
+        return pa.table({
+            "hour_us": group.column("hour_us").slice(0, 1),
+            "open_value": group.column("open_value").slice(first, 1),
+            "high_value": pa.array([pc.max(group.column("high_value")).as_py()]),
+            "low_value": pa.array([pc.min(group.column("low_value")).as_py()]),
+            "close_value": group.column("close_value").slice(last, 1),
+            "n_events": pa.array(
+                [pc.sum(group.column("n")).as_py()], type=pa.int64()),
+        })
+
+    return parts.groupby("hour_us").map_groups(heal, batch_format="pyarrow")

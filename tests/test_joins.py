@@ -283,3 +283,69 @@ def test_click_to_purchase_hot_user(ray_session, tmp_path):
     got = (joins.click_to_purchase(str(tmp_path)).to_pandas()
            .set_index("user_id")["n_pairs"].to_dict())
     assert got == _c2p_expect(tab)
+
+
+def test_forward_asof_matches_bruteforce(ray_session, events_dir):
+    d, tab = events_dir
+    got = (joins.events_next_signup(d).to_pandas()
+           .set_index("event_id")["next_signup_us"])
+    df = tab.to_pandas()
+    tus = df["ts"].astype("int64").to_numpy()
+    uid = df["user_id"].to_numpy()
+    sign = df["event_type"].to_numpy() == "signup"
+    for eid in range(0, len(df), 131):
+        m = (uid == uid[eid]) & sign & (tus >= tus[eid])
+        expect = tus[m].min() if m.any() else None
+        v = got.loc[eid]
+        assert (v == expect) if expect is not None else np.isnan(v)
+
+
+def test_forward_asof_no_later_signup_is_null(ray_session, tmp_path):
+    base = 1_600_000_000_000_000
+    tab = pa.table({
+        "event_id": pa.array([0, 1, 2], type=pa.int64()),
+        "user_id": pa.array([7, 7, 8], type=pa.int64()),
+        "ts": pa.array([base, base + 50, base + 10],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["signup", "view", "view"]),
+        "value": pa.array([1.0, 2.0, 3.0]),
+    })
+    pq.write_table(tab, os.path.join(str(tmp_path), "events.parquet"))
+    got = (joins.events_next_signup(str(tmp_path)).to_pandas()
+           .set_index("event_id")["next_signup_us"])
+    assert got.loc[0] == base          # its own signup (at-or-after)
+    assert np.isnan(got.loc[1])        # no signup after base+50
+    assert np.isnan(got.loc[2])        # user 8 never signs up
+
+
+def test_bloom_semi_join_exact(ray_session, tmp_path):
+    """Bloom-pushdown semi join equals the brute-force filter: qualifying
+    rows all survive (no false negatives) and the verify stage removes any
+    bloom false positive before aggregation."""
+    from paddleocr_json_ray.ops import relational
+
+    rng = np.random.default_rng(67)
+    n_orders, n_items = 2000, 12000
+    totals = rng.uniform(0, 600_000, size=n_orders)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n_orders), type=pa.int64()),
+        "o_totalprice": pa.array(totals),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    okeys = rng.integers(0, n_orders, size=n_items)
+    flags = np.asarray(["A", "N", "R"])[rng.integers(0, 3, size=n_items)]
+    prices = np.round(rng.uniform(10, 1000, size=n_items), 2)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(okeys, type=pa.int64()),
+        "l_returnflag": pa.array(flags),
+        "l_extendedprice": pa.array(prices),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+
+    got = (relational.big_order_lineitems_bloom(str(tmp_path))
+           .to_pandas().set_index("l_returnflag").sort_index())
+    qual = totals[okeys] > 400_000.0
+    assert qual.any() and not qual.all()
+    for f in np.unique(flags[qual]):
+        m = qual & (flags == f)
+        assert got.loc[f, "n_items"] == int(m.sum())
+        assert got.loc[f, "revenue"] == pytest.approx(prices[m].sum(), abs=0.02)
+    assert len(got) == len(np.unique(flags[qual]))

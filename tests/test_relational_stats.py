@@ -490,3 +490,42 @@ def test_top_value_event_per_user_ties(ray_session, events_dir):
     assert np.array_equal(got["top_event_id"].to_numpy(),
                           win["event_id"].to_numpy())
     assert np.array_equal(got["top_value"].to_numpy(), win["value"].to_numpy())
+
+
+def test_hourly_ohlc_matches_pandas(ray_session, events_dir):
+    d, tab = events_dir
+    got = (windows.hourly_ohlc(d).to_pandas()
+           .sort_values("hour_us", ignore_index=True))
+    df = tab.to_pandas()
+    df["tus"] = df["ts"].astype("int64")
+    df["hb"] = df["tus"] // 3_600_000_000
+    df = df.sort_values(["hb", "tus", "event_id"])
+    g = df.groupby("hb")
+    assert len(got) == g.ngroups
+    exp_open = g["value"].first().to_numpy()
+    exp_close = g["value"].last().to_numpy()
+    assert np.array_equal(got["hour_us"].to_numpy(),
+                          (np.asarray(sorted(g.groups)) * 3_600_000_000))
+    assert np.array_equal(got["open_value"].to_numpy(), exp_open)
+    assert np.array_equal(got["close_value"].to_numpy(), exp_close)
+    assert np.array_equal(got["high_value"].to_numpy(), g["value"].max().to_numpy())
+    assert np.array_equal(got["low_value"].to_numpy(), g["value"].min().to_numpy())
+    assert np.array_equal(got["n_events"].to_numpy(), g.size().to_numpy())
+
+
+def test_hourly_ohlc_ts_ties(ray_session, tmp_path):
+    """All rows share ONE timestamp: open/close must fall back to the
+    event_id tie-break (smallest id opens, largest id closes)."""
+    base = 1_600_000_000_000_000
+    n = 500
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array([base] * n, type=pa.timestamp("us")),
+        "value": pa.array(np.arange(n, dtype=np.float64) * 3.0),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    got = windows.hourly_ohlc(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["open_value"] == 0.0 and row["close_value"] == (n - 1) * 3.0
+    assert row["low_value"] == 0.0 and row["high_value"] == (n - 1) * 3.0
+    assert row["n_events"] == n
