@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": similarity.kmeans_embeddings,  # iterative, rows-only
         "label_centroids": similarity.label_centroids,
         "embedding_covariance": similarity.embedding_covariance,
+        "embedding_pca_projection": similarity.embedding_pca_projection,  # rows-only
         # ---- relational surface ----
         "agg_pricing": relational.agg_pricing,
         "top_orders": relational.top_orders,
@@ -206,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_percentiles": sketches.quantity_percentiles,
         "quantity_percentiles_by_flag": sketches.quantity_percentiles_by_flag,
         "price_quantiles_tdigest": sketches.price_quantiles_tdigest,  # approx, rows-only
+        "price_quantiles_by_flag_tdigest": sketches.price_quantiles_by_flag_tdigest,  # approx, rows-only
         "word_topk": text_ops.word_topk,
         "bigram_topk": text_ops.bigram_topk,
         # ---- composed curation pipeline (extraction -> score -> filter -> dedup) ----

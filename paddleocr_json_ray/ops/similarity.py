@@ -418,3 +418,64 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 8) -> ray.data.Datas
                          "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64))})
 
     return ds.map_batches(assign_only, batch_format="pyarrow")
+
+
+def embedding_pca_projection(sf_dir: str, n_components: int = 4) -> ray.data.Dataset:
+    """(vec_id, pc0..pc{k-1}) — project every embedding onto the corpus'
+    top-k principal components: the dimensionality-reduction prep stage
+    (whitening, 2-D corpus maps, cheap pre-ANN compression).
+
+    Two streaming passes, no shuffle of vectors: pass 1 is the
+    ``embedding_covariance`` moment plan (one Gram matmul per batch,
+    D^2-row exchange); the D x D eigendecomposition runs once driver-side
+    (control-plane sized — D is model width, never data-bound) and the
+    (mean, components) pair broadcasts via ``ray.put``; pass 2 maps each
+    batch through one [n, D] x [D, k] matmul.  Components are
+    sign-canonicalized (largest-|loading| coordinate positive) so the
+    output is deterministic despite eigenvector sign ambiguity."""
+    from ..sources.readers import read_table
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _mat(batch.column("embedding"))
+        n, d = mat.shape
+        gram = mat.T @ mat
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        return pa.table({
+            "dim_i": pa.array(np.r_[ii.ravel(), np.arange(d), [-1]],
+                              type=pa.int64()),
+            "dim_j": pa.array(np.r_[jj.ravel(), np.full(d, -1), [-1]],
+                              type=pa.int64()),
+            "s": pa.array(np.r_[gram.ravel(), mat.sum(axis=0), [float(n)]]),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["dim_i", "dim_j"]).aggregate(Sum("s")).to_pandas())
+    s = {(int(i), int(j)): v for i, j, v in
+         zip(agg["dim_i"], agg["dim_j"], agg["sum(s)"])}
+    n = s.pop((-1, -1))
+    d = int(max(i for i, _ in s) + 1)
+    k = min(n_components, d)
+    mean = np.array([s.pop((i, -1)) for i in range(d)]) / n
+    cov = np.empty((d, d))
+    for (i, j), v in s.items():
+        cov[i, j] = v / n - mean[i] * mean[j]
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    comps = evecs[:, ::-1][:, :k].T             # [k, D], descending variance
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    model_ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table, ref) -> pa.Table:
+        mean_, comps_ = ray.get(ref)
+        mat = _mat(batch.column("embedding"))
+        proj = (mat - mean_) @ comps_.T
+        cols = {"vec_id": batch.column("vec_id")}
+        for i in range(comps_.shape[0]):
+            cols[f"pc{i}"] = pa.array(np.round(proj[:, i], 5))
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow", fn_args=(model_ref,))

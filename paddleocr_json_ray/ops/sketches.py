@@ -470,3 +470,52 @@ def quantity_percentiles_by_flag(sf_dir: str) -> ray.data.Dataset:
         "p90": pa.array(rows["p90"], type=pa.float64()),
         "p99": pa.array(rows["p99"], type=pa.float64()),
     }))
+
+
+def price_quantiles_by_flag_tdigest(sf_dir: str) -> ray.data.Dataset:
+    """(l_returnflag, p50, p90, p99) — GROUPED approximate quantiles over
+    an unbounded value domain: per-(batch, key) t-digest centroid rows
+    (<= delta rows per key per batch) merge through a grouped heal, so the
+    exchange is keys x blocks x delta rows and values never co-locate.
+    The grouped companion of ``price_quantiles_tdigest`` — use the exact
+    ``quantity_percentiles_by_flag`` only when the value domain is small
+    enough for a mergeable histogram."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        v = batch.column("l_extendedprice").to_numpy().astype(np.float64)
+        order = np.argsort(flags, kind="stable")
+        flags, v = flags[order], v[order]
+        bnd = np.flatnonzero(flags[1:] != flags[:-1]) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, len(flags)]
+        out_f, out_m, out_w = [], [], []
+        for s0, s1 in zip(starts, stops):
+            m, w = _tdigest_compress(v[s0:s1], np.ones(s1 - s0))
+            out_f.extend([flags[s0]] * len(m))
+            out_m.append(m)
+            out_w.append(w)
+        return pa.table({
+            "l_returnflag": pa.array(out_f, type=pa.string()),
+            "mean": pa.array(np.concatenate(out_m) if out_m else []),
+            "weight": pa.array(np.concatenate(out_w) if out_w else []),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        m, w = _tdigest_compress(
+            group.column("mean").to_numpy().astype(np.float64),
+            group.column("weight").to_numpy().astype(np.float64))
+        return pa.table({
+            "l_returnflag": group.column("l_returnflag").slice(0, 1),
+            "p50": pa.array([_tdigest_quantile(m, w, 0.5)]),
+            "p90": pa.array([_tdigest_quantile(m, w, 0.9)]),
+            "p99": pa.array([_tdigest_quantile(m, w, 0.99)]),
+        })
+
+    return parts.groupby("l_returnflag").map_groups(heal,
+                                                    batch_format="pyarrow")

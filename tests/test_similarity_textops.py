@@ -227,3 +227,36 @@ def test_pack_sequences_invariants(ray_session, tmp_path):
     np.testing.assert_array_equal(got["seq_last"].to_numpy(), ends // L)
     assert got.loc[3, "seq_last"] > got.loc[3, "seq_first"]  # spans chunks
     assert (got["seq_offset"] < L).all()
+
+
+def test_pca_projection_matches_numpy(ray_session, tmp_path):
+    """Planted anisotropy: the distributed two-pass PCA must match an
+    in-memory eigendecomposition (same sign canonicalization) and order
+    components by descending variance."""
+    rng = np.random.default_rng(29)
+    n, d = 4000, 16
+    base = rng.standard_normal((n, d))
+    scales = np.r_[30.0, 10.0, 3.0, np.ones(d - 3)]
+    mat = (base * scales) + rng.uniform(-2, 2, size=d)  # per-dim offsets
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float32())),
+    }), os.path.join(str(tmp_path), "embeddings.parquet"))
+    got = (similarity.embedding_pca_projection(str(tmp_path), n_components=3)
+           .to_pandas().sort_values("vec_id", ignore_index=True))
+
+    m64 = np.asarray(pa.array([list(map(float, np.asarray(r, np.float32)))
+                               for r in mat]).to_pylist())  # float32 round-trip
+    mean = m64.mean(axis=0)
+    cov = (m64 - mean).T @ (m64 - mean) / n
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :3].T
+    flip = np.sign(comps[np.arange(3), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    expect = (m64 - mean) @ comps.T
+    for i in range(3):
+        np.testing.assert_allclose(got[f"pc{i}"].to_numpy(), expect[:, i],
+                                   rtol=0, atol=2e-3)
+    variances = got[[f"pc{i}" for i in range(3)]].var().to_numpy()
+    assert variances[0] > variances[1] > variances[2]

@@ -153,3 +153,30 @@ def test_cms_word_counts_zipf(ray_session, tmp_path):
     head = got.sort_values("rank").head(5)
     assert list(head["word"]) == [w for w, _ in exact_top]
     assert list(head["est_count"]) == [c for _, c in exact_top]
+
+
+def test_grouped_tdigest_per_flag(ray_session, tmp_path):
+    """Grouped t-digest: per-key estimates within 1.5% relative of each
+    key's exact percentiles, with deliberately different distributions per
+    flag so cross-key contamination would be caught."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    flags = np.asarray(["A", "N", "R"])[rng.integers(0, 3, size=n)]
+    prices = np.where(flags == "A", rng.lognormal(7.0, 0.8, size=n),
+                      np.where(flags == "N", rng.uniform(10, 100, size=n),
+                               rng.exponential(500, size=n) + 1000))
+    pq.write_table(pa.table({"l_returnflag": pa.array(flags),
+                             "l_extendedprice": pa.array(prices)}),
+                   os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = (sketches.price_quantiles_by_flag_tdigest(str(tmp_path))
+           .to_pandas().set_index("l_returnflag"))
+    assert len(got) == 3
+    for f in ("A", "N", "R"):
+        x = prices[flags == f]
+        for col, p in (("p50", 50), ("p90", 90), ("p99", 99)):
+            exact = np.percentile(x, p, method="linear")
+            assert abs(got.loc[f, col] - exact) / exact < 0.015
