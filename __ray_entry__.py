@@ -22,6 +22,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from paddleocr_json_ray.ops import (
+        cluster,
         decontam,
         dedup,
         joins,
@@ -155,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": relational.small_quantity_revenue,
         "users_click_no_purchase": relational.users_click_no_purchase,
         "big_order_lineitems_bloom": relational.big_order_lineitems_bloom,
+        "copurchase_components": cluster.copurchase_components,
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
         "custs_with_big_orders": relational.custs_with_big_orders,
@@ -349,6 +351,19 @@ FROM lineitem l JOIN (
   FROM lineitem GROUP BY l_partkey) t
 ON l.l_partkey = t.l_partkey
 WHERE l.l_quantity < t.lim""",
+        "copurchase_components": """
+WITH RECURSIVE
+q AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM q a JOIN q b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey),
+n AS (SELECT DISTINCT l_partkey AS id FROM q),
+r AS (
+  SELECT id, id AS lbl FROM n
+  UNION
+  SELECT e.dst AS id, r.lbl FROM r JOIN e ON r.id = e.src WHERE r.lbl < e.dst
+)
+SELECT id AS part_id, min(lbl) AS component FROM r GROUP BY id""",
         "big_order_lineitems_bloom": """
 SELECT l_returnflag, count(*) AS n_items,
        round(sum(l_extendedprice), 2) AS revenue

@@ -313,3 +313,110 @@ def survivor_filter(ds: ray.data.Dataset, pairs: ray.data.Dataset,
     refs = labels.to_arrow_refs()
     return ds.map_batches(_loser_filter_fn, batch_format="pyarrow",
                           fn_args=(refs, id_col))
+
+
+def copurchase_components(sf_dir: str, min_qty: float = 45.0) -> ray.data.Dataset:
+    """(part_id, component) — connected components of the part
+    co-purchase graph (parts linked when one order carries both with
+    quantity >= ``min_qty``), component = the member minimum.  The
+    GRAPH-query surface of the cluster machinery, with a recursive-CTE SQL
+    oracle — dedup clusters exercise the same resolver but have no SQL
+    form.
+
+    Plan: one (orderkey, partkey) sort co-locates each order's qualifying
+    rows; interior runs emit their pairs via a run-length-grouped
+    vectorized expansion (order size is bounded — TPC-H caps lines per
+    order at 7 — so pair volume is <= 21x run count), boundary runs ship
+    whole (bounded by order size) to a grouped pair heal.  Components
+    resolve in ``resolve_clusters`` (task solve / star contraction), and
+    the final label map is ONE native Min groupby over
+    (self-label ∪ loser-root) rows — no join."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                    filter=pc.field("l_quantity") >= pa.scalar(min_qty))
+    srt = ds.sort(["l_orderkey", "l_partkey"])
+
+    def _run_pairs(parts_sorted: np.ndarray, starts: np.ndarray,
+                   stops: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """All within-run (lo, hi) pairs, vectorized per run length."""
+        lens = stops - starts
+        out_a, out_b = [], []
+        for k in np.unique(lens):
+            if k < 2:
+                continue
+            sel = starts[lens == k]
+            runs = parts_sorted[sel[:, None] + np.arange(k)]  # (R, k) sorted
+            iu, ju = np.triu_indices(int(k), k=1)
+            out_a.append(runs[:, iu].ravel())
+            out_b.append(runs[:, ju].ravel())
+        if not out_a:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        return np.concatenate(out_a), np.concatenate(out_b)
+
+    def pairs_and_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"kind": pa.array([], type=pa.int8()),
+                             "l_orderkey": pa.array([], type=pa.int64()),
+                             "id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        o = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        p = batch.column("l_partkey").to_numpy().astype(np.int64)
+        bnd = np.flatnonzero(np.diff(o) != 0) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, len(o)]
+        interior = slice(1, len(starts) - 1) if len(starts) > 1 else slice(0, 0)
+        a, b = _run_pairs(p, starts[interior], stops[interior])
+        n_pairs = len(a)
+        # boundary runs (first + last order in the block) ship whole
+        edge_idx = np.r_[np.arange(starts[0], stops[0]),
+                         (np.arange(starts[-1], stops[-1])
+                          if len(starts) > 1 else np.empty(0, dtype=np.int64))]
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(n_pairs, dtype=np.int8),
+                                   np.ones(len(edge_idx), dtype=np.int8)]),
+            "l_orderkey": pa.array(np.r_[np.zeros(n_pairs, dtype=np.int64),
+                                         o[edge_idx]]),
+            "id_a": pa.array(np.r_[a, p[edge_idx]]),
+            "id_b": pa.array(np.r_[b, p[edge_idx]]),
+        })
+
+    out = srt.map_batches(pairs_and_edges, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    interior_pairs = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0))
+                   .select(["id_a", "id_b"]), batch_format="pyarrow")
+    boundary_rows = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1))
+                   .select(["l_orderkey", "id_a"]), batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        p = np.unique(group.column("id_a").to_numpy().astype(np.int64))
+        if len(p) < 2:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        iu, ju = np.triu_indices(len(p), k=1)
+        return pa.table({"id_a": pa.array(p[iu]), "id_b": pa.array(p[ju])})
+
+    healed_pairs = boundary_rows.groupby("l_orderkey").map_groups(
+        heal, batch_format="pyarrow")
+    labels = resolve_clusters(interior_pairs.union(healed_pairs))
+
+    # label map: min(self, loser-root) per node through ONE native groupby
+    selfs = ds.map_batches(
+        lambda b: pa.table({"part_id": b.column("l_partkey"),
+                            "lbl": b.column("l_partkey")}),
+        batch_format="pyarrow")
+    roots = labels.map_batches(
+        lambda b: pa.table({"part_id": b.column("node"),
+                            "lbl": b.column("root")}),
+        batch_format="pyarrow")
+    agg = selfs.union(roots).groupby("part_id").aggregate(Min("lbl"))
+    return agg.map_batches(
+        lambda b: pa.table({"part_id": b.column("part_id"),
+                            "component": b.column("min(lbl)")}),
+        batch_format="pyarrow")

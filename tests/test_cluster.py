@@ -68,3 +68,42 @@ def test_survivor_filter(ray_session):
     kept = sorted(survivor_filter(corpus, _pairs_ds(pairs), "doc_id")
                   .to_pandas()["doc_id"].astype(int))
     assert kept == [0, 3, 4, 5, 6, 7, 8, 10, 11]
+
+
+def test_copurchase_components_chain(ray_session, tmp_path):
+    """A planted 100-part chain (orders linking part i to i+1) must collapse
+    to ONE component even though every edge is its own order — the
+    multi-hop case a pairwise heal cannot shortcut — while parts in
+    singleton orders stay their own component."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from paddleocr_json_ray.ops.cluster import copurchase_components
+
+    rows_o, rows_p, rows_q = [], [], []
+    # chain 0-1, 1-2, ..., 98-99 (one order per edge)
+    for i in range(99):
+        rows_o += [i, i]
+        rows_p += [i, i + 1]
+        rows_q += [50.0, 50.0]
+    # parts 200..209: one qualifying row each, no partner
+    for j in range(10):
+        rows_o.append(1000 + j)
+        rows_p.append(200 + j)
+        rows_q.append(50.0)
+    # a sub-threshold order that must NOT create an edge
+    rows_o += [2000, 2000]
+    rows_p += [300, 301]
+    rows_q += [1.0, 1.0]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rows_o, type=pa.int64()),
+        "l_partkey": pa.array(rows_p, type=pa.int64()),
+        "l_quantity": pa.array(rows_q),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = (copurchase_components(str(tmp_path)).to_pandas()
+           .set_index("part_id")["component"])
+    assert len(got) == 110  # 100 chain parts + 10 singletons, no 300/301
+    assert (got.loc[list(range(100))] == 0).all()
+    for j in range(10):
+        assert got.loc[200 + j] == 200 + j
