@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_click_no_purchase": relational.users_click_no_purchase,
         "big_order_lineitems_bloom": relational.big_order_lineitems_bloom,
         "copurchase_components": cluster.copurchase_components,
+        "local_supplier_revenue": relational.local_supplier_revenue,
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
         "custs_with_big_orders": relational.custs_with_big_orders,
@@ -192,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": windows.rolling_active_users,
         "event_type_share": windows.event_type_share,
         "session_stats": windows.session_stats,
+        "events_hour_window_sum": windows.events_hour_window_sum,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
         "events_next_signup": joins.events_next_signup,
@@ -351,6 +353,15 @@ FROM lineitem l JOIN (
   FROM lineitem GROUP BY l_partkey) t
 ON l.l_partkey = t.l_partkey
 WHERE l.l_quantity < t.lim""",
+        "local_supplier_revenue": """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
         "copurchase_components": """
 WITH RECURSIVE
 q AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
@@ -487,6 +498,17 @@ WITH c AS (
 SELECT event_id,
        sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS running_cents
+FROM c""",
+        "events_hour_window_sum": """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+         CASE WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+              ELSE -CAST(floor(-value * 100 + 0.5) AS BIGINT) END AS cents
+  FROM events)
+SELECT event_id,
+       sum(cents) OVER (PARTITION BY user_id ORDER BY tus
+                        RANGE BETWEEN 3600000000 PRECEDING
+                        AND CURRENT ROW) AS window_cents
 FROM c""",
         "events_distinct_users": """
 SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -1057,3 +1057,104 @@ def big_order_lineitems_bloom(sf_dir: str,
             "revenue": pa.array([_round2(v) for v in
                                  t.column("sum(l_extendedprice)").to_pylist()]),
         }), batch_format="pyarrow")
+
+
+def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
+                           year: int = 1996) -> ray.data.Dataset:
+    """TPC-H Q5 — discounted revenue per nation where the customer and the
+    supplier share that nation, restricted to one region and one order
+    year.  The 6-table join decomposes into:
+
+      * region -> nation -> the Asia nationkey/name map (driver-side reads
+        of control-plane tables);
+      * supplier and customer as dense key -> nationkey broadcast LUTs
+        (one int8-scale array each via ``ray.put`` — at 100 TB these scale
+        as entity counts, orders of magnitude below the fact tables;
+        beyond object-store budget either LUT falls back to the
+        partitioned-join plan);
+      * orders pruned AT THE READ by the date predicate, reduced in-batch
+        to (o_orderkey, cust_nation) for Asia customers only — the build
+        side shrinks ~25x before the one real exchange;
+      * lineitem x reduced-orders partitioned hash join on orderkey, then
+        an in-batch supplier-nation filter and the native Sum groupby.
+    """
+    import numpy as np
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkey = {r["r_name"]: r["r_regionkey"] for r in reg.to_pylist()}[region]
+    nk = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    nname = np.asarray(nation.column("n_name").to_pylist())
+    in_region = nation.column("n_regionkey").to_numpy() == rkey
+    region_nations = set(nk[in_region].tolist())
+    name_of = dict(zip(nk.tolist(), nname.tolist()))
+
+    def _dense_lut(table: str, key: str, val: str) -> np.ndarray:
+        t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                          columns=[key, val])
+        k = t.column(key).to_numpy().astype(np.int64)
+        v = t.column(val).to_numpy().astype(np.int64)
+        lut = np.full(k.max() + 2, -1, dtype=np.int64)
+        lut[k] = v
+        return lut
+
+    cust_lut_ref = ray.put(_dense_lut("customer", "c_custkey", "c_nationkey"))
+    supp_lut_ref = ray.put(_dense_lut("supplier", "s_suppkey", "s_nationkey"))
+    region_ref = ray.put(np.asarray(sorted(region_nations), dtype=np.int64))
+
+    import datetime
+
+    lo = datetime.datetime(year, 1, 1)
+    hi = datetime.datetime(year + 1, 1, 1)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                   filter=(pc.field("o_orderdate") >= pa.scalar(lo))
+                   & (pc.field("o_orderdate") < pa.scalar(hi)))
+
+    def reduce_orders(batch: pa.Table, cref, rref) -> pa.Table:
+        lut, rn = ray.get(cref), ray.get(rref)
+        ck = np.clip(batch.column("o_custkey").to_numpy().astype(np.int64),
+                     0, len(lut) - 1)
+        cn = lut[ck]
+        keep = np.isin(cn, rn)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+            "cust_nation": pa.array(cn[keep], type=pa.int64()),
+        })
+
+    build = orders.map_batches(reduce_orders, batch_format="pyarrow",
+                               fn_args=(cust_lut_ref, region_ref))
+
+    fact = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                          "l_discount"])
+    joined = fact.join(build, "inner",
+                       num_partitions=_join_partitions(fact, build),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_only(batch: pa.Table, sref) -> pa.Table:
+        lut = ray.get(sref)
+        sk = np.clip(batch.column("l_suppkey").to_numpy().astype(np.int64),
+                     0, len(lut) - 1)
+        sn = lut[sk]
+        keep = sn == batch.column("cust_nation").to_numpy()
+        rev = (batch.column("l_extendedprice").to_numpy()
+               * (1.0 - batch.column("l_discount").to_numpy()))
+        return pa.table({
+            "nationkey": pa.array(sn[keep], type=pa.int64()),
+            "rev": pa.array(rev[keep]),
+        })
+
+    agg = (joined.map_batches(local_only, batch_format="pyarrow",
+                              fn_args=(supp_lut_ref,))
+                 .groupby("nationkey").aggregate(Sum("rev")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keys = batch.column("nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([name_of[k] for k in keys], type=pa.string()),
+            "revenue": pa.array([_round2(v) for v in
+                                 batch.column("sum(rev)").to_pylist()]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+              .sort("revenue", descending=True)

@@ -1605,3 +1605,159 @@ def hourly_ohlc(sf_dir: str) -> ray.data.Dataset:
         })
 
     return parts.groupby("hour_us").map_groups(heal, batch_format="pyarrow")
+
+
+_RANGE_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def events_hour_window_sum(sf_dir: str,
+                           window_us: int = _RANGE_WINDOW_US) -> ray.data.Dataset:
+    """(event_id, window_cents) — the time-RANGE window frame:
+    SUM(cents) OVER (PARTITION BY user ORDER BY ts RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW).  Unlike ROWS-k frames
+    (``events_rolling_sum``: constant 2-row boundary context) the frame
+    row-count here is unbounded, so the boundary sufficient statistic is
+    TIME-bounded instead: each block ships, per edge run, only the rows in
+    the last ``window_us`` of that run (any earlier row can never fall in
+    a later block's frame: a frame reaching row r implies r is within
+    window_us of its own block-run end — sorted contiguity).  Rows whose
+    frame start falls inside their own block finalize locally via two
+    packed-key searchsorteds; the rest ship one query row each to a
+    per-user grouped heal over the time-bounded contexts.  Exchange volume
+    is therefore O(event density x window) per block edge, never O(run).
+
+    RANGE frames include same-ts PEERS in both directions, so peer pairs
+    straddling a block boundary are healed too: run-END rows route to the
+    heal (their forward peers are unknowable in-block) and run-START peer
+    bursts are shipped as head context; the heal sums all other-run
+    context in [w, ts] (own-run context subtracts back out — the local
+    value already counted every own-block frame row).  Packs
+    (user, ts-offset) into uint64 (same <2^44 us span bet as
+    ``events_last_signup``)."""
+    import ray
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    srt = ds.sort(["user_id", "ts", "event_id"])
+
+    def to_cents(v: np.ndarray) -> np.ndarray:
+        av = np.floor(np.abs(v) * 100.0 + 0.5)
+        return (np.sign(v) * av).astype(np.int64)
+
+    W = np.int64(window_us)
+    cols = ("kind", "event_id", "user_id", "t", "w", "rs_ts", "rs_eid",
+            "cents")
+
+    def block_pass(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        e = batch.column("event_id").to_numpy().astype(np.int64)
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        c = to_cents(batch.column("value").to_numpy().astype(np.float64))
+        n = len(u)
+        bnd = np.flatnonzero(np.diff(u) != 0) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, n]
+        run_id = np.cumsum(np.r_[True, np.diff(u) != 0]) - 1
+        rs_ts = t[starts[run_id]]
+        rs_eid = e[starts[run_id]]
+        base = np.int64(t.min())
+        pk = (u.astype(np.uint64) << np.uint64(44)) | (t - base).astype(np.uint64)
+        w = t - W
+        wk = (u.astype(np.uint64) << np.uint64(44)) | \
+            np.maximum(w - base, 0).astype(np.uint64)
+        hi = np.searchsorted(pk, pk, side="right")      # rows <= (u, t) incl peers
+        lo = np.searchsorted(pk, wk, side="left")
+        P = np.r_[0, np.cumsum(c)]
+        local = P[hi] - P[lo]
+        is_edge = (run_id == 0) | (run_id == len(starts) - 1)
+        re_ts = t[stops[run_id] - 1]
+        # frame start precedes the block-run, or forward peers possible
+        # (row sits at the run-end timestamp, next block may continue it)
+        needs = is_edge & ((w < rs_ts) | (t == re_ts))
+        final_rows = pa.table({
+            "kind": pa.array(np.zeros(int((~needs).sum()), dtype=np.int64)),
+            "event_id": pa.array(e[~needs]),
+            "user_id": pa.array(u[~needs]),
+            "t": pa.array(t[~needs]), "w": pa.array(w[~needs]),
+            "rs_ts": pa.array(rs_ts[~needs]), "rs_eid": pa.array(rs_eid[~needs]),
+            "cents": pa.array(local[~needs]),
+        })
+        query_rows = pa.table({
+            "kind": pa.array(np.ones(int(needs.sum()), dtype=np.int64)),
+            "event_id": pa.array(e[needs]),
+            "user_id": pa.array(u[needs]),
+            "t": pa.array(t[needs]), "w": pa.array(w[needs]),
+            "rs_ts": pa.array(rs_ts[needs]), "rs_eid": pa.array(rs_eid[needs]),
+            "cents": pa.array(local[needs]),
+        })
+        # time-bounded context: edge-run rows within window of THEIR run
+        # end (backward frames) plus run-START peer bursts (forward peers);
+        # rows carry their (rs_ts, rs_eid) run identity for own-run
+        # exclusion in the heal
+        ctx = is_edge & ((t >= re_ts - W) | (t == rs_ts))
+        ctx_rows = pa.table({
+            "kind": pa.array(np.full(int(ctx.sum()), 2, dtype=np.int64)),
+            "event_id": pa.array(e[ctx]),
+            "user_id": pa.array(u[ctx]),
+            "t": pa.array(t[ctx]), "w": pa.array(np.zeros(int(ctx.sum()),
+                                                          dtype=np.int64)),
+            "rs_ts": pa.array(rs_ts[ctx]),
+            "rs_eid": pa.array(rs_eid[ctx]),
+            "cents": pa.array(c[ctx]),
+        })
+        return pa.concat_tables([final_rows, query_rows, ctx_rows])
+
+    out = srt.map_batches(block_pass, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    finals = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0))
+                   .select(["event_id", "cents"])
+                   .rename_columns(["event_id", "window_cents"]),
+        batch_format="pyarrow")
+    pending = out.map_batches(
+        lambda b: b.filter(pc.greater(b.column("kind"), 0)),
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").to_numpy().astype(np.int64)
+        qm = kind == 1
+        cm = kind == 2
+        qe = group.column("event_id").to_numpy().astype(np.int64)[qm]
+        qt = group.column("t").to_numpy().astype(np.int64)[qm]
+        qw = group.column("w").to_numpy().astype(np.int64)[qm]
+        qrun = (group.column("rs_ts").to_numpy().astype(np.int64)[qm],
+                group.column("rs_eid").to_numpy().astype(np.int64)[qm])
+        qloc = group.column("cents").to_numpy().astype(np.int64)[qm]
+        ct = group.column("t").to_numpy().astype(np.int64)[cm]
+        cc = group.column("cents").to_numpy().astype(np.int64)[cm]
+        crun = (group.column("rs_ts").to_numpy().astype(np.int64)[cm],
+                group.column("rs_eid").to_numpy().astype(np.int64)[cm])
+        order = np.argsort(ct, kind="stable")
+        ct, cc = ct[order], cc[order]
+        crs, cre = crun[0][order], crun[1][order]
+        P = np.r_[0, np.cumsum(cc)]
+        # ALL context in the frame [w, t] (peers included, both directions)
+        lo = np.searchsorted(ct, qw, side="left")
+        hi = np.searchsorted(ct, qt, side="right")
+        tot = P[hi] - P[lo]
+        # subtract the query's OWN block-run context back out: the local
+        # value already counted every own-block frame row
+        own = np.zeros(len(qe), dtype=np.int64)
+        for a, b in set(zip(qrun[0].tolist(), qrun[1].tolist())):
+            sel = (qrun[0] == a) & (qrun[1] == b)
+            csel = (crs == a) & (cre == b)
+            cts = ct[csel]
+            Pr = np.r_[0, np.cumsum(cc[csel])]
+            own[sel] = (Pr[np.searchsorted(cts, qt[sel], side="right")]
+                        - Pr[np.searchsorted(cts, qw[sel], side="left")])
+        return pa.table({
+            "event_id": pa.array(qe),
+            "window_cents": pa.array(qloc + tot - own, type=pa.int64()),
+        })
+
+    healed = pending.groupby("user_id").map_groups(heal,
+                                                   batch_format="pyarrow")
+    return finals.union(healed)

@@ -349,3 +349,54 @@ def test_bloom_semi_join_exact(ray_session, tmp_path):
         assert got.loc[f, "n_items"] == int(m.sum())
         assert got.loc[f, "revenue"] == pytest.approx(prices[m].sum(), abs=0.02)
     assert len(got) == len(np.unique(flags[qual]))
+
+
+def test_hour_window_sum_bruteforce_hot_user(ray_session, tmp_path):
+    """Time-RANGE window under 50% hot-key skew with frames dense enough to
+    straddle blocks; exact vs a brute-force O(n^2)-per-user oracle."""
+    from paddleocr_json_ray.ops import windows
+
+    rng = np.random.default_rng(73)
+    n = 20_000
+    hot = rng.random(n) < 0.5
+    users = np.where(hot, 5, rng.integers(100, 140, size=n)).astype(np.int64)
+    base = 1_600_000_000_000_000
+    # ~2.3 days of events: windows hold many rows and cross block edges
+    ts = np.sort(base + rng.choice(2 * 10**11, size=n, replace=False))
+    vals = np.round(rng.uniform(-5, 20, size=n), 2)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+        "value": pa.array(vals),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    got = (windows.events_hour_window_sum(str(tmp_path)).to_pandas()
+           .set_index("event_id")["window_cents"])
+    cents = np.where(vals >= 0, np.floor(vals * 100 + 0.5),
+                     -np.floor(-vals * 100 + 0.5)).astype(np.int64)
+    W = 3_600_000_000
+    assert len(got) == n
+    for eid in range(0, n, 517):
+        m = (users == users[eid]) & (ts >= ts[eid] - W) & (ts <= ts[eid])
+        assert got.loc[eid] == cents[m].sum()
+
+
+def test_hour_window_sum_in_block_peers(ray_session, tmp_path):
+    """RANGE frames include same-ts peers regardless of event_id order: a
+    burst of equal timestamps must all report the full burst sum."""
+    from paddleocr_json_ray.ops import windows
+
+    base = 1_600_000_000_000_000
+    ts = [base, base, base, base + 10, base + 7_200_000_000]
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(5), type=pa.int64()),
+        "user_id": pa.array([1] * 5, type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "value": pa.array(vals),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    got = (windows.events_hour_window_sum(str(tmp_path)).to_pandas()
+           .set_index("event_id")["window_cents"])
+    assert got.loc[0] == got.loc[1] == got.loc[2] == 700  # full peer burst
+    assert got.loc[3] == 1500
+    assert got.loc[4] == 1600  # 2h later: own row only

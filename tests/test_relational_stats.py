@@ -529,3 +529,27 @@ def test_hourly_ohlc_ts_ties(ray_session, tmp_path):
     assert row["open_value"] == 0.0 and row["close_value"] == (n - 1) * 3.0
     assert row["low_value"] == 0.0 and row["high_value"] == (n - 1) * 3.0
     assert row["n_events"] == n
+
+
+def test_local_supplier_revenue_q5(ray_session, sf0001_dir):
+    got = relational.local_supplier_revenue(sf0001_dir).to_pandas()
+    li = pq.read_table(os.path.join(sf0001_dir, "lineitem.parquet")).to_pandas()
+    orders = pq.read_table(os.path.join(sf0001_dir, "orders.parquet")).to_pandas()
+    cust = pq.read_table(os.path.join(sf0001_dir, "customer.parquet")).to_pandas()
+    supp = pq.read_table(os.path.join(sf0001_dir, "supplier.parquet")).to_pandas()
+    nat = pq.read_table(os.path.join(sf0001_dir, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(sf0001_dir, "region.parquet")).to_pandas()
+    orders = orders[(orders.o_orderdate >= "1996-01-01")
+                    & (orders.o_orderdate < "1997-01-01")]
+    j = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(supp, left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[j.c_nationkey == j.s_nationkey]
+    j = (j.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+          .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+    j = j[j.r_name == "ASIA"].copy()
+    j["rev"] = j.l_extendedprice * (1 - j.l_discount)
+    expect = (j.groupby("n_name")["rev"].sum().round(2)
+               .sort_values(ascending=False))
+    assert got["n_name"].tolist() == expect.index.tolist()
+    assert np.allclose(got["revenue"], expect.to_numpy(), atol=0.011)
