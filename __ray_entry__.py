@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_percentiles_by_flag": sketches.quantity_percentiles_by_flag,
         "price_quantiles_tdigest": sketches.price_quantiles_tdigest,  # approx, rows-only
         "price_quantiles_by_flag_tdigest": sketches.price_quantiles_by_flag_tdigest,  # approx, rows-only
+        "price_percentiles_exact": sketches.price_percentiles_exact,
         "word_topk": text_ops.word_topk,
         "bigram_topk": text_ops.bigram_topk,
         # ---- composed curation pipeline (extraction -> score -> filter -> dedup) ----
@@ -574,6 +575,11 @@ SELECT l_returnflag,
        percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
        percentile_cont(0.99) WITHIN GROUP (ORDER BY l_quantity) AS p99
 FROM lineitem GROUP BY l_returnflag""",
+        "price_percentiles_exact": """
+SELECT round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p50,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p90,
+       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p99
+FROM lineitem""",
         "quantity_percentiles": """
 SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
        percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,

@@ -104,7 +104,14 @@ def run_suite() -> dict:
                 "returned_revenue_by_cust", "top_event_type_per_user",
                 "bigram_topk", "user_paths", "rolling_active_users",
                 "click_to_purchase", "small_quantity_revenue",
-                "event_type_share"]
+                "event_type_share",
+                # round-3g additions
+                "session_stats", "value_skew_by_type", "events_percent_rank",
+                "top_value_event_per_user", "events_next_signup",
+                "hourly_ohlc", "big_order_lineitems_bloom",
+                "copurchase_components", "local_supplier_revenue",
+                "events_hour_window_sum", "embedding_pca_projection",
+                "price_quantiles_by_flag_tdigest", "price_percentiles_exact"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

@@ -519,3 +519,123 @@ def price_quantiles_by_flag_tdigest(sf_dir: str) -> ray.data.Dataset:
 
     return parts.groupby("l_returnflag").map_groups(heal,
                                                     batch_format="pyarrow")
+
+
+_EXACT_PCT_BINS = 4096
+_EXACT_PCT_COLLECT_CAP = 262_144  # rows the final exact pass may gather
+
+
+def price_percentiles_exact(sf_dir: str,
+                            pcts=(0.5, 0.9, 0.99)) -> ray.data.Dataset:
+    """EXACT PERCENTILE_CONT over an unbounded continuous domain (p50/p90/
+    p99 of l_extendedprice) in fixed memory and a bounded number of scans —
+    the exact companion to ``price_quantiles_tdigest`` (one scan, approx)
+    and ``quantity_percentiles`` (exact, needs a small value domain).
+
+    Adaptive histogram refinement (the classic distributed selection
+    plan): every unresolved percentile keeps its own HALF-OPEN candidate
+    interval [lo, hi), and ONE shared pass per round histograms all of
+    them simultaneously (per-batch ``np.bincount`` blobs, one fixed-size
+    binary row per batch, driver-merged like the CMS sketch).  Bin
+    membership is ``searchsorted`` against explicit float edges and the
+    refined interval is [edges[b_lo], edges[b_hi+1]), so interval
+    comparisons and bin indices agree EXACTLY at float boundaries.  A
+    target's two bracketing ranks shrink its interval 4096x per round
+    (1-2 rounds in practice); the final filtered pass gathers only the
+    localized slivers for the exact interpolation.  All-duplicate
+    intervals stop shrinking but also stop mattering: the collected
+    values are then one repeated float."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "lineitem", ["l_extendedprice"]).materialize()
+    stats = ds.aggregate(Count(), Min("l_extendedprice"),
+                         Max("l_extendedprice"))
+    n = int(stats["count()"] or 0)
+    if n == 0:
+        return ray.data.from_arrow(pa.table(
+            {f"p{int(p * 100)}": pa.array([], type=pa.float64())
+             for p in pcts}))
+    lo0 = float(stats["min(l_extendedprice)"])
+    hi0 = float(np.nextafter(stats["max(l_extendedprice)"], np.inf))
+
+    state = []
+    for p in pcts:
+        h = (n - 1) * p
+        state.append({"p": p, "r_lo": int(np.floor(h)),
+                      "r_hi": min(int(np.floor(h)) + 1, n - 1),
+                      "frac": float(h - np.floor(h)),
+                      "lo": lo0, "hi": hi0, "below": 0, "pop": n})
+
+    def multi_hist(intervals) -> np.ndarray:
+        """One pass; merged per-interval bin counts over explicit edges."""
+        edge_sets = [np.linspace(lo, hi, _EXACT_PCT_BINS + 1)
+                     for lo, hi in intervals]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = batch.column("l_extendedprice").to_numpy().astype(np.float64)
+            acc = np.zeros((len(edge_sets), _EXACT_PCT_BINS), dtype=np.int64)
+            for i, edges in enumerate(edge_sets):
+                x = v[(v >= edges[0]) & (v < edges[-1])]
+                idx = np.searchsorted(edges, x, side="right") - 1
+                acc[i] = np.bincount(np.clip(idx, 0, _EXACT_PCT_BINS - 1),
+                                     minlength=_EXACT_PCT_BINS)
+            return pa.table({"h": pa.array([acc.tobytes()],
+                                           type=pa.binary())})
+
+        out = np.zeros(len(edge_sets) * _EXACT_PCT_BINS, dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            for blob in b.column("h").to_pylist():
+                out += np.frombuffer(blob, dtype=np.int64)
+        return out.reshape(len(edge_sets), _EXACT_PCT_BINS)
+
+    for _ in range(6):
+        live = [s for s in state if s["pop"] > _EXACT_PCT_COLLECT_CAP]
+        if not live:
+            break
+        hists = multi_hist([(s["lo"], s["hi"]) for s in live])
+        progress = False
+        for s, counts in zip(live, hists):
+            edges = np.linspace(s["lo"], s["hi"], _EXACT_PCT_BINS + 1)
+            cum = s["below"] + np.cumsum(counts)
+            b_lo = int(np.searchsorted(cum, s["r_lo"] + 1))
+            b_hi = int(np.searchsorted(cum, s["r_hi"] + 1))
+            new_pop = int(counts[b_lo:b_hi + 1].sum())
+            if new_pop < s["pop"]:
+                progress = True
+            s["below"] += int(counts[:b_lo].sum())
+            s["pop"] = new_pop
+            s["lo"], s["hi"] = float(edges[b_lo]), float(edges[b_hi + 1])
+        if not progress:  # all-duplicate interval: cannot shrink further
+            break
+
+    ivals = [(s["lo"], s["hi"]) for s in state]
+
+    def collect(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy().astype(np.float64)
+        tid, vals = [], []
+        for i, (lo, hi) in enumerate(ivals):
+            x = v[(v >= lo) & (v < hi)]
+            tid.append(np.full(len(x), i, dtype=np.int64))
+            vals.append(x)
+        return pa.table({"tid": pa.array(np.concatenate(tid)),
+                         "v": pa.array(np.concatenate(vals))})
+
+    parts = list(ds.map_batches(collect, batch_format="pyarrow")
+                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+    tid = np.concatenate([b.column("tid").to_numpy() for b in parts] or
+                         [np.empty(0, dtype=np.int64)])
+    vv = np.concatenate([b.column("v").to_numpy() for b in parts] or
+                        [np.empty(0)])
+    out = {}
+    for i, s in enumerate(state):
+        vals = np.sort(vv[tid == i])
+        v_lo = vals[s["r_lo"] - s["below"]]
+        v_hi = vals[s["r_hi"] - s["below"]]
+        out[f"p{int(s['p'] * 100)}"] = v_lo + s["frac"] * (v_hi - v_lo)
+    from .relational import _round_nd
+
+    return ray.data.from_arrow(pa.table(
+        {k: pa.array([_round_nd(float(v), 2)]) for k, v in out.items()}))

@@ -180,3 +180,42 @@ def test_grouped_tdigest_per_flag(ray_session, tmp_path):
         for col, p in (("p50", 50), ("p90", 90), ("p99", 99)):
             exact = np.percentile(x, p, method="linear")
             assert abs(got.loc[f, col] - exact) / exact < 0.015
+
+
+def _write_prices(tmp_path, vals: np.ndarray) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"l_extendedprice": pa.array(vals, type=pa.float64())}),
+                   os.path.join(str(tmp_path), "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_exact_percentiles_continuous_domain(ray_session, tmp_path, monkeypatch):
+    """Adaptive-refinement percentiles must be EXACT (to the 2dp output
+    rounding) on a continuous domain, with the refinement loop actually
+    exercised (collect cap forced below N)."""
+    rng = np.random.default_rng(11)
+    prices = np.round(rng.lognormal(7.0, 1.2, size=30_000), 2)
+    sf = _write_prices(tmp_path, prices)
+    monkeypatch.setattr(sketches, "_EXACT_PCT_COLLECT_CAP", 512)
+    got = sketches.price_percentiles_exact(sf).to_pandas().iloc[0]
+    for col, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        exact = np.percentile(prices, p * 100, method="linear")
+        assert got[col] == pytest.approx(exact, abs=0.005 + 1e-9)
+
+
+def test_exact_percentiles_duplicate_heavy(ray_session, tmp_path, monkeypatch):
+    """All-duplicate intervals stop shrinking (progress=False branch) but
+    the answer stays exact: 90% of rows share one value."""
+    rng = np.random.default_rng(4)
+    vals = np.concatenate([np.full(27_000, 1234.56),
+                           np.round(rng.uniform(1.0, 9_999.0, size=3_000), 2)])
+    rng.shuffle(vals)
+    sf = _write_prices(tmp_path, vals)
+    monkeypatch.setattr(sketches, "_EXACT_PCT_COLLECT_CAP", 256)
+    got = sketches.price_percentiles_exact(sf).to_pandas().iloc[0]
+    for col, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        exact = np.percentile(vals, p * 100, method="linear")
+        assert got[col] == pytest.approx(exact, abs=0.005 + 1e-9)
