@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_click_no_purchase": relational.users_click_no_purchase,
         "big_order_lineitems_bloom": relational.big_order_lineitems_bloom,
         "copurchase_components": cluster.copurchase_components,
+        "copurchase_triangles": cluster.copurchase_triangles,
         "local_supplier_revenue": relational.local_supplier_revenue,
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
@@ -376,6 +377,14 @@ r AS (
   SELECT e.dst AS id, r.lbl FROM r JOIN e ON r.id = e.src WHERE r.lbl < e.dst
 )
 SELECT id AS part_id, min(lbl) AS component FROM r GROUP BY id""",
+        "copurchase_triangles": """
+WITH q AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_quantity >= 40),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM q a JOIN q b ON a.o = b.o AND a.p < b.p)
+SELECT count(*) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""",
         "big_order_lineitems_bloom": """
 SELECT l_returnflag, count(*) AS n_items,
        round(sum(l_extendedprice), 2) AS revenue

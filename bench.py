@@ -111,7 +111,8 @@ def run_suite() -> dict:
                 "hourly_ohlc", "big_order_lineitems_bloom",
                 "copurchase_components", "local_supplier_revenue",
                 "events_hour_window_sum", "embedding_pca_projection",
-                "price_quantiles_by_flag_tdigest", "price_percentiles_exact"]
+                "price_quantiles_by_flag_tdigest", "price_percentiles_exact",
+                "copurchase_triangles"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

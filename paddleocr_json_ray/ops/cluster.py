@@ -315,6 +315,97 @@ def survivor_filter(ds: ray.data.Dataset, pairs: ray.data.Dataset,
                           fn_args=(refs, id_col))
 
 
+def _run_triu_pairs(vals_sorted: np.ndarray, starts: np.ndarray,
+                    stops: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run (lo, hi) pairs, vectorized per distinct run length."""
+    lens = stops - starts
+    out_a, out_b = [], []
+    for k in np.unique(lens):
+        if k < 2:
+            continue
+        sel = starts[lens == k]
+        runs = vals_sorted[sel[:, None] + np.arange(k)]  # (R, k) sorted
+        iu, ju = np.triu_indices(int(k), k=1)
+        out_a.append(runs[:, iu].ravel())
+        out_b.append(runs[:, ju].ravel())
+    if not out_a:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def _grouped_triu_pairs(srt: ray.data.Dataset, group_col: str,
+                        val_col: str) -> ray.data.Dataset:
+    """(id_a, id_b) — every within-group ordered value pair of a
+    ``(group_col, val_col)``-sorted dataset, as the repo's sorted-run
+    exchange: complete interior runs expand vectorized per run length;
+    the (<= 2 per block) boundary runs ship whole to a grouped heal.
+    Sound only while group sizes stay bounded (the callers': lines per
+    order <= 7; degree-oriented out-degree = O(sqrt(edges)))."""
+    import pyarrow.compute as pc
+
+    def pairs_and_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"kind": pa.array([], type=pa.int8()),
+                             "g": pa.array([], type=pa.int64()),
+                             "id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        g = batch.column(group_col).to_numpy().astype(np.int64)
+        v = batch.column(val_col).to_numpy().astype(np.int64)
+        bnd = np.flatnonzero(np.diff(g) != 0) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, len(g)]
+        interior = slice(1, len(starts) - 1) if len(starts) > 1 else slice(0, 0)
+        a, b = _run_triu_pairs(v, starts[interior], stops[interior])
+        n_pairs = len(a)
+        # boundary runs (first + last group in the block) ship whole
+        edge_idx = np.r_[np.arange(starts[0], stops[0]),
+                         (np.arange(starts[-1], stops[-1])
+                          if len(starts) > 1 else np.empty(0, dtype=np.int64))]
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(n_pairs, dtype=np.int8),
+                                   np.ones(len(edge_idx), dtype=np.int8)]),
+            "g": pa.array(np.r_[np.zeros(n_pairs, dtype=np.int64),
+                                g[edge_idx]]),
+            "id_a": pa.array(np.r_[a, v[edge_idx]]),
+            "id_b": pa.array(np.r_[b, v[edge_idx]]),
+        })
+
+    out = srt.map_batches(pairs_and_edges, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    interior_pairs = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0))
+                   .select(["id_a", "id_b"]), batch_format="pyarrow")
+    boundary_rows = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1))
+                   .select(["g", "id_a"]), batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        p = np.unique(group.column("id_a").to_numpy().astype(np.int64))
+        if len(p) < 2:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        iu, ju = np.triu_indices(len(p), k=1)
+        return pa.table({"id_a": pa.array(p[iu]), "id_b": pa.array(p[ju])})
+
+    healed_pairs = boundary_rows.groupby("g").map_groups(
+        heal, batch_format="pyarrow")
+    return interior_pairs.union(healed_pairs)
+
+
+def _copurchase_pairs(sf_dir: str, min_qty: float) -> ray.data.Dataset:
+    """(id_a, id_b) part pairs co-purchased in one order with quantity >=
+    ``min_qty`` (with duplicates — callers canonicalize/distinct)."""
+    import pyarrow.compute as pc
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                    filter=pc.field("l_quantity") >= pa.scalar(min_qty))
+    return _grouped_triu_pairs(ds.sort(["l_orderkey", "l_partkey"]),
+                               "l_orderkey", "l_partkey")
+
+
 def copurchase_components(sf_dir: str, min_qty: float = 45.0) -> ray.data.Dataset:
     """(part_id, component) — connected components of the part
     co-purchase graph (parts linked when one order carries both with
@@ -327,10 +418,10 @@ def copurchase_components(sf_dir: str, min_qty: float = 45.0) -> ray.data.Datase
     rows; interior runs emit their pairs via a run-length-grouped
     vectorized expansion (order size is bounded — TPC-H caps lines per
     order at 7 — so pair volume is <= 21x run count), boundary runs ship
-    whole (bounded by order size) to a grouped pair heal.  Components
-    resolve in ``resolve_clusters`` (task solve / star contraction), and
-    the final label map is ONE native Min groupby over
-    (self-label ∪ loser-root) rows — no join."""
+    whole (bounded by order size) to a grouped pair heal
+    (``_grouped_triu_pairs``).  Components resolve in ``resolve_clusters``
+    (task solve / star contraction), and the final label map is ONE native
+    Min groupby over (self-label ∪ loser-root) rows — no join."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
@@ -338,73 +429,7 @@ def copurchase_components(sf_dir: str, min_qty: float = 45.0) -> ray.data.Datase
 
     ds = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
                     filter=pc.field("l_quantity") >= pa.scalar(min_qty))
-    srt = ds.sort(["l_orderkey", "l_partkey"])
-
-    def _run_pairs(parts_sorted: np.ndarray, starts: np.ndarray,
-                   stops: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """All within-run (lo, hi) pairs, vectorized per run length."""
-        lens = stops - starts
-        out_a, out_b = [], []
-        for k in np.unique(lens):
-            if k < 2:
-                continue
-            sel = starts[lens == k]
-            runs = parts_sorted[sel[:, None] + np.arange(k)]  # (R, k) sorted
-            iu, ju = np.triu_indices(int(k), k=1)
-            out_a.append(runs[:, iu].ravel())
-            out_b.append(runs[:, ju].ravel())
-        if not out_a:
-            z = np.empty(0, dtype=np.int64)
-            return z, z
-        return np.concatenate(out_a), np.concatenate(out_b)
-
-    def pairs_and_edges(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"kind": pa.array([], type=pa.int8()),
-                             "l_orderkey": pa.array([], type=pa.int64()),
-                             "id_a": pa.array([], type=pa.int64()),
-                             "id_b": pa.array([], type=pa.int64())})
-        o = batch.column("l_orderkey").to_numpy().astype(np.int64)
-        p = batch.column("l_partkey").to_numpy().astype(np.int64)
-        bnd = np.flatnonzero(np.diff(o) != 0) + 1
-        starts = np.r_[0, bnd]
-        stops = np.r_[bnd, len(o)]
-        interior = slice(1, len(starts) - 1) if len(starts) > 1 else slice(0, 0)
-        a, b = _run_pairs(p, starts[interior], stops[interior])
-        n_pairs = len(a)
-        # boundary runs (first + last order in the block) ship whole
-        edge_idx = np.r_[np.arange(starts[0], stops[0]),
-                         (np.arange(starts[-1], stops[-1])
-                          if len(starts) > 1 else np.empty(0, dtype=np.int64))]
-        return pa.table({
-            "kind": pa.array(np.r_[np.zeros(n_pairs, dtype=np.int8),
-                                   np.ones(len(edge_idx), dtype=np.int8)]),
-            "l_orderkey": pa.array(np.r_[np.zeros(n_pairs, dtype=np.int64),
-                                         o[edge_idx]]),
-            "id_a": pa.array(np.r_[a, p[edge_idx]]),
-            "id_b": pa.array(np.r_[b, p[edge_idx]]),
-        })
-
-    out = srt.map_batches(pairs_and_edges, batch_format="pyarrow",
-                          batch_size=None).materialize()
-    interior_pairs = out.map_batches(
-        lambda b: b.filter(pc.equal(b.column("kind"), 0))
-                   .select(["id_a", "id_b"]), batch_format="pyarrow")
-    boundary_rows = out.map_batches(
-        lambda b: b.filter(pc.equal(b.column("kind"), 1))
-                   .select(["l_orderkey", "id_a"]), batch_format="pyarrow")
-
-    def heal(group: pa.Table) -> pa.Table:
-        p = np.unique(group.column("id_a").to_numpy().astype(np.int64))
-        if len(p) < 2:
-            return pa.table({"id_a": pa.array([], type=pa.int64()),
-                             "id_b": pa.array([], type=pa.int64())})
-        iu, ju = np.triu_indices(len(p), k=1)
-        return pa.table({"id_a": pa.array(p[iu]), "id_b": pa.array(p[ju])})
-
-    healed_pairs = boundary_rows.groupby("l_orderkey").map_groups(
-        heal, batch_format="pyarrow")
-    labels = resolve_clusters(interior_pairs.union(healed_pairs))
+    labels = resolve_clusters(_copurchase_pairs(sf_dir, min_qty))
 
     # label map: min(self, loser-root) per node through ONE native groupby
     selfs = ds.map_batches(
@@ -420,3 +445,84 @@ def copurchase_components(sf_dir: str, min_qty: float = 45.0) -> ray.data.Datase
         lambda b: pa.table({"part_id": b.column("part_id"),
                             "component": b.column("min(lbl)")}),
         batch_format="pyarrow")
+
+
+def copurchase_triangles(sf_dir: str, min_qty: float = 40.0) -> ray.data.Dataset:
+    """(n_triangles,) — exact triangle count of the part co-purchase graph
+    (same edge rule as ``copurchase_components``, default threshold lower
+    so the graph is dense enough to close triangles).
+
+    Degree-oriented node-iterator (Suri & Vassilvitskii, WWW'11 — "the
+    curse of the last reducer"): orient every distinct edge from its
+    lower-(degree, id) endpoint to the higher, so each node's out-degree
+    is O(sqrt(E)) and a hub's wedge fan-out collapses from deg^2 to E.
+    Every triangle is then generated by exactly ONE pivot (its minimum
+    vertex in the (degree, id) total order) as a wedge between two
+    out-neighbors, and counted iff the closing pair is an edge.
+
+    Plan: distinct canonical edges via the native partial-agg groupby;
+    degrees via one Count groupby, broadcast once as a sorted
+    (node, degree) LUT (node-bounded — at corpus scale where the node
+    table outgrows the object store, orientation becomes two hash joins
+    instead); wedges expand through the ``_grouped_triu_pairs`` sorted-run
+    exchange; the closing-edge membership test is ONE hash-partitioned
+    native groupby over (wedge ∪ edge) rows — Sum of wedge multiplicity,
+    Max of the edge flag — so matching co-locates without any driver
+    materialization of pairs."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    z64 = pa.array([], type=pa.int64())
+    empty = pa.table({"n_triangles": z64})
+
+    pairs = _copurchase_pairs(sf_dir, min_qty)
+    edges = _snap(_distinct_edges(pairs.map_batches(
+        lambda b: _canon_batch(b, "id_a", "id_b"), batch_format="pyarrow")))
+    if edges.count() == 0:
+        return ray.data.from_arrow(pa.table({"n_triangles": pa.array([0], type=pa.int64())}))
+
+    ends = edges.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays(
+            [b.column("lo").combine_chunks().cast(pa.int64()),
+             b.column("hi").combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow")
+    deg_parts = [t for t in ray.get(
+        ends.groupby("node").aggregate(Count()).to_arrow_refs()) if t.num_rows]
+    nodes = np.concatenate([t.column("node").to_numpy() for t in deg_parts])
+    degs = np.concatenate([t.column("count()").to_numpy() for t in deg_parts])
+    order = np.argsort(nodes)
+    lut_ref = ray.put((nodes[order].astype(np.int64),
+                       degs[order].astype(np.int64)))
+
+    def orient(batch: pa.Table, lut) -> pa.Table:
+        nd, dg = ray.get(lut) if isinstance(lut, ray.ObjectRef) else lut
+        lo = batch.column("lo").to_numpy().astype(np.int64)
+        hi = batch.column("hi").to_numpy().astype(np.int64)
+        swap = dg[np.searchsorted(nd, hi)] < dg[np.searchsorted(nd, lo)]
+        return pa.table({"src": pa.array(np.where(swap, hi, lo)),
+                         "dst": pa.array(np.where(swap, lo, hi))})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow",
+                                 fn_args=(lut_ref,))
+    wedges = _grouped_triu_pairs(oriented.sort(["src", "dst"]), "src", "dst")
+
+    w_rows = wedges.map_batches(
+        lambda b: pa.table({"a": b.column("id_a"), "b": b.column("id_b"),
+                            "w": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                            "e": pa.array(np.zeros(b.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+    e_rows = edges.map_batches(
+        lambda b: pa.table({"a": b.column("lo"), "b": b.column("hi"),
+                            "w": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                            "e": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+    agg = (w_rows.union(e_rows).groupby(["a", "b"])
+           .aggregate(Sum("w"), Max("e")))
+
+    def part_count(batch: pa.Table) -> pa.Table:
+        w = batch.column("sum(w)").to_numpy()
+        e = batch.column("max(e)").to_numpy()
+        return pa.table({"c": pa.array([int(w[e > 0].sum())], type=pa.int64())})
+
+    total = agg.map_batches(part_count, batch_format="pyarrow").aggregate(Sum("c"))
+    return ray.data.from_arrow(pa.table(
+        {"n_triangles": pa.array([int(total["sum(c)"] or 0)], type=pa.int64())}))

@@ -107,3 +107,77 @@ def test_copurchase_components_chain(ray_session, tmp_path):
     assert (got.loc[list(range(100))] == 0).all()
     for j in range(10):
         assert got.loc[200 + j] == 200 + j
+
+
+def _write_lineitem(tmp_path, orders):
+    """orders: list of part-id lists; one qualifying order per list."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows_o, rows_p, rows_q = [], [], []
+    for o, parts in enumerate(orders):
+        for p in parts:
+            rows_o.append(o)
+            rows_p.append(p)
+            rows_q.append(50.0)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rows_o, type=pa.int64()),
+        "l_partkey": pa.array(rows_p, type=pa.int64()),
+        "l_quantity": pa.array(rows_q),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def _brute_triangles(orders) -> int:
+    from itertools import combinations
+
+    edges = set()
+    for parts in orders:
+        for a, b in combinations(sorted(set(parts)), 2):
+            edges.add((a, b))
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    return sum(1 for a, b in edges
+               for c in nbrs[a] & nbrs[b] if c > b)
+
+
+def test_triangles_planted(ray_session, tmp_path):
+    """K5 (10 triangles) + a 50-leaf hub star (0 — the degree-orientation
+    worst case) + one triangle hanging off two hub leaves."""
+    orders = []
+    from itertools import combinations
+
+    orders += [list(e) for e in combinations(range(5), 2)]       # K5
+    orders += [[100, 200 + i] for i in range(50)]                # star hub
+    orders += [[200, 201], [200, 202], [201, 202]]               # leaf triangle
+    sf = _write_lineitem(tmp_path, orders)
+    from paddleocr_json_ray.ops.cluster import copurchase_triangles
+
+    got = copurchase_triangles(sf).to_pandas()["n_triangles"][0]
+    # K5's 10 + the leaf triangle + 3 hub-leaf-leaf triangles the hub edges
+    # close through the leaf clique
+    assert got == 10 + 1 + 3 == _brute_triangles(orders)
+
+
+def test_triangles_random_orders(ray_session, tmp_path):
+    """Random multi-part orders over a small universe vs brute force —
+    exercises dup edges across orders, in-order dup parts, and wedge runs
+    straddling block boundaries."""
+    rng = np.random.default_rng(7)
+    orders = [list(rng.integers(0, 40, size=rng.integers(1, 6)))
+              for _ in range(300)]
+    sf = _write_lineitem(tmp_path, orders)
+    from paddleocr_json_ray.ops.cluster import copurchase_triangles
+
+    got = copurchase_triangles(sf).to_pandas()["n_triangles"][0]
+    assert got == _brute_triangles(orders)
+
+
+def test_triangles_empty_graph(ray_session, tmp_path):
+    sf = _write_lineitem(tmp_path, [[1], [2], [3]])
+    from paddleocr_json_ray.ops.cluster import copurchase_triangles
+
+    assert copurchase_triangles(sf).to_pandas()["n_triangles"][0] == 0
