@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_tdigest": sketches.price_quantiles_tdigest,  # approx, rows-only
         "price_quantiles_by_flag_tdigest": sketches.price_quantiles_by_flag_tdigest,  # approx, rows-only
         "price_percentiles_exact": sketches.price_percentiles_exact,
+        "trimmed_mean_price_by_flag": sketches.trimmed_mean_price_by_flag,
         "word_topk": text_ops.word_topk,
         "bigram_topk": text_ops.bigram_topk,
         # ---- composed curation pipeline (extraction -> score -> filter -> dedup) ----
@@ -584,6 +585,16 @@ SELECT l_returnflag,
        percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
        percentile_cont(0.99) WITHIN GROUP (ORDER BY l_quantity) AS p99
 FROM lineitem GROUP BY l_returnflag""",
+        "trimmed_mean_price_by_flag": """
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS lo,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS hi
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, round(avg(l_extendedprice), 2) AS trimmed_mean
+FROM lineitem JOIN b ON l_returnflag = b.flag
+WHERE l_extendedprice BETWEEN b.lo AND b.hi
+GROUP BY l_returnflag""",
         "price_percentiles_exact": """
 SELECT round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p50,
        round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p90,

@@ -525,62 +525,78 @@ _EXACT_PCT_BINS = 4096
 _EXACT_PCT_COLLECT_CAP = 262_144  # rows the final exact pass may gather
 
 
-def price_percentiles_exact(sf_dir: str,
-                            pcts=(0.5, 0.9, 0.99)) -> ray.data.Dataset:
-    """EXACT PERCENTILE_CONT over an unbounded continuous domain (p50/p90/
-    p99 of l_extendedprice) in fixed memory and a bounded number of scans —
-    the exact companion to ``price_quantiles_tdigest`` (one scan, approx)
-    and ``quantity_percentiles`` (exact, needs a small value domain).
+def _exact_percentile_values(ds: ray.data.Dataset, col: str,
+                             key_col: str | None, pcts) -> dict:
+    """{(key, p): exact PERCENTILE_CONT value} over an unbounded continuous
+    domain in fixed memory and a bounded number of scans, optionally per
+    key (key_col=None -> one global key ``None``).
 
     Adaptive histogram refinement (the classic distributed selection
-    plan): every unresolved percentile keeps its own HALF-OPEN candidate
-    interval [lo, hi), and ONE shared pass per round histograms all of
-    them simultaneously (per-batch ``np.bincount`` blobs, one fixed-size
-    binary row per batch, driver-merged like the CMS sketch).  Bin
-    membership is ``searchsorted`` against explicit float edges and the
-    refined interval is [edges[b_lo], edges[b_hi+1]), so interval
-    comparisons and bin indices agree EXACTLY at float boundaries.  A
-    target's two bracketing ranks shrink its interval 4096x per round
-    (1-2 rounds in practice); the final filtered pass gathers only the
-    localized slivers for the exact interpolation.  All-duplicate
-    intervals stop shrinking but also stop mattering: the collected
-    values are then one repeated float."""
+    plan): every unresolved (key, percentile) target keeps its own
+    HALF-OPEN candidate interval [lo, hi), and ONE shared pass per round
+    histograms all of them simultaneously (per-batch ``np.bincount``
+    blobs, one fixed-size binary row per batch, driver-merged like the
+    CMS sketch).  Bin membership is ``searchsorted`` against explicit
+    float edges and the refined interval is [edges[b_lo], edges[b_hi+1]),
+    so interval comparisons and bin indices agree EXACTLY at float
+    boundaries.  A target's two bracketing ranks shrink its interval
+    4096x per round (1-2 rounds in practice); the final filtered pass
+    gathers only the localized slivers for the exact interpolation.
+    All-duplicate intervals stop shrinking but also stop mattering: the
+    collected values are then one repeated float.  Keys must be
+    low-cardinality (state is driver-held per target); high-cardinality
+    grouped quantiles are ``price_quantiles_by_flag_tdigest``'s job."""
     from ray.data.aggregate import Count, Max, Min
 
-    from ..sources.readers import read_table
-
-    ds = read_table(sf_dir, "lineitem", ["l_extendedprice"]).materialize()
-    stats = ds.aggregate(Count(), Min("l_extendedprice"),
-                         Max("l_extendedprice"))
-    n = int(stats["count()"] or 0)
-    if n == 0:
-        return ray.data.from_arrow(pa.table(
-            {f"p{int(p * 100)}": pa.array([], type=pa.float64())
-             for p in pcts}))
-    lo0 = float(stats["min(l_extendedprice)"])
-    hi0 = float(np.nextafter(stats["max(l_extendedprice)"], np.inf))
+    if key_col is None:
+        stats = ds.aggregate(Count(), Min(col), Max(col))
+        rows = [(None, stats["count()"], stats[f"min({col})"],
+                 stats[f"max({col})"])] if stats["count()"] else []
+    else:
+        gb = (ds.groupby(key_col).aggregate(Count(), Min(col), Max(col))
+              .to_pandas())
+        rows = [(r[key_col], r["count()"], r[f"min({col})"], r[f"max({col})"])
+                for _, r in gb.iterrows()]
 
     state = []
-    for p in pcts:
-        h = (n - 1) * p
-        state.append({"p": p, "r_lo": int(np.floor(h)),
-                      "r_hi": min(int(np.floor(h)) + 1, n - 1),
-                      "frac": float(h - np.floor(h)),
-                      "lo": lo0, "hi": hi0, "below": 0, "pop": n})
+    for key, n, mn, mx in rows:
+        n = int(n)
+        if n == 0:
+            continue
+        lo0, hi0 = float(mn), float(np.nextafter(float(mx), np.inf))
+        for p in pcts:
+            h = (n - 1) * p
+            state.append({"key": key, "p": p, "r_lo": int(np.floor(h)),
+                          "r_hi": min(int(np.floor(h)) + 1, n - 1),
+                          "frac": float(h - np.floor(h)),
+                          "lo": lo0, "hi": hi0, "below": 0, "pop": n})
 
-    def multi_hist(intervals) -> np.ndarray:
-        """One pass; merged per-interval bin counts over explicit edges."""
-        edge_sets = [np.linspace(lo, hi, _EXACT_PCT_BINS + 1)
-                     for lo, hi in intervals]
+    def key_views(batch: pa.Table):
+        """(key, float64 values) per distinct target key present."""
+        v = batch.column(col).to_numpy().astype(np.float64)
+        if key_col is None:
+            yield None, v
+            return
+        k = np.asarray(batch.column(key_col))
+        for key in {s["key"] for s in state}:
+            yield key, v[k == key]
+
+    def multi_hist(targets) -> np.ndarray:
+        """One pass; merged per-(key, interval) bin counts."""
+        edge_sets = [(t["key"], np.linspace(t["lo"], t["hi"],
+                                            _EXACT_PCT_BINS + 1))
+                     for t in targets]
 
         def partial(batch: pa.Table) -> pa.Table:
-            v = batch.column("l_extendedprice").to_numpy().astype(np.float64)
             acc = np.zeros((len(edge_sets), _EXACT_PCT_BINS), dtype=np.int64)
-            for i, edges in enumerate(edge_sets):
-                x = v[(v >= edges[0]) & (v < edges[-1])]
-                idx = np.searchsorted(edges, x, side="right") - 1
-                acc[i] = np.bincount(np.clip(idx, 0, _EXACT_PCT_BINS - 1),
-                                     minlength=_EXACT_PCT_BINS)
+            for key, v in key_views(batch):
+                for i, (ek, edges) in enumerate(edge_sets):
+                    if ek != key:
+                        continue
+                    x = v[(v >= edges[0]) & (v < edges[-1])]
+                    idx = np.searchsorted(edges, x, side="right") - 1
+                    acc[i] = np.bincount(np.clip(idx, 0, _EXACT_PCT_BINS - 1),
+                                         minlength=_EXACT_PCT_BINS)
             return pa.table({"h": pa.array([acc.tobytes()],
                                            type=pa.binary())})
 
@@ -595,7 +611,7 @@ def price_percentiles_exact(sf_dir: str,
         live = [s for s in state if s["pop"] > _EXACT_PCT_COLLECT_CAP]
         if not live:
             break
-        hists = multi_hist([(s["lo"], s["hi"]) for s in live])
+        hists = multi_hist(live)
         progress = False
         for s, counts in zip(live, hists):
             edges = np.linspace(s["lo"], s["hi"], _EXACT_PCT_BINS + 1)
@@ -611,15 +627,17 @@ def price_percentiles_exact(sf_dir: str,
         if not progress:  # all-duplicate interval: cannot shrink further
             break
 
-    ivals = [(s["lo"], s["hi"]) for s in state]
+    ivals = [(s["key"], s["lo"], s["hi"]) for s in state]
 
     def collect(batch: pa.Table) -> pa.Table:
-        v = batch.column("l_extendedprice").to_numpy().astype(np.float64)
-        tid, vals = [], []
-        for i, (lo, hi) in enumerate(ivals):
-            x = v[(v >= lo) & (v < hi)]
-            tid.append(np.full(len(x), i, dtype=np.int64))
-            vals.append(x)
+        tid, vals = [np.empty(0, dtype=np.int64)], [np.empty(0)]
+        for key, v in key_views(batch):
+            for i, (ik, lo, hi) in enumerate(ivals):
+                if ik != key:
+                    continue
+                x = v[(v >= lo) & (v < hi)]
+                tid.append(np.full(len(x), i, dtype=np.int64))
+                vals.append(x)
         return pa.table({"tid": pa.array(np.concatenate(tid)),
                          "v": pa.array(np.concatenate(vals))})
 
@@ -634,8 +652,82 @@ def price_percentiles_exact(sf_dir: str,
         vals = np.sort(vv[tid == i])
         v_lo = vals[s["r_lo"] - s["below"]]
         v_hi = vals[s["r_hi"] - s["below"]]
-        out[f"p{int(s['p'] * 100)}"] = v_lo + s["frac"] * (v_hi - v_lo)
+        out[(s["key"], s["p"])] = float(v_lo + s["frac"] * (v_hi - v_lo))
+    return out
+
+
+def price_percentiles_exact(sf_dir: str,
+                            pcts=(0.5, 0.9, 0.99)) -> ray.data.Dataset:
+    """EXACT PERCENTILE_CONT of l_extendedprice (p50/p90/p99) — the exact
+    companion to ``price_quantiles_tdigest`` (one scan, approx) and
+    ``quantity_percentiles`` (exact, needs a small value domain).  All the
+    machinery lives in ``_exact_percentile_values``."""
+    from ..sources.readers import read_table
+
     from .relational import _round_nd
 
+    ds = read_table(sf_dir, "lineitem", ["l_extendedprice"]).materialize()
+    vals = _exact_percentile_values(ds, "l_extendedprice", None, pcts)
+    if not vals:
+        return ray.data.from_arrow(pa.table(
+            {f"p{int(p * 100)}": pa.array([], type=pa.float64())
+             for p in pcts}))
     return ray.data.from_arrow(pa.table(
-        {k: pa.array([_round_nd(float(v), 2)]) for k, v in out.items()}))
+        {f"p{int(p * 100)}": pa.array([_round_nd(vals[(None, p)], 2)])
+         for p in pcts}))
+
+
+def trimmed_mean_price_by_flag(sf_dir: str, lo_p: float = 0.05,
+                               hi_p: float = 0.95) -> ray.data.Dataset:
+    """(l_returnflag, trimmed_mean) — mean of l_extendedprice per flag with
+    the tails OUTSIDE the exact per-key [p5, p95] percentile values trimmed
+    off (the robust-mean staple; value-based trim, bounds inclusive).
+
+    Two phases, both streaming: exact per-key percentile bounds via the
+    grouped adaptive refinement (``_exact_percentile_values``), then one
+    pass of per-batch (flag, sum, count) partials over the in-bounds rows
+    into a native partial-agg groupby.  The bounds dict is key-bounded (3
+    flags) so it travels in the task closure, not an exchange.
+
+    Safe to SQL-oracle at 2dp despite float interpolation: a CONT
+    percentile value either equals a data value exactly (frac=0 or an
+    all-duplicate sliver — bit-identical in both engines) or lies strictly
+    between two adjacent order statistics, where no data value exists for
+    a last-ulp difference to flip across the BETWEEN bound."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    from .relational import _round_nd
+
+    ds = read_table(sf_dir, "lineitem",
+                    ["l_returnflag", "l_extendedprice"]).materialize()
+    vals = _exact_percentile_values(ds, "l_extendedprice", "l_returnflag",
+                                    (lo_p, hi_p))
+    bounds = {key: (vals[(key, lo_p)], vals[(key, hi_p)])
+              for key, _ in vals}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy().astype(np.float64)
+        k = np.asarray(batch.column("l_returnflag"))
+        flags, sums, cnts = [], [], []
+        for key, (lo, hi) in bounds.items():
+            x = v[(k == key) & (v >= lo) & (v <= hi)]
+            flags.append(key)
+            sums.append(float(x.sum()))
+            cnts.append(len(x))
+        return pa.table({"l_returnflag": pa.array(flags, type=pa.string()),
+                         "s": pa.array(sums, type=pa.float64()),
+                         "n": pa.array(cnts, type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag").aggregate(Sum("s"), Sum("n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum(s)").to_numpy()
+        n = batch.column("sum(n)").to_numpy()
+        tm = [_round_nd(float(a) / int(b), 2) for a, b in zip(s, n)]
+        return pa.table({"l_returnflag": batch.column("l_returnflag"),
+                         "trimmed_mean": pa.array(tm, type=pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

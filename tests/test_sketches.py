@@ -219,3 +219,27 @@ def test_exact_percentiles_duplicate_heavy(ray_session, tmp_path, monkeypatch):
     for col, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
         exact = np.percentile(vals, p * 100, method="linear")
         assert got[col] == pytest.approx(exact, abs=0.005 + 1e-9)
+
+
+def test_trimmed_mean_by_flag(ray_session, tmp_path, monkeypatch):
+    """Grouped trimmed mean equals the numpy value-based trim per key, with
+    the grouped refinement loop exercised (collect cap below group sizes)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(6)
+    flags = rng.choice(["A", "N", "R"], size=24_000)
+    prices = np.round(rng.lognormal(7.0, 1.0, size=24_000), 2)
+    pq.write_table(pa.table({"l_returnflag": pa.array(flags),
+                             "l_extendedprice": pa.array(prices)}),
+                   os.path.join(str(tmp_path), "lineitem.parquet"))
+    monkeypatch.setattr(sketches, "_EXACT_PCT_COLLECT_CAP", 256)
+    got = (sketches.trimmed_mean_price_by_flag(str(tmp_path)).to_pandas()
+           .set_index("l_returnflag")["trimmed_mean"])
+    for f in ("A", "N", "R"):
+        x = prices[flags == f]
+        lo = np.percentile(x, 5, method="linear")
+        hi = np.percentile(x, 95, method="linear")
+        exact = x[(x >= lo) & (x <= hi)].mean()
+        assert got.loc[f] == pytest.approx(exact, abs=0.005 + 1e-9)
