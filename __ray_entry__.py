@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_by_flag_tdigest": sketches.price_quantiles_by_flag_tdigest,  # approx, rows-only
         "price_percentiles_exact": sketches.price_percentiles_exact,
         "trimmed_mean_price_by_flag": sketches.trimmed_mean_price_by_flag,
+        "quantity_mad_by_flag": sketches.quantity_mad_by_flag,
+        "lang_source_chi2": text_ops.lang_source_chi2,
         "word_topk": text_ops.word_topk,
         "bigram_topk": text_ops.bigram_topk,
         # ---- composed curation pipeline (extraction -> score -> filter -> dedup) ----
@@ -585,6 +587,25 @@ SELECT l_returnflag,
        percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
        percentile_cont(0.99) WITHIN GROUP (ORDER BY l_quantity) AS p99
 FROM lineitem GROUP BY l_returnflag""",
+        "quantity_mad_by_flag": """
+WITH m AS (SELECT l_returnflag AS flag, median(l_quantity) AS med
+           FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, any_value(m.med) AS med,
+       median(abs(l_quantity - m.med)) AS mad
+FROM lineitem JOIN m ON l_returnflag = m.flag
+GROUP BY l_returnflag""",
+        "lang_source_chi2": """
+WITH c AS (SELECT lang, source, count(*)::DOUBLE AS o
+           FROM documents GROUP BY lang, source),
+r AS (SELECT lang, sum(o) AS rt FROM c GROUP BY lang),
+s AS (SELECT source, sum(o) AS ct FROM c GROUP BY source),
+n AS (SELECT sum(o) AS tot FROM c)
+SELECT round(sum(pow(coalesce(c.o, 0) - r.rt * s.ct / n.tot, 2)
+                 / (r.rt * s.ct / n.tot)), 2) AS chi2,
+       (SELECT (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+        FROM documents)::BIGINT AS dof
+FROM r CROSS JOIN s CROSS JOIN n
+LEFT JOIN c ON c.lang = r.lang AND c.source = s.source""",
         "trimmed_mean_price_by_flag": """
 WITH b AS (
   SELECT l_returnflag AS flag,

@@ -112,7 +112,8 @@ def run_suite() -> dict:
                 "copurchase_components", "local_supplier_revenue",
                 "events_hour_window_sum", "embedding_pca_projection",
                 "price_quantiles_by_flag_tdigest", "price_percentiles_exact",
-                "copurchase_triangles", "trimmed_mean_price_by_flag"]
+                "copurchase_triangles", "trimmed_mean_price_by_flag",
+                "quantity_mad_by_flag", "lang_source_chi2"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

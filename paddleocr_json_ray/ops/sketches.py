@@ -731,3 +731,58 @@ def trimmed_mean_price_by_flag(sf_dir: str, lo_p: float = 0.05,
                          "trimmed_mean": pa.array(tm, type=pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _hist_percentile_cont(u: np.ndarray, tot: np.ndarray, p: float) -> float:
+    """PERCENTILE_CONT(p) from a sorted (value, count) histogram."""
+    cum = np.cumsum(tot)
+    n = int(cum[-1])
+    h = (n - 1) * p
+    lo_i = int(np.searchsorted(cum, int(np.floor(h)) + 1))
+    hi_i = int(np.searchsorted(cum, int(np.floor(h)) + 2))
+    lo, hi = float(u[lo_i]), float(u[min(hi_i, len(u) - 1)])
+    return lo + (h - np.floor(h)) * (hi - lo)
+
+
+def quantity_mad_by_flag(sf_dir: str) -> ray.data.Dataset:
+    """(l_returnflag, med, mad) — grouped MEDIAN and MEDIAN ABSOLUTE
+    DEVIATION of l_quantity: the robust-statistics NESTED order statistic
+    (median of |x - median(x)|).
+
+    On a bounded value domain both medians fall out of ONE mergeable
+    histogram exchange (the ``quantity_percentiles_by_flag`` pattern —
+    per-batch (flag, value, count) combiners, value-domain-sized): the
+    deviation histogram is a driver-side fold of the value histogram
+    around the first median, so the second order statistic costs no
+    second scan.  Deviations live on the 0.5 grid (integer values, .5
+    medians) — exact in float64, no rounding seam."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [("l_quantity", "count")]).rename_columns(
+            ["l_returnflag", "val", "cnt"])
+
+    part = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    rows = {"l_returnflag": [], "med": [], "mad": []}
+    for flag, grp in sorted(part.groupby("l_returnflag")):
+        vals = grp["val"].to_numpy().astype(np.float64)
+        cnts = grp["cnt"].to_numpy().astype(np.int64)
+        u, inv = np.unique(vals, return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, inv, cnts)
+        med = _hist_percentile_cont(u, tot, 0.5)
+        dev = np.abs(u - med)
+        du, dinv = np.unique(dev, return_inverse=True)
+        dtot = np.zeros(len(du), dtype=np.int64)
+        np.add.at(dtot, dinv, tot)
+        rows["l_returnflag"].append(flag)
+        rows["med"].append(med)
+        rows["mad"].append(_hist_percentile_cont(du, dtot, 0.5))
+    return ray.data.from_arrow(pa.table({
+        "l_returnflag": pa.array(rows["l_returnflag"], type=pa.string()),
+        "med": pa.array(rows["med"], type=pa.float64()),
+        "mad": pa.array(rows["mad"], type=pa.float64()),
+    }))

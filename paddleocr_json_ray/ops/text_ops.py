@@ -775,3 +775,35 @@ def bigram_topk(sf_dir: str, k: int = 30) -> ray.data.Dataset:
                .sort(["neg_n", "w1", "w2"])
                .limit(k)
                .map_batches(to_out, batch_format="pyarrow"))
+
+
+def lang_source_chi2(sf_dir: str) -> ray.data.Dataset:
+    """(chi2, dof) — Pearson chi-square independence statistic over the
+    (lang, source) contingency table: the corpus-audit signal for "is
+    language distribution independent of source?".
+
+    One native partial-agg Count groupby over the two key columns (cell
+    count is key-domain bounded, control-plane sized); the full
+    observed-langs x observed-sources matrix — INCLUDING zero-observed
+    cells, which still contribute their expectation — pivots on the
+    driver and the statistic is one vectorized fold.  No logs involved,
+    so (unlike entropy/logprob scores) the value is SQL-oracle-safe."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    ds = _read_documents(sf_dir, ("lang", "source"))
+    cells = (ds.groupby(["lang", "source"]).aggregate(Count())
+             .to_pandas())
+    piv = cells.pivot_table(index="lang", columns="source",
+                            values="count()", fill_value=0,
+                            aggfunc="sum").to_numpy().astype(np.float64)
+    n = piv.sum()
+    exp = piv.sum(axis=1, keepdims=True) * piv.sum(axis=0, keepdims=True) / n
+    chi2 = float(((piv - exp) ** 2 / exp).sum())
+    dof = (piv.shape[0] - 1) * (piv.shape[1] - 1)
+    from .relational import _round_nd
+
+    return ray.data.from_arrow(pa.table({
+        "chi2": pa.array([_round_nd(chi2, 2)], type=pa.float64()),
+        "dof": pa.array([dof], type=pa.int64()),
+    }))

@@ -260,3 +260,34 @@ def test_pca_projection_matches_numpy(ray_session, tmp_path):
                                    rtol=0, atol=2e-3)
     variances = got[[f"pc{i}" for i in range(3)]].var().to_numpy()
     assert variances[0] > variances[1] > variances[2]
+
+
+def test_lang_source_chi2(ray_session, tmp_path):
+    """Chi-square over the (lang, source) contingency table matches the
+    direct formula, including zero-observed cells' expectation terms."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paddleocr_json_ray.ops.text_ops import lang_source_chi2
+
+    rng = np.random.default_rng(8)
+    langs = rng.choice(["en", "de", "fr"], size=3000, p=[0.6, 0.25, 0.15])
+    sources = np.where(langs == "fr", "web",  # dependence + a zero cell
+                       rng.choice(["web", "books"], size=3000))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(3000), type=pa.int64()),
+        "text": pa.array(["x"] * 3000), "lang": pa.array(langs),
+        "source": pa.array(sources),
+        "n_chars": pa.array(np.ones(3000, dtype=np.int64))}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    got = lang_source_chi2(str(tmp_path)).to_pandas().iloc[0]
+    ls, ss = np.unique(langs), np.unique(sources)
+    obs = np.array([[np.sum((langs == l) & (sources == s)) for s in ss]
+                    for l in ls], dtype=np.float64)
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert got["dof"] == (len(ls) - 1) * (len(ss) - 1)
+    assert got["chi2"] == pytest.approx(chi2, abs=0.01)

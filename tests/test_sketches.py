@@ -243,3 +243,26 @@ def test_trimmed_mean_by_flag(ray_session, tmp_path, monkeypatch):
         hi = np.percentile(x, 95, method="linear")
         exact = x[(x >= lo) & (x <= hi)].mean()
         assert got.loc[f] == pytest.approx(exact, abs=0.005 + 1e-9)
+
+
+def test_quantity_mad_by_flag(ray_session, tmp_path):
+    """Grouped median + MAD equal numpy's on an integer domain, including
+    even-count interpolation (.5 medians, .25-grid MADs)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(2)
+    flags = rng.choice(["A", "N"], size=5001)  # odd + even group sizes
+    q = rng.integers(1, 51, size=5001).astype(np.float64)
+    pq.write_table(pa.table({"l_returnflag": pa.array(flags),
+                             "l_quantity": pa.array(q)}),
+                   os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = (sketches.quantity_mad_by_flag(str(tmp_path)).to_pandas()
+           .set_index("l_returnflag"))
+    for f in ("A", "N"):
+        x = q[flags == f]
+        med = np.percentile(x, 50, method="linear")
+        mad = np.percentile(np.abs(x - med), 50, method="linear")
+        assert got.loc[f, "med"] == med
+        assert got.loc[f, "mad"] == mad
