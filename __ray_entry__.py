@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_decontaminate": decontam.bloom_decontaminate,  # sketch, rows-only
         # ---- dedup family ----
         "dedup_exact": dedup.dedup_exact,
+        "cross_source_dups": dedup.cross_source_dups,
         "dedup_minhash": dedup.dedup_minhash,     # rows-only (LSH)
         "dedup_simhash": dedup.dedup_simhash,     # rows-only
         "simhash_pairs": lambda sf: dedup.simhash_dup_pairs(sf),  # rows-only
@@ -264,6 +265,16 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpeish
 FROM documents""",
         "quality_scores": quality_cte,
+        "cross_source_dups": """
+WITH s AS (SELECT DISTINCT source FROM documents),
+p AS (SELECT a.source AS source_a, b.source AS source_b
+      FROM s a JOIN s b ON a.source <= b.source),
+d AS (SELECT least(a.source, b.source) AS sa, greatest(a.source, b.source) AS sb,
+             count(*) AS n
+      FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT source_a, source_b, coalesce(d.n, 0) AS n_pairs
+FROM p LEFT JOIN d ON d.sa = p.source_a AND d.sb = p.source_b""",
         "dedup_exact": """
 SELECT doc_id FROM (
   SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

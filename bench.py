@@ -113,7 +113,8 @@ def run_suite() -> dict:
                 "events_hour_window_sum", "embedding_pca_projection",
                 "price_quantiles_by_flag_tdigest", "price_percentiles_exact",
                 "copurchase_triangles", "trimmed_mean_price_by_flag",
-                "quantity_mad_by_flag", "lang_source_chi2"]
+                "quantity_mad_by_flag", "lang_source_chi2",
+                "cross_source_dups"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

@@ -874,3 +874,128 @@ def semdedup(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:
     near-dup cluster) — see ``semdedup_pairs`` for the plan."""
     return _survivors(sf_dir, semdedup_pairs(sf_dir, threshold),
                       table="embeddings", id_col="vec_id")
+
+
+# ------------------------------------------------- cross-source dup auditing
+def cross_source_dups(sf_dir: str) -> ray.data.Dataset:
+    """(source_a, source_b, n_pairs) — how many EXACT-duplicate document
+    pairs each (unordered) source pair shares, diagonal included: the
+    curation-audit matrix behind "which feeds are mirroring each other".
+
+    Scale shape: identity is the 24-byte 128-bit content hash (bodies
+    never enter the exchange); ONE (hash, hash2) sort co-locates each
+    duplicate group; inside a block only rows in runs of length >= 2
+    survive to the per-run source-count fold, so the Python loop is
+    DUP-BOUNDED, not corpus-bounded (singleton runs — the overwhelming
+    mass — are dropped vectorized).  Boundary runs ship (hash, source)
+    rows to a grouped heal; pair partials (n_s x n_t cross, C(n,2)
+    diagonal) then sum through a native groupby bounded by the SQUARE OF
+    THE SOURCE COUNT, not the data.  A single text duplicated across a
+    material fraction of the corpus would hot-spot its heal group — the
+    same pathology (and the same cap-the-bucket answer) as an LSH
+    stop-gram."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        h1, h2 = [], []
+        for t in batch.column("text").to_pylist():
+            d = hashlib.blake2b(t.encode("utf-8"), digest_size=16).digest()
+            h1.append(int.from_bytes(d[:8], "little", signed=True))
+            h2.append(int.from_bytes(d[8:], "little", signed=True))
+        return pa.table({"h1": pa.array(h1, type=pa.int64()),
+                         "h2": pa.array(h2, type=pa.int64()),
+                         "source": batch.column("source")})
+
+    srt = (ds.map_batches(add_hash, batch_format="pyarrow")
+           .sort(["h1", "h2"]))
+
+    def _run_source_pairs(srcs_by_run: list[np.ndarray]):
+        sa, sb, n = [], [], []
+        for s in srcs_by_run:
+            u, c = np.unique(s, return_counts=True)
+            for i in range(len(u)):
+                if c[i] > 1:
+                    sa.append(u[i]); sb.append(u[i])
+                    n.append(int(c[i] * (c[i] - 1) // 2))
+                for j in range(i + 1, len(u)):
+                    sa.append(u[i]); sb.append(u[j])
+                    n.append(int(c[i] * c[j]))
+        return sa, sb, n
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                          "h1": pa.array([], type=pa.int64()),
+                          "h2": pa.array([], type=pa.int64()),
+                          "source_a": pa.array([], type=pa.string()),
+                          "source_b": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        h1 = batch.column("h1").to_numpy()
+        h2 = batch.column("h2").to_numpy()
+        src = np.asarray(batch.column("source"))
+        bnd = np.flatnonzero((np.diff(h1) != 0) | (np.diff(h2) != 0)) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, len(h1)]
+        interior = (slice(1, len(starts) - 1) if len(starts) > 1
+                    else slice(0, 0))
+        ist, isp = starts[interior], stops[interior]
+        big = (isp - ist) >= 2  # dup-bounded survivors
+        sa, sb, n = _run_source_pairs(
+            [src[s:e] for s, e in zip(ist[big], isp[big])])
+        edge_idx = np.r_[np.arange(starts[0], stops[0]),
+                         (np.arange(starts[-1], stops[-1])
+                          if len(starts) > 1 else np.empty(0, dtype=np.int64))]
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(n), dtype=np.int8),
+                                   np.ones(len(edge_idx), dtype=np.int8)]),
+            "h1": pa.array(np.r_[np.zeros(len(n), dtype=np.int64),
+                                 h1[edge_idx]]),
+            "h2": pa.array(np.r_[np.zeros(len(n), dtype=np.int64),
+                                 h2[edge_idx]]),
+            "source_a": pa.array(list(sa) + [""] * len(edge_idx),
+                                 type=pa.string()),
+            "source_b": pa.array(list(sb) + list(src[edge_idx]),
+                                 type=pa.string()),
+            "n": pa.array(np.r_[np.asarray(n, dtype=np.int64),
+                                np.zeros(len(edge_idx), dtype=np.int64)]),
+        })
+
+    out = srt.map_batches(block_pairs, batch_format="pyarrow",
+                          batch_size=None)
+    interior, edges = _split_kinds(out, ["source_a", "source_b", "n"],
+                                   ["h1", "h2", "source_b"])
+
+    def heal(group: pa.Table) -> pa.Table:
+        sa, sb, n = _run_source_pairs(
+            [np.asarray(group.column("source_b"))])
+        return pa.table({"source_a": pa.array(list(sa), type=pa.string()),
+                         "source_b": pa.array(list(sb), type=pa.string()),
+                         "n": pa.array(np.asarray(n, dtype=np.int64))})
+
+    healed = edges.groupby(["h1", "h2"]).map_groups(heal,
+                                                    batch_format="pyarrow")
+    # full-matrix zero seed: every (s_a <= s_b) source pair appears even
+    # with no dups (matrix semantics + the output can never go empty,
+    # which would drop the schema).  Source list is domain-bounded.
+    from ray.data.aggregate import Count
+
+    srcs = sorted(r["source"] for r in
+                  ds.groupby("source").aggregate(Count()).take_all())
+    sa = [srcs[i] for i in range(len(srcs)) for _ in range(i, len(srcs))]
+    sb = [srcs[j] for i in range(len(srcs)) for j in range(i, len(srcs))]
+    seed = ray.data.from_arrow(pa.table(
+        {"source_a": pa.array(sa, type=pa.string()),
+         "source_b": pa.array(sb, type=pa.string()),
+         "n": pa.array(np.zeros(len(sa), dtype=np.int64))}))
+    agg = (interior.union(healed).union(seed)
+           .groupby(["source_a", "source_b"]).aggregate(Sum("n")))
+    return agg.map_batches(
+        lambda b: pa.table({"source_a": b.column("source_a"),
+                            "source_b": b.column("source_b"),
+                            "n_pairs": b.column("sum(n)")}),
+        batch_format="pyarrow")

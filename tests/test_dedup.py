@@ -164,3 +164,33 @@ def test_semdedup_blobs(ray_session, tmp_path):
                     .to_pandas()["vec_id"])
     assert {60, 61, 62, 63}.isdisjoint(survivors)
     assert {0, 15, 30, 45} <= survivors
+
+
+def test_cross_source_dups(ray_session, tmp_path):
+    """Planted exact dups across and within sources must produce the exact
+    pair-count matrix (diagonal = C(n,2), cross = n_s x n_t), with unique
+    texts contributing nothing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from paddleocr_json_ray.ops.dedup import cross_source_dups
+
+    texts, sources = [], []
+    # "dup1": 3 copies in web, 2 in books -> web/web 3, books/books 1, books/web 6
+    texts += ["dup one"] * 5
+    sources += ["web"] * 3 + ["books"] * 2
+    # "dup2": 2 copies, both in web -> web/web +1
+    texts += ["dup two"] * 2
+    sources += ["web"] * 2
+    # unique filler
+    texts += [f"unique {i}" for i in range(200)]
+    sources += ["web" if i % 2 else "books" for i in range(200)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+        "text": pa.array(texts), "source": pa.array(sources)}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    got = (cross_source_dups(str(tmp_path)).to_pandas()
+           .set_index(["source_a", "source_b"])["n_pairs"].sort_index())
+    assert got.to_dict() == {("books", "books"): 1, ("books", "web"): 6,
+                             ("web", "web"): 3 + 1}
