@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_share": windows.event_type_share,
         "session_stats": windows.session_stats,
         "events_hour_window_sum": windows.events_hour_window_sum,
+        "user_value_ewma": windows.user_value_ewma,  # affine scan, rows-only
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
         "events_next_signup": joins.events_next_signup,
@@ -217,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_percentiles_exact": sketches.price_percentiles_exact,
         "trimmed_mean_price_by_flag": sketches.trimmed_mean_price_by_flag,
         "quantity_mad_by_flag": sketches.quantity_mad_by_flag,
+        "user_value_median": sketches.user_value_median,
         "lang_source_chi2": text_ops.lang_source_chi2,
         "word_topk": text_ops.word_topk,
         "bigram_topk": text_ops.bigram_topk,
@@ -598,6 +600,8 @@ SELECT l_returnflag,
        percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
        percentile_cont(0.99) WITHIN GROUP (ORDER BY l_quantity) AS p99
 FROM lineitem GROUP BY l_returnflag""",
+        "user_value_median": """
+SELECT user_id, median(value) AS med_value FROM events GROUP BY user_id""",
         "quantity_mad_by_flag": """
 WITH m AS (SELECT l_returnflag AS flag, median(l_quantity) AS med
            FROM lineitem GROUP BY l_returnflag)

@@ -29,6 +29,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _HLL_P = 12
@@ -786,3 +787,75 @@ def quantity_mad_by_flag(sf_dir: str) -> ray.data.Dataset:
         "med": pa.array(rows["med"], type=pa.float64()),
         "mad": pa.array(rows["mad"], type=pa.float64()),
     }))
+
+
+def user_value_median(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, med_value) — EXACT median of events.value per user at
+    HIGH key cardinality: the grouped order statistic the mergeable
+    histogram (small value domain) and the grouped t-digest (approx)
+    both dodge.
+
+    ONE (user_id, value) sort makes every user's values a contiguous
+    sorted run, so interior runs reduce to a fully VECTORIZED gather —
+    med = v[lo] + 0.5 * (v[hi] - v[lo]) with lo/hi computed from run
+    starts/lengths in bulk (the PERCENTILE_CONT formula verbatim, so the
+    result is bit-identical to the SQL engine's).  Only the (<= 2 per
+    block) boundary runs ship their rows to a grouped heal — O(blocks)
+    heal groups, never the driver.  A hot user spanning many blocks makes
+    its heal group O(hot-key) rows; the bounded-shipping refinement (an
+    O(blocks) segment-length table locating the two middle positions,
+    then a targeted fetch) is the 2-phase upgrade documented here for
+    when per-key volumes outgrow a task."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "value"])
+    srt = ds.sort(["user_id", "value"])
+
+    def block_medians(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                          "user_id": pa.array([], type=pa.int64()),
+                          "med_value": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        v = batch.column("value").to_numpy().astype(np.float64)
+        bnd = np.flatnonzero(np.diff(u) != 0) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, len(u)]
+        interior = (slice(1, len(starts) - 1) if len(starts) > 1
+                    else slice(0, 0))
+        ist, isp = starts[interior], stops[interior]
+        lens = isp - ist
+        lo = v[ist + (lens - 1) // 2]
+        hi = v[ist + lens // 2]
+        med = lo + 0.5 * (hi - lo)
+        edge_idx = np.r_[np.arange(starts[0], stops[0]),
+                         (np.arange(starts[-1], stops[-1])
+                          if len(starts) > 1 else np.empty(0, dtype=np.int64))]
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(med), dtype=np.int8),
+                                   np.ones(len(edge_idx), dtype=np.int8)]),
+            "user_id": pa.array(np.r_[u[ist], u[edge_idx]]),
+            "med_value": pa.array(np.r_[med, v[edge_idx]]),
+        })
+
+    out = (srt.map_batches(block_medians, batch_format="pyarrow",
+                           batch_size=None).materialize())
+    interior = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0))
+                   .select(["user_id", "med_value"]), batch_format="pyarrow")
+    edges = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1))
+                   .select(["user_id", "med_value"]), batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        v = np.sort(group.column("med_value").to_numpy().astype(np.float64))
+        n = len(v)
+        lo, hi = v[(n - 1) // 2], v[n // 2]
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "med_value": pa.array([lo + 0.5 * (hi - lo)], type=pa.float64())})
+
+    healed = edges.groupby("user_id").map_groups(heal,
+                                                 batch_format="pyarrow")
+    return interior.union(healed)

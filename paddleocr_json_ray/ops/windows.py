@@ -1761,3 +1761,171 @@ def events_hour_window_sum(sf_dir: str,
     healed = pending.groupby("user_id").map_groups(heal,
                                                    batch_format="pyarrow")
     return finals.union(healed)
+
+
+_EWMA_CHUNK = 512  # in-block scan chunk: g^-(C-1) stays well inside float64
+
+
+def user_value_ewma(sf_dir: str, alpha: float = 0.25) -> ray.data.Dataset:
+    """(event_id, ewma) — exponentially weighted moving average of
+    events.value per user in (ts, event_id) order, seeded ewma_1 = x_1:
+    the stateful linear recurrence (t_i = a*x_i + (1-a)*t_{i-1}) no SQL
+    window frame expresses, and the repo's DISTRIBUTED AFFINE SCAN shape.
+
+    The recurrence is affine in the incoming state: a segment of length L
+    maps state s to z_L + g^L * s (g = 1-a, z = the segment's zero-state
+    scan), and the true value at 0-based position p is z_p + g^(p+1) * s.
+    So ONE (user, ts, event_id) sort makes each user's rows contiguous;
+    inside a block the zero-state scan z vectorizes via scaled cumsums
+    over 512-row chunks (the g^-j scaling stays bounded per chunk, and
+    the error of the rescale stays relative to the VALUES, not the
+    scale factor) with an O(rows/512)-step vectorized carry chain across
+    chunk levels; complete interior runs finish in-block because their
+    incoming state is their own first value (t_1 = x_1 <=> s = x_1).
+    Only the (<= 2 per block) edge runs ship ONE affine row (A = g^len,
+    B = z_end, first_x) to a grouped per-user heal that composes the
+    segment maps in time order — O(blocks) rows, never values — and the
+    resolved incoming states broadcast back as object-store refs.
+    Rows-only (no SQL form); pinned by a brute-force recurrence pytest."""
+    import ray
+
+    from ..sources.readers import read_table
+
+    g = 1.0 - alpha
+    C = _EWMA_CHUNK
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    srt = ds.sort(["user_id", "ts", "event_id"])
+
+    def block_scan(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "kind": pa.array([], type=pa.int8()),
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "seg_ts": pa.array([], type=pa.int64()),
+            "seg_eid": pa.array([], type=pa.int64()),
+            "z": pa.array([], type=pa.float64()),
+            "d": pa.array([], type=pa.float64()),
+            "first_x": pa.array([], type=pa.float64())})
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        e = batch.column("event_id").to_numpy().astype(np.int64)
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        x = batch.column("value").to_numpy().astype(np.float64)
+        bnd = np.flatnonzero(np.diff(u) != 0) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, n]
+        run_id = np.cumsum(np.r_[True, np.diff(u) != 0]) - 1
+        p = np.arange(n) - starts[run_id]          # 0-based pos in run
+        j = p % C                                  # pos in chunk
+        lvl = p // C                               # chunk level in run
+        # zero-state scan per chunk: z0_i = a * g^j * sum_{m<=j} x_m g^-m.
+        # The cumsum MUST restart exactly at each chunk (a few slices per
+        # block — rows/512 + runs): one global cumsum + base subtraction
+        # accumulates terms at scale g^-(C-1) (~1e63) across chunks and
+        # the cancellation error (~1e48 absolute) annihilates later chunks.
+        w_inv = g ** (-j.astype(np.float64))
+        cs_idx = np.flatnonzero(j == 0)
+        z = np.empty(n)
+        term = x * w_inv
+        scale = alpha * (g ** j.astype(np.float64))
+        for s_, e_ in zip(cs_idx, np.r_[cs_idx[1:], n]):
+            z[s_:e_] = scale[s_:e_] * np.cumsum(term[s_:e_])
+        # carry chain across chunk levels, vectorized per level over runs
+        lens = stops - starts
+        for L in range(1, int(lvl.max()) + 1):
+            # carry for a level-L row of run r = z at the run's level-(L-1)
+            # chunk end (starts[r] + L*C - 1) — already carry-corrected by
+            # the previous iteration, so the chain composes left to right
+            rows = lvl == L
+            if not rows.any():
+                break
+            rs = run_id[rows]
+            carry = z[starts[rs] + L * C - 1]
+            z[rows] = z[rows] + (g ** (j[rows] + 1.0)) * carry
+        d = g ** (p + 1.0)
+        is_edge_run = (run_id == 0) | (run_id == len(starts) - 1)
+        interior = ~is_edge_run
+        # interior runs finish in-block: s = first value of the run
+        z = np.where(interior, z + d * x[starts[run_id]], z)
+        seg_ts = np.where(is_edge_run, t[starts[run_id]], 0)
+        seg_eid = np.where(is_edge_run, e[starts[run_id]], -1)
+        rows_tab = pa.table({
+            "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "event_id": pa.array(e),
+            "user_id": pa.array(u),
+            "seg_ts": pa.array(seg_ts.astype(np.int64)),
+            "seg_eid": pa.array(seg_eid.astype(np.int64)),
+            "z": pa.array(z),
+            "d": pa.array(np.where(is_edge_run, d, 0.0)),
+            "first_x": pa.array(np.zeros(n))})
+        er = np.unique(run_id[is_edge_run])
+        segs = pa.table({
+            "kind": pa.array(np.ones(len(er), dtype=np.int8)),
+            "event_id": pa.array(np.zeros(len(er), dtype=np.int64)),
+            "user_id": pa.array(u[starts[er]], type=pa.int64()),
+            "seg_ts": pa.array(t[starts[er]], type=pa.int64()),
+            "seg_eid": pa.array(e[starts[er]], type=pa.int64()),
+            "z": pa.array(z[stops[er] - 1]),          # B = zero-state end
+            "d": pa.array(g ** lens[er].astype(np.float64)),  # A = g^len
+            "first_x": pa.array(x[starts[er]])})
+        return pa.concat_tables([rows_tab, segs])
+
+    out = srt.map_batches(block_scan, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    rows = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0))
+                   .select(["event_id", "user_id", "seg_ts", "seg_eid",
+                            "z", "d"]),
+        batch_format="pyarrow")
+    segs = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1))
+                   .select(["user_id", "seg_ts", "seg_eid", "z", "d",
+                            "first_x"]),
+        batch_format="pyarrow")
+
+    def heal(group: pa.Table) -> pa.Table:
+        ts = group.column("seg_ts").to_numpy().astype(np.int64)
+        eid = group.column("seg_eid").to_numpy().astype(np.int64)
+        B = group.column("z").to_numpy().astype(np.float64)
+        A = group.column("d").to_numpy().astype(np.float64)
+        fx = group.column("first_x").to_numpy().astype(np.float64)
+        order = np.lexsort((eid, ts))
+        s = np.zeros(len(order))
+        st = fx[order[0]]                       # seed: t_1 = x_1
+        for k in order:
+            s[k] = st
+            st = B[k] + A[k] * st
+        return pa.table({
+            "user_id": group.column("user_id"),
+            "seg_ts": group.column("seg_ts"),
+            "seg_eid": group.column("seg_eid"),
+            "s_in": pa.array(s, type=pa.float64())})
+
+    states = segs.groupby("user_id").map_groups(heal, batch_format="pyarrow")
+    refs = states.materialize().to_arrow_refs()
+
+    def add_state(batch: pa.Table, state_refs) -> pa.Table:
+        tabs = [t_ for t_ in ray.get(list(state_refs)) if t_.num_rows]
+        lut: dict = {}
+        for t_ in tabs:
+            for u_, ts_, e_, s_ in zip(t_.column("user_id").to_pylist(),
+                                       t_.column("seg_ts").to_pylist(),
+                                       t_.column("seg_eid").to_pylist(),
+                                       t_.column("s_in").to_pylist()):
+                lut[(u_, ts_, e_)] = s_
+        se = batch.column("seg_eid").to_pylist()
+        u = batch.column("user_id").to_pylist()
+        st = batch.column("seg_ts").to_pylist()
+        z = batch.column("z").to_numpy().astype(np.float64)
+        d = batch.column("d").to_numpy().astype(np.float64)
+        s = np.fromiter((lut.get((u_, t_, e_), 0.0) if e_ >= 0 else 0.0
+                         for u_, t_, e_ in zip(u, st, se)),
+                        dtype=np.float64, count=len(u))
+        return pa.table({"event_id": batch.column("event_id"),
+                         "ewma": pa.array(z + d * s, type=pa.float64())})
+
+    return rows.map_batches(add_state, batch_format="pyarrow",
+                            fn_args=(refs,))

@@ -266,3 +266,90 @@ def test_quantity_mad_by_flag(ray_session, tmp_path):
         mad = np.percentile(np.abs(x - med), 50, method="linear")
         assert got.loc[f, "med"] == med
         assert got.loc[f, "mad"] == mad
+
+
+def _write_events_values(tmp_path, users, values):
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = len(users)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(users, type=pa.int64()),
+        "value": pa.array(values, type=pa.float64())}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    return str(tmp_path)
+
+
+def test_user_value_median_exact(ray_session, tmp_path):
+    """High-cardinality grouped exact median vs numpy, odd and even group
+    sizes, negatives included."""
+    rng = np.random.default_rng(12)
+    users = rng.integers(0, 500, size=20_000)
+    values = np.round(rng.normal(0, 100, size=20_000), 2)
+    sf = _write_events_values(tmp_path, users, values)
+    got = (sketches.user_value_median(sf).to_pandas()
+           .set_index("user_id")["med_value"])
+    for u in (0, 7, 499, int(users[0])):
+        x = values[users == u]
+        assert got.loc[u] == pytest.approx(
+            np.percentile(x, 50, method="linear"), abs=1e-12)
+    assert len(got) == len(np.unique(users))
+
+
+def test_user_value_median_hot_key(ray_session, tmp_path):
+    """One user owning 50% of rows (straddles every block) still heals to
+    the exact median."""
+    rng = np.random.default_rng(3)
+    n = 10_000
+    users = np.where(rng.random(n) < 0.5, 42,
+                     rng.integers(100, 200, size=n))
+    values = np.round(rng.uniform(-50, 50, size=n), 2)
+    sf = _write_events_values(tmp_path, users, values)
+    got = (sketches.user_value_median(sf).to_pandas()
+           .set_index("user_id")["med_value"])
+    x = values[users == 42]
+    assert got.loc[42] == pytest.approx(
+        np.percentile(x, 50, method="linear"), abs=1e-12)
+
+
+def _brute_ewma(users, ts, values, alpha):
+    out = np.zeros(len(users))
+    order = np.lexsort((np.arange(len(users)), ts, users))
+    state: dict = {}
+    for i in order:
+        u = users[i]
+        if u not in state:
+            state[u] = values[i]
+        else:
+            state[u] = alpha * values[i] + (1 - alpha) * state[u]
+        out[i] = state[u]
+    return out
+
+
+def test_user_value_ewma(ray_session, tmp_path):
+    """Distributed affine scan equals the sequential recurrence, including
+    runs longer than the scan chunk and a hot user straddling blocks."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from paddleocr_json_ray.ops import windows
+
+    rng = np.random.default_rng(21)
+    n = 12_000
+    users = np.where(rng.random(n) < 0.4, 7,  # hot user, runs >> chunk
+                     rng.integers(100, 160, size=n)).astype(np.int64)
+    ts = rng.integers(0, 10**9, size=n)
+    values = np.round(rng.normal(0, 10, size=n), 2)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "value": pa.array(values)}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    got = (windows.user_value_ewma(str(tmp_path)).to_pandas()
+           .set_index("event_id")["ewma"].sort_index().to_numpy())
+    want = _brute_ewma(users, ts, values, 0.25)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
