@@ -213,6 +213,29 @@ def _distinct_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     return edges.groupby(["lo", "hi"]).aggregate(Count()).select_columns(["lo", "hi"])
 
 
+# Broadcast the distinct edge set for the triangle membership test while
+# it stays object-store sized (8M edges = 64 MB of packed keys); beyond,
+# the hash-partitioned groupby path takes over (tests pin it via env 0).
+_TRI_BROADCAST_MAX = int(os.environ.get("PJR_TRI_BROADCAST_MAX", 8_000_000))
+_PACK_MAX_ID = 3_037_000_499  # floor(sqrt(2^63)) - 1: id*m + id fits int64
+
+
+@ray.remote
+def _tri_info_task(*blocks: pa.Table):
+    """((sorted nodes, degrees, packed sorted edge keys | None, m),
+    packable) of a canonical edge set — one worker task over edge block
+    refs; the LUT is node/edge-bounded and stays in the object store."""
+    blocks = [b for b in blocks if b.num_rows]
+    lo = np.concatenate([b.column("lo").to_numpy() for b in blocks]).astype(np.int64)
+    hi = np.concatenate([b.column("hi").to_numpy() for b in blocks]).astype(np.int64)
+    nodes, counts = np.unique(np.r_[lo, hi], return_counts=True)
+    m = int(nodes[-1]) + 1 if len(nodes) else 1
+    if m > _PACK_MAX_ID:
+        return (nodes, counts.astype(np.int64), None, 0), False
+    keys = np.sort(lo * m + hi)
+    return (nodes, counts.astype(np.int64), keys, m), True
+
+
 @ray.remote
 def _solve_components_task(*blocks: pa.Table) -> pa.Table:
     """Single-task component solve over a bounded edge set: vectorized
@@ -461,40 +484,34 @@ def copurchase_triangles(sf_dir: str, min_qty: float = 40.0) -> ray.data.Dataset
     out-neighbors, and counted iff the closing pair is an edge.
 
     Plan: distinct canonical edges via the native partial-agg groupby;
-    degrees via one Count groupby, broadcast once as a sorted
-    (node, degree) LUT (node-bounded — at corpus scale where the node
-    table outgrows the object store, orientation becomes two hash joins
-    instead); wedges expand through the ``_grouped_triu_pairs`` sorted-run
-    exchange; the closing-edge membership test is ONE hash-partitioned
-    native groupby over (wedge ∪ edge) rows — Sum of wedge multiplicity,
-    Max of the edge flag — so matching co-locates without any driver
-    materialization of pairs."""
-    from ray.data.aggregate import Count, Max, Sum
-
-    z64 = pa.array([], type=pa.int64())
-    empty = pa.table({"n_triangles": z64})
+    degrees via one remote task over the materialized edge refs
+    (node-bounded output — a Count-groupby exchange costs a full fixed
+    aggregation round for the same table; at corpus scale where even the
+    node table outgrows the object store, orientation becomes two hash
+    joins instead); wedges expand through the ``_grouped_triu_pairs``
+    sorted-run exchange.  The closing-edge membership test is TIERED like
+    cluster resolution: while the distinct edge set fits the object store
+    (``PJR_TRI_BROADCAST_MAX``, and ids pack into int64), it broadcasts
+    once as sorted packed keys and each wedge batch counts members with a
+    ``searchsorted`` — no exchange at all; the beyond-threshold path is
+    ONE hash-partitioned native groupby over (wedge ∪ edge) rows — Sum of
+    wedge multiplicity, Max of the edge flag — so matching co-locates
+    without any driver materialization of pairs (equality-tested against
+    the broadcast tier)."""
+    from ray.data.aggregate import Max, Sum
 
     pairs = _copurchase_pairs(sf_dir, min_qty)
     edges = _snap(_distinct_edges(pairs.map_batches(
         lambda b: _canon_batch(b, "id_a", "id_b"), batch_format="pyarrow")))
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(pa.table({"n_triangles": pa.array([0], type=pa.int64())}))
 
-    ends = edges.map_batches(
-        lambda b: pa.table({"node": pa.concat_arrays(
-            [b.column("lo").combine_chunks().cast(pa.int64()),
-             b.column("hi").combine_chunks().cast(pa.int64())])}),
-        batch_format="pyarrow")
-    deg_parts = [t for t in ray.get(
-        ends.groupby("node").aggregate(Count()).to_arrow_refs()) if t.num_rows]
-    nodes = np.concatenate([t.column("node").to_numpy() for t in deg_parts])
-    degs = np.concatenate([t.column("count()").to_numpy() for t in deg_parts])
-    order = np.argsort(nodes)
-    lut_ref = ray.put((nodes[order].astype(np.int64),
-                       degs[order].astype(np.int64)))
+    lut_ref, packable_ref = _tri_info_task.options(num_returns=2).remote(
+        *edges.to_arrow_refs())
 
     def orient(batch: pa.Table, lut) -> pa.Table:
-        nd, dg = ray.get(lut) if isinstance(lut, ray.ObjectRef) else lut
+        nd, dg, _, _ = ray.get(lut) if isinstance(lut, ray.ObjectRef) else lut
         lo = batch.column("lo").to_numpy().astype(np.int64)
         hi = batch.column("hi").to_numpy().astype(np.int64)
         swap = dg[np.searchsorted(nd, hi)] < dg[np.searchsorted(nd, lo)]
@@ -504,6 +521,23 @@ def copurchase_triangles(sf_dir: str, min_qty: float = 40.0) -> ray.data.Dataset
     oriented = edges.map_batches(orient, batch_format="pyarrow",
                                  fn_args=(lut_ref,))
     wedges = _grouped_triu_pairs(oriented.sort(["src", "dst"]), "src", "dst")
+
+    if n_edges <= _TRI_BROADCAST_MAX and ray.get(packable_ref):
+        def member_count(batch: pa.Table, lut) -> pa.Table:
+            _, _, keys, m = ray.get(lut) if isinstance(lut, ray.ObjectRef) else lut
+            a = batch.column("id_a").to_numpy().astype(np.int64)
+            b = batch.column("id_b").to_numpy().astype(np.int64)
+            k = a * m + b
+            pos = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+            return pa.table({"c": pa.array([int((keys[pos] == k).sum())],
+                                           type=pa.int64())})
+
+        total = (wedges.map_batches(member_count, batch_format="pyarrow",
+                                    fn_args=(lut_ref,))
+                 .aggregate(Sum("c")))
+        return ray.data.from_arrow(pa.table(
+            {"n_triangles": pa.array([int(total["sum(c)"] or 0)],
+                                     type=pa.int64())}))
 
     w_rows = wedges.map_batches(
         lambda b: pa.table({"a": b.column("id_a"), "b": b.column("id_b"),

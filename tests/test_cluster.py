@@ -181,3 +181,18 @@ def test_triangles_empty_graph(ray_session, tmp_path):
     from paddleocr_json_ray.ops.cluster import copurchase_triangles
 
     assert copurchase_triangles(sf).to_pandas()["n_triangles"][0] == 0
+
+
+def test_triangles_groupby_tier_equals_broadcast(ray_session, tmp_path, monkeypatch):
+    """The beyond-threshold groupby membership path must count identically
+    to the broadcast-searchsorted tier."""
+    rng = np.random.default_rng(17)
+    orders = [list(rng.integers(0, 30, size=rng.integers(2, 5)))
+              for _ in range(200)]
+    sf = _write_lineitem(tmp_path, orders)
+    from paddleocr_json_ray.ops import cluster
+
+    fast = cluster.copurchase_triangles(sf).to_pandas()["n_triangles"][0]
+    monkeypatch.setattr(cluster, "_TRI_BROADCAST_MAX", 0)
+    slow = cluster.copurchase_triangles(sf).to_pandas()["n_triangles"][0]
+    assert fast == slow == _brute_triangles(orders)
