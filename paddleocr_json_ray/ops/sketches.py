@@ -799,22 +799,29 @@ def user_value_median(sf_dir: str) -> ray.data.Dataset:
     sorted run, so interior runs reduce to a fully VECTORIZED gather —
     med = v[lo] + 0.5 * (v[hi] - v[lo]) with lo/hi computed from run
     starts/lengths in bulk (the PERCENTILE_CONT formula verbatim, so the
-    result is bit-identical to the SQL engine's).  Only the (<= 2 per
-    block) boundary runs ship their rows to a grouped heal — O(blocks)
-    heal groups, never the driver.  A hot user spanning many blocks makes
-    its heal group O(hot-key) rows; the bounded-shipping refinement (an
-    O(blocks) segment-length table locating the two middle positions,
-    then a targeted fetch) is the 2-phase upgrade documented here for
-    when per-key volumes outgrow a task."""
+    result is bit-identical to the SQL engine's).  Boundary runs ship
+    SUFFICIENT STATISTICS ONLY — one (user, seg_min, seg_max, seg_len)
+    row per block edge, O(blocks) total: because the sort's range
+    partitioning makes a straddling user's segments value-ordered,
+    ordering them by (seg_min, seg_max) reconstructs the global order
+    (ties across equal-stat segments are interchangeable by equality),
+    so the driver locates the two middle positions from the length sums
+    alone and a second pass over the SAME materialized sort fetches just
+    those two values per user — a hot user spanning every block costs
+    two control-plane rows, never its data."""
+    import ray
+
     from ..sources.readers import read_table
 
     ds = read_table(sf_dir, "events", ["user_id", "value"])
-    srt = ds.sort(["user_id", "value"])
+    srt = ds.sort(["user_id", "value"]).materialize()
 
     def block_medians(batch: pa.Table) -> pa.Table:
         empty = pa.table({"kind": pa.array([], type=pa.int8()),
                           "user_id": pa.array([], type=pa.int64()),
-                          "med_value": pa.array([], type=pa.float64())})
+                          "med_value": pa.array([], type=pa.float64()),
+                          "vmax": pa.array([], type=pa.float64()),
+                          "slen": pa.array([], type=pa.int64())})
         if batch.num_rows == 0:
             return empty
         u = batch.column("user_id").to_numpy().astype(np.int64)
@@ -829,14 +836,16 @@ def user_value_median(sf_dir: str) -> ray.data.Dataset:
         lo = v[ist + (lens - 1) // 2]
         hi = v[ist + lens // 2]
         med = lo + 0.5 * (hi - lo)
-        edge_idx = np.r_[np.arange(starts[0], stops[0]),
-                         (np.arange(starts[-1], stops[-1])
-                          if len(starts) > 1 else np.empty(0, dtype=np.int64))]
+        # boundary runs: one stats row each (never their rows)
+        er = np.unique(np.r_[0, len(starts) - 1])
         return pa.table({
             "kind": pa.array(np.r_[np.zeros(len(med), dtype=np.int8),
-                                   np.ones(len(edge_idx), dtype=np.int8)]),
-            "user_id": pa.array(np.r_[u[ist], u[edge_idx]]),
-            "med_value": pa.array(np.r_[med, v[edge_idx]]),
+                                   np.ones(len(er), dtype=np.int8)]),
+            "user_id": pa.array(np.r_[u[ist], u[starts[er]]]),
+            "med_value": pa.array(np.r_[med, v[starts[er]]]),   # seg_min
+            "vmax": pa.array(np.r_[np.zeros(len(med)), v[stops[er] - 1]]),
+            "slen": pa.array(np.r_[np.zeros(len(med), dtype=np.int64),
+                                   stops[er] - starts[er]]),
         })
 
     out = (srt.map_batches(block_medians, batch_format="pyarrow",
@@ -844,18 +853,77 @@ def user_value_median(sf_dir: str) -> ray.data.Dataset:
     interior = out.map_batches(
         lambda b: b.filter(pc.equal(b.column("kind"), 0))
                    .select(["user_id", "med_value"]), batch_format="pyarrow")
-    edges = out.map_batches(
-        lambda b: b.filter(pc.equal(b.column("kind"), 1))
-                   .select(["user_id", "med_value"]), batch_format="pyarrow")
+    stats = pa.concat_tables(
+        [t for t in ray.get(out.map_batches(
+            lambda b: b.filter(pc.equal(b.column("kind"), 1)),
+            batch_format="pyarrow").to_arrow_refs()) if t.num_rows])
 
-    def heal(group: pa.Table) -> pa.Table:
-        v = np.sort(group.column("med_value").to_numpy().astype(np.float64))
-        n = len(v)
-        lo, hi = v[(n - 1) // 2], v[n // 2]
-        return pa.table({
-            "user_id": group.column("user_id").slice(0, 1),
-            "med_value": pa.array([lo + 0.5 * (hi - lo)], type=pa.float64())})
+    if stats.num_rows == 0:
+        return interior
 
-    healed = edges.groupby("user_id").map_groups(heal,
-                                                 batch_format="pyarrow")
-    return interior.union(healed)
+    # driver plan over O(blocks) stat rows: per straddling user, order
+    # segments by (seg_min, seg_max), locate the two middle positions
+    su = stats.column("user_id").to_numpy().astype(np.int64)
+    smin = stats.column("med_value").to_numpy().astype(np.float64)
+    smax = stats.column("vmax").to_numpy().astype(np.float64)
+    slen = stats.column("slen").to_numpy().astype(np.int64)
+    order = np.lexsort((smax, smin, su))
+    su, smin, smax, slen = su[order], smin[order], smax[order], slen[order]
+    req: dict = {}   # (user, seg_min, seg_max, seg_len) -> [(slot, local_idx)]
+    ustarts = np.r_[np.flatnonzero(np.r_[True, np.diff(su) != 0]), len(su)]
+    for a, b in zip(ustarts[:-1], ustarts[1:]):
+        n = int(slen[a:b].sum())
+        user = int(su[a])
+        cum = 0
+        for kth, slot in (((n - 1) // 2, 0), (n // 2, 1)):
+            cum = 0
+            for i in range(a, b):
+                if kth < cum + slen[i]:
+                    key = (user, float(smin[i]), float(smax[i]), int(slen[i]))
+                    req.setdefault(key, []).append((slot, int(kth - cum)))
+                    break
+                cum += int(slen[i])
+    req_ref = ray.put(req)
+
+    def fetch(batch: pa.Table, rref) -> pa.Table:
+        rq = ray.get(rref) if isinstance(rref, ray.ObjectRef) else rref
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "slot": pa.array([], type=pa.int64()),
+                          "val": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        v = batch.column("value").to_numpy().astype(np.float64)
+        bnd = np.flatnonzero(np.diff(u) != 0) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, len(u)]
+        users, slots, vals = [], [], []
+        for r in np.unique(np.r_[0, len(starts) - 1]):
+            s_, e_ = int(starts[r]), int(stops[r])
+            key = (int(u[s_]), float(v[s_]), float(v[e_ - 1]), e_ - s_)
+            for slot, li in rq.get(key, ()):
+                users.append(int(u[s_]))
+                slots.append(slot)
+                vals.append(float(v[s_ + li]))
+        return pa.table({"user_id": pa.array(users, type=pa.int64()),
+                         "slot": pa.array(slots, type=pa.int64()),
+                         "val": pa.array(vals, type=pa.float64())})
+
+    fetched = pa.concat_tables(
+        [t for t in ray.get(srt.map_batches(
+            fetch, batch_format="pyarrow", batch_size=None,
+            fn_args=(req_ref,)).to_arrow_refs()) if t.num_rows])
+    fu = fetched.column("user_id").to_numpy().astype(np.int64)
+    fs = fetched.column("slot").to_numpy().astype(np.int64)
+    fv = fetched.column("val").to_numpy().astype(np.float64)
+    # equal-stat segment collisions emit duplicates with EQUAL values —
+    # keep the first per (user, slot)
+    _, first = np.unique(fu * 2 + fs, return_index=True)
+    fu, fs, fv = fu[first], fs[first], fv[first]
+    o2 = np.lexsort((fs, fu))
+    fu, fs, fv = fu[o2], fs[o2], fv[o2]
+    lo, hi = fv[0::2], fv[1::2]
+    healed = pa.table({
+        "user_id": pa.array(fu[0::2], type=pa.int64()),
+        "med_value": pa.array(lo + 0.5 * (hi - lo), type=pa.float64())})
+    return interior.union(ray.data.from_arrow(healed))
