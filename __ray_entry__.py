@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_price_by_flag": sketches.trimmed_mean_price_by_flag,
         "quantity_mad_by_flag": sketches.quantity_mad_by_flag,
         "user_value_median": sketches.user_value_median,
+        "weighted_median_price": sketches.weighted_median_price,
         "lang_source_chi2": text_ops.lang_source_chi2,
         "word_topk": text_ops.word_topk,
         "bigram_topk": text_ops.bigram_topk,
@@ -602,6 +603,12 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag""",
         "user_value_median": """
 SELECT user_id, median(value) AS med_value FROM events GROUP BY user_id""",
+        "weighted_median_price": """
+WITH g AS (SELECT l_extendedprice AS v, sum(l_quantity) AS w
+           FROM lineitem GROUP BY 1),
+o AS (SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM g),
+t AS (SELECT sum(l_quantity) AS tot FROM lineitem)
+SELECT min(v) AS wmedian FROM o, t WHERE cw >= tot / 2.0""",
         "quantity_mad_by_flag": """
 WITH m AS (SELECT l_returnflag AS flag, median(l_quantity) AS med
            FROM lineitem GROUP BY l_returnflag)

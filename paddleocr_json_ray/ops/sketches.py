@@ -927,3 +927,89 @@ def user_value_median(sf_dir: str) -> ray.data.Dataset:
         "user_id": pa.array(fu[0::2], type=pa.int64()),
         "med_value": pa.array(lo + 0.5 * (hi - lo), type=pa.float64())})
     return interior.union(ray.data.from_arrow(healed))
+
+
+def weighted_median_price(sf_dir: str) -> ray.data.Dataset:
+    """(wmedian,) — quantity-WEIGHTED lower median of l_extendedprice: the
+    smallest price v whose cumulative weight reaches half the total (the
+    weighted order statistic — token-weighted medians in corpus curation
+    are this exact shape).
+
+    Same adaptive interval refinement as ``_exact_percentile_values`` but
+    the histogram accumulates WEIGHTS (``np.bincount(..., weights=w)``)
+    and the target is the W/2 weight rank, not a row rank; the final
+    sliver gathers (value, weight) rows and the crossing value falls out
+    of one sorted cumsum.  Output is an actual data value, so the SQL
+    compare is exact with no rounding seam."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "lineitem",
+                    ["l_extendedprice", "l_quantity"]).materialize()
+    stats = ds.aggregate(Sum("l_quantity"), Min("l_extendedprice"),
+                         Max("l_extendedprice"))
+    tot = float(stats["sum(l_quantity)"] or 0.0)
+    if tot == 0.0:
+        return ray.data.from_arrow(pa.table(
+            {"wmedian": pa.array([], type=pa.float64())}))
+    target = tot / 2.0
+    lo = float(stats["min(l_extendedprice)"])
+    hi = float(np.nextafter(stats["max(l_extendedprice)"], np.inf))
+    below_w = 0.0
+
+    def whist(lo_: float, hi_: float) -> np.ndarray:
+        edges = np.linspace(lo_, hi_, _EXACT_PCT_BINS + 1)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = batch.column("l_extendedprice").to_numpy().astype(np.float64)
+            w = batch.column("l_quantity").to_numpy().astype(np.float64)
+            sel = (v >= edges[0]) & (v < edges[-1])
+            idx = np.searchsorted(edges, v[sel], side="right") - 1
+            acc = np.bincount(np.clip(idx, 0, _EXACT_PCT_BINS - 1),
+                              weights=w[sel], minlength=_EXACT_PCT_BINS)
+            return pa.table({"h": pa.array([acc.tobytes()],
+                                           type=pa.binary())})
+
+        out = np.zeros(_EXACT_PCT_BINS)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            for blob in b.column("h").to_pylist():
+                out += np.frombuffer(blob, dtype=np.float64)
+        return out
+
+    pop = tot
+    for _ in range(6):
+        if pop <= float(_EXACT_PCT_COLLECT_CAP):
+            break
+        counts = whist(lo, hi)
+        edges = np.linspace(lo, hi, _EXACT_PCT_BINS + 1)
+        cum = below_w + np.cumsum(counts)
+        b_i = int(np.searchsorted(cum, target))  # first bin with cum >= target
+        new_pop = float(counts[b_i])
+        if new_pop >= pop:  # all-duplicate interval
+            break
+        below_w += float(counts[:b_i].sum())
+        pop = new_pop
+        lo, hi = float(edges[b_i]), float(edges[b_i + 1])
+
+    lo_f, hi_f = lo, hi
+
+    def collect(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy().astype(np.float64)
+        w = batch.column("l_quantity").to_numpy().astype(np.float64)
+        sel = (v >= lo_f) & (v < hi_f)
+        return pa.table({"v": pa.array(v[sel]), "w": pa.array(w[sel])})
+
+    parts = list(ds.map_batches(collect, batch_format="pyarrow")
+                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+    vv = np.concatenate([b.column("v").to_numpy() for b in parts] or
+                        [np.empty(0)])
+    ww = np.concatenate([b.column("w").to_numpy() for b in parts] or
+                        [np.empty(0)])
+    order = np.argsort(vv, kind="stable")
+    cw = below_w + np.cumsum(ww[order])
+    k = int(np.searchsorted(cw, target))
+    return ray.data.from_arrow(pa.table(
+        {"wmedian": pa.array([float(vv[order][min(k, len(cw) - 1)])],
+                             type=pa.float64())}))

@@ -353,3 +353,34 @@ def test_user_value_ewma(ray_session, tmp_path):
            .set_index("event_id")["ewma"].sort_index().to_numpy())
     want = _brute_ewma(users, ts, values, 0.25)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_weighted_median_price(ray_session, tmp_path, monkeypatch):
+    """Weighted lower median equals the sequential cumsum definition, with
+    the refinement loop exercised and a duplicate-heavy corpus."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def brute(v, w):
+        order = np.argsort(v, kind="stable")
+        cw = np.cumsum(w[order])
+        return float(v[order][np.searchsorted(cw, cw[-1] / 2.0)])
+
+    rng = np.random.default_rng(19)
+    cases = {
+        "spread": (np.round(rng.lognormal(7, 1, 20_000), 2),
+                   rng.integers(1, 50, 20_000).astype(np.float64)),
+        "dup-heavy": (np.r_[np.full(15_000, 777.77),
+                            np.round(rng.uniform(1, 2000, 5_000), 2)],
+                      rng.integers(1, 50, 20_000).astype(np.float64)),
+    }
+    for case, (v, w) in cases.items():
+        d = os.path.join(str(tmp_path), f"c{case}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({"l_extendedprice": pa.array(v),
+                                 "l_quantity": pa.array(w)}),
+                       os.path.join(d, "lineitem.parquet"))
+        monkeypatch.setattr(sketches, "_EXACT_PCT_COLLECT_CAP", 256)
+        got = sketches.weighted_median_price(d).to_pandas()["wmedian"][0]
+        assert got == brute(v, w), case
