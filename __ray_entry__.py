@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_order_lineitems_bloom": relational.big_order_lineitems_bloom,
         "copurchase_components": cluster.copurchase_components,
         "copurchase_triangles": cluster.copurchase_triangles,
+        "copurchase_pagerank": cluster.copurchase_pagerank,
         "local_supplier_revenue": relational.local_supplier_revenue,
         "distinct_sources": relational.distinct_sources,
         "custs_without_orders": relational.custs_without_orders,
@@ -229,6 +230,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- structure mode (flag-gated; deterministic ruled-table payloads) ----
         "structure_tables": structure_tables,
     }
+
+
+def _pagerank_sql(iters: int = 8) -> str:
+    """The engine's damped power iteration unrolled as CTE layers (DuckDB
+    recursive CTEs forbid aggregation over the recursive reference)."""
+    layers = ["p0 AS (SELECT id, 1.0 / cnt.nn AS r FROM n, cnt)"]
+    for i in range(1, iters + 1):
+        layers.append(f"""p{i} AS (
+  SELECT n.id, 0.15 / cnt.nn + 0.85 * coalesce(sum(p{i-1}.r / deg.d), 0) AS r
+  FROM n CROSS JOIN cnt
+  LEFT JOIN e ON e.v = n.id
+  LEFT JOIN p{i-1} ON p{i-1}.id = e.u
+  LEFT JOIN deg ON deg.id = e.u
+  GROUP BY n.id, cnt.nn)""")
+    return f"""
+WITH q AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_quantity >= 40),
+e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+       FROM q a JOIN q b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+n AS (SELECT DISTINCT u AS id FROM e),
+deg AS (SELECT u AS id, count(*) AS d FROM e GROUP BY u),
+cnt AS (SELECT count(*) AS nn FROM n),
+{','.join(layers)}
+SELECT id AS part_id, round(r, 8) AS pagerank FROM p{iters}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -394,6 +420,7 @@ r AS (
   SELECT e.dst AS id, r.lbl FROM r JOIN e ON r.id = e.src WHERE r.lbl < e.dst
 )
 SELECT id AS part_id, min(lbl) AS component FROM r GROUP BY id""",
+        "copurchase_pagerank": _pagerank_sql(),
         "copurchase_triangles": """
 WITH q AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
            FROM lineitem WHERE l_quantity >= 40),

@@ -560,3 +560,101 @@ def copurchase_triangles(sf_dir: str, min_qty: float = 40.0) -> ray.data.Dataset
     total = agg.map_batches(part_count, batch_format="pyarrow").aggregate(Sum("c"))
     return ray.data.from_arrow(pa.table(
         {"n_triangles": pa.array([int(total["sum(c)"] or 0)], type=pa.int64())}))
+
+
+_PR_ITERS = 8
+_PR_DAMP = 0.85
+_PR_TASK_MAX = int(os.environ.get("PJR_PR_TASK_MAX", 4_000_000))
+
+
+@ray.remote
+def _pagerank_task(iters: int, *blocks: pa.Table) -> pa.Table:
+    """Power iteration over a bounded canonical edge set in one worker
+    task (the common tier — mirrors _solve_components_task)."""
+    blocks = [b for b in blocks if b.num_rows]
+    lo = np.concatenate([b.column("lo").to_numpy() for b in blocks]).astype(np.int64)
+    hi = np.concatenate([b.column("hi").to_numpy() for b in blocks]).astype(np.int64)
+    nodes, inv = np.unique(np.r_[lo, hi], return_inverse=True)
+    src = np.r_[inv[:len(lo)], inv[len(lo):]]   # both directions
+    dst = np.r_[inv[len(lo):], inv[:len(lo)]]
+    nn = len(nodes)
+    deg = np.bincount(src, minlength=nn).astype(np.float64)
+    r = np.full(nn, 1.0 / nn)
+    for _ in range(iters):
+        contrib = r[src] / deg[src]
+        acc = np.bincount(dst, weights=contrib, minlength=nn)
+        r = (1.0 - _PR_DAMP) / nn + _PR_DAMP * acc
+    return pa.table({"part_id": pa.array(nodes, type=pa.int64()),
+                     "pagerank": pa.array(np.round(r, 8), type=pa.float64())})
+
+
+def copurchase_pagerank(sf_dir: str, min_qty: float = 40.0,
+                        iters: int = _PR_ITERS,
+                        task_max_edges: int | None = None) -> ray.data.Dataset:
+    """(part_id, pagerank) — ``iters`` damped power-iteration steps over
+    the (symmetrized) part co-purchase graph, uniform start: the
+    ITERATIVE-algorithm surface next to the one-shot graph queries.
+
+    Tiered like ``resolve_clusters``: edge sets under ``PJR_PR_TASK_MAX``
+    run the whole power iteration in ONE remote task (vectorized bincount
+    matvec — iterating a cluster-wide exchange on a bounded graph pays
+    ~10 fixed overheads per step for nothing); larger graphs run each
+    step as a keyed exchange — contributions fan out of an edge
+    ``map_batches`` with the previous rank vector broadcast once per step
+    (node-bounded refs), partial-summed into a native Sum groupby.  When
+    even the node table outgrows the object store the broadcast becomes a
+    rank-side hash join per step — documented, not built.  Both built
+    tiers are equality-tested; the SQL oracle is the same iteration
+    unrolled as CTE layers."""
+    from ray.data.aggregate import Sum
+
+    pairs = _copurchase_pairs(sf_dir, min_qty)
+    edges = _snap(_distinct_edges(pairs.map_batches(
+        lambda b: _canon_batch(b, "id_a", "id_b"), batch_format="pyarrow")))
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table(
+            {"part_id": pa.array([], type=pa.int64()),
+             "pagerank": pa.array([], type=pa.float64())}))
+    if task_max_edges is None:
+        task_max_edges = _PR_TASK_MAX
+    if n_edges <= task_max_edges:
+        return ray.data.from_arrow_refs(
+            [_pagerank_task.remote(iters, *edges.to_arrow_refs())])
+
+    # beyond-threshold tier: one keyed exchange per step
+    lut_ref, _ = _tri_info_task.options(num_returns=2).remote(
+        *edges.to_arrow_refs())
+    nodes, degs = ray.get(lut_ref)[:2]
+    nn = len(nodes)
+    r_ref = ray.put(np.full(nn, 1.0 / nn))
+
+    def contribs(batch: pa.Table, rref, lref) -> pa.Table:
+        r = ray.get(rref) if isinstance(rref, ray.ObjectRef) else rref
+        nd, dg = (ray.get(lref) if isinstance(lref, ray.ObjectRef) else lref)[:2]
+        lo = batch.column("lo").to_numpy().astype(np.int64)
+        hi = batch.column("hi").to_numpy().astype(np.int64)
+        si = np.searchsorted(nd, np.r_[lo, hi])
+        di = np.searchsorted(nd, np.r_[hi, lo])
+        c = r[si] / dg[si]
+        # in-batch combiner: partial-sum per destination before the exchange
+        du, dinv = np.unique(di, return_inverse=True)
+        acc = np.bincount(dinv, weights=c)
+        return pa.table({"node": pa.array(nd[du], type=pa.int64()),
+                         "c": pa.array(acc, type=pa.float64())})
+
+    for _ in range(iters):
+        agg = (edges.map_batches(contribs, batch_format="pyarrow",
+                                 fn_args=(r_ref, lut_ref))
+               .groupby("node").aggregate(Sum("c")))
+        parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+        acc = np.zeros(nn)
+        for t in parts:
+            idx = np.searchsorted(nodes, t.column("node").to_numpy())
+            acc[idx] = t.column("sum(c)").to_numpy()
+        r_ref = ray.put((1.0 - _PR_DAMP) / nn + _PR_DAMP * acc)
+
+    r = ray.get(r_ref)
+    return ray.data.from_arrow(pa.table(
+        {"part_id": pa.array(nodes, type=pa.int64()),
+         "pagerank": pa.array(np.round(r, 8), type=pa.float64())}))

@@ -196,3 +196,42 @@ def test_triangles_groupby_tier_equals_broadcast(ray_session, tmp_path, monkeypa
     monkeypatch.setattr(cluster, "_TRI_BROADCAST_MAX", 0)
     slow = cluster.copurchase_triangles(sf).to_pandas()["n_triangles"][0]
     assert fast == slow == _brute_triangles(orders)
+
+
+def test_pagerank_tiers_and_brute(ray_session, tmp_path, monkeypatch):
+    """Both tiers equal the numpy power iteration on a hub + clique graph
+    (hub concentrates rank; 8dp rounding pins the comparison)."""
+    from itertools import combinations
+
+    orders = [[0, 100 + i] for i in range(20)]            # hub 0
+    orders += [list(e) for e in combinations(range(200, 205), 2)]  # K5
+    sf = _write_lineitem(tmp_path, orders)
+    from paddleocr_json_ray.ops import cluster
+
+    def brute(orders, iters=8):
+        edges = set()
+        for parts in orders:
+            for a, b in combinations(sorted(set(parts)), 2):
+                edges.add((a, b))
+        nodes = sorted({x for e in edges for x in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        src, dst = [], []
+        for a, b in edges:
+            src += [idx[a], idx[b]]
+            dst += [idx[b], idx[a]]
+        src, dst = np.asarray(src), np.asarray(dst)
+        deg = np.bincount(src, minlength=len(nodes)).astype(float)
+        r = np.full(len(nodes), 1.0 / len(nodes))
+        for _ in range(iters):
+            r = 0.15 / len(nodes) + 0.85 * np.bincount(
+                dst, weights=r[src] / deg[src], minlength=len(nodes))
+        return dict(zip(nodes, np.round(r, 8)))
+
+    want = brute(orders)
+    fast = (cluster.copurchase_pagerank(sf).to_pandas()
+            .set_index("part_id")["pagerank"].to_dict())
+    slow = (cluster.copurchase_pagerank(sf, task_max_edges=0).to_pandas()
+            .set_index("part_id")["pagerank"].to_dict())
+    assert fast == want
+    assert slow == want
+    assert want[0] == max(want.values())  # the hub dominates
