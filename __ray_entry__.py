@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": windows.session_stats,
         "events_hour_window_sum": windows.events_hour_window_sum,
         "user_value_ewma": windows.user_value_ewma,  # affine scan, rows-only
+        "event_transitions": windows.event_transitions,
         # ---- custom joins / grouped order statistics ----
         "events_last_signup": joins.events_last_signup,
         "events_next_signup": joins.events_next_signup,
@@ -630,6 +631,13 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag""",
         "user_value_median": """
 SELECT user_id, median(value) AS med_value FROM events GROUP BY user_id""",
+        "event_transitions": """
+WITH o AS (SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS prev_type, nxt AS next_type, count(*) AS n
+FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2""",
         "weighted_median_price": """
 WITH g AS (SELECT l_extendedprice AS v, sum(l_quantity) AS w
            FROM lineitem GROUP BY 1),

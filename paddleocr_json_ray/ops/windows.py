@@ -1929,3 +1929,104 @@ def user_value_ewma(sf_dir: str, alpha: float = 0.25) -> ray.data.Dataset:
 
     return rows.map_batches(add_state, batch_format="pyarrow",
                             fn_args=(refs,))
+
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """(prev_type, next_type, n) — Markov transition counts between each
+    user's consecutive event types in (ts, event_id) order: the
+    session-flow / next-action analytics staple.
+
+    Every adjacency except one per block edge is block-local after the
+    (user, ts, event_id) sort, so blocks emit vocabulary-bounded partial
+    count rows (np.unique over packed type-pair ids — the combiner) plus
+    TWO context rows (their first and last physical row).  Cross-block
+    adjacencies are exactly (block k's last row, block k+1's first row)
+    of the same user: the O(blocks) context rows resolve on the driver
+    (control-plane sized, like the cume_dist stat table) and the healed
+    counts union into the final native Sum groupby, bounded by the
+    squared type vocabulary."""
+    import ray
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts",
+                                       "event_type"])
+    srt = ds.sort(["user_id", "ts", "event_id"]).materialize()
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                          "prev_type": pa.array([], type=pa.string()),
+                          "next_type": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "user_id": pa.array([], type=pa.int64()),
+                          "ts": pa.array([], type=pa.int64()),
+                          "event_id": pa.array([], type=pa.int64())})
+        m = batch.num_rows
+        if m == 0:
+            return empty
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        e = batch.column("event_id").to_numpy().astype(np.int64)
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        ty, inv = np.unique(np.asarray(batch.column("event_type")),
+                            return_inverse=True)
+        adj = u[1:] == u[:-1]
+        pair = inv[:-1][adj] * len(ty) + inv[1:][adj]
+        pu, pn = np.unique(pair, return_counts=True)
+        rows = pa.table({
+            "kind": pa.array(np.zeros(len(pu), dtype=np.int8)),
+            "prev_type": pa.array(ty[pu // len(ty)], type=pa.string()),
+            "next_type": pa.array(ty[pu % len(ty)], type=pa.string()),
+            "n": pa.array(pn.astype(np.int64)),
+            "user_id": pa.array(np.zeros(len(pu), dtype=np.int64)),
+            "ts": pa.array(np.zeros(len(pu), dtype=np.int64)),
+            "event_id": pa.array(np.zeros(len(pu), dtype=np.int64))})
+        # context: first (kind 1) and last (kind 2) physical row
+        ctx = pa.table({
+            "kind": pa.array(np.array([1, 2], dtype=np.int8)),
+            "prev_type": pa.array([str(ty[inv[0]]), str(ty[inv[m - 1]])],
+                                  type=pa.string()),
+            "next_type": pa.array(["", ""], type=pa.string()),
+            "n": pa.array(np.zeros(2, dtype=np.int64)),
+            "user_id": pa.array(u[[0, m - 1]]),
+            "ts": pa.array(t[[0, m - 1]]),
+            "event_id": pa.array(e[[0, m - 1]])})
+        return pa.concat_tables([rows, ctx])
+
+    out = (srt.map_batches(block_counts, batch_format="pyarrow",
+                           batch_size=None).materialize())
+    partials = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0))
+                   .select(["prev_type", "next_type", "n"]),
+        batch_format="pyarrow")
+    ctx = pa.concat_tables(
+        [tt for tt in ray.get(out.map_batches(
+            lambda b: b.filter(pc.greater(b.column("kind"), 0)),
+            batch_format="pyarrow").to_arrow_refs()) if tt.num_rows])
+
+    heal_rows = {"prev_type": [], "next_type": [], "n": []}
+    if ctx.num_rows:
+        cu = ctx.column("user_id").to_numpy().astype(np.int64)
+        ct = ctx.column("ts").to_numpy().astype(np.int64)
+        ce = ctx.column("event_id").to_numpy().astype(np.int64)
+        ck = ctx.column("kind").to_numpy().astype(np.int64)
+        cty = np.asarray(ctx.column("prev_type"))
+        # first (kind 1) sorts before last (kind 2) on eid ties
+        order = np.lexsort((ck, ce, ct, cu))
+        for a, b in zip(order[:-1], order[1:]):
+            if (cu[a] == cu[b] and ck[a] == 2 and ck[b] == 1
+                    and (ce[a], ct[a]) != (ce[b], ct[b])):
+                heal_rows["prev_type"].append(str(cty[a]))
+                heal_rows["next_type"].append(str(cty[b]))
+                heal_rows["n"].append(1)
+    healed = ray.data.from_arrow(pa.table({
+        "prev_type": pa.array(heal_rows["prev_type"], type=pa.string()),
+        "next_type": pa.array(heal_rows["next_type"], type=pa.string()),
+        "n": pa.array(heal_rows["n"], type=pa.int64())}))
+
+    agg = (partials.union(healed)
+           .groupby(["prev_type", "next_type"]).aggregate(Sum("n")))
+    return agg.map_batches(
+        lambda b: pa.table({"prev_type": b.column("prev_type"),
+                            "next_type": b.column("next_type"),
+                            "n": b.column("sum(n)")}),
+        batch_format="pyarrow")

@@ -384,3 +384,35 @@ def test_weighted_median_price(ray_session, tmp_path, monkeypatch):
         monkeypatch.setattr(sketches, "_EXACT_PCT_COLLECT_CAP", 256)
         got = sketches.weighted_median_price(d).to_pandas()["wmedian"][0]
         assert got == brute(v, w), case
+
+
+def test_event_transitions(ray_session, tmp_path):
+    """Transition counts equal the sequential lead() definition, hot user
+    included (cross-block adjacencies healed from context rows)."""
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from paddleocr_json_ray.ops import windows
+
+    rng = np.random.default_rng(23)
+    n = 8000
+    users = np.where(rng.random(n) < 0.5, 9,
+                     rng.integers(50, 90, size=n)).astype(np.int64)
+    ts = rng.integers(0, 10**9, size=n)
+    types = rng.choice(["click", "view", "purchase", "signup"], size=n)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_type": pa.array(types)}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    got = (windows.event_transitions(str(tmp_path)).to_pandas()
+           .set_index(["prev_type", "next_type"])["n"].to_dict())
+    want: Counter = Counter()
+    order = np.lexsort((np.arange(n), ts, users))
+    for a, b in zip(order[:-1], order[1:]):
+        if users[a] == users[b]:
+            want[(types[a], types[b])] += 1
+    assert got == dict(want)
