@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text_ops.tfidf_top_terms,
         "decontaminate": decontam.decontaminate,
         "bloom_decontaminate": decontam.bloom_decontaminate,  # sketch, rows-only
+        "fuzzy_decontaminate": decontam.fuzzy_decontaminate,  # LSH, rows-only
         # ---- dedup family ----
         "dedup_exact": dedup.dedup_exact,
         "cross_source_dups": dedup.cross_source_dups,

@@ -161,3 +161,132 @@ def bloom_decontaminate(sf_dir: str) -> ray.data.Dataset:
         return _score_table(batch, hits)
 
     return _read_documents(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def _verify_cross_run(docs: np.ndarray, sigs: np.ndarray, cap: int,
+                      threshold: float):
+    """One complete bucket run, CROSS-SIDE only: signature agreement
+    between benchmark docs (doc_id % BENCH_MOD == 0) and training docs."""
+    uniq, first = np.unique(docs, return_index=True)
+    if not (2 <= len(uniq) <= cap):
+        return None
+    bench = uniq % BENCH_MOD == 0
+    nb, nt = int(bench.sum()), int((~bench).sum())
+    if nb == 0 or nt == 0:
+        return None
+    sm = sigs[first]
+    sb, st = sm[bench], sm[~bench]
+    # (train, bench) agreement matrix — bucket-capped, so nb*nt is bounded
+    est = (st[:, None, :] == sb[None, :, :]).mean(axis=2)
+    ti, bi = np.nonzero(est >= threshold)
+    if len(ti) == 0:
+        return None
+    return uniq[~bench][ti], uniq[bench][bi], est[ti, bi]
+
+
+def fuzzy_decontaminate(sf_dir: str,
+                        threshold: float = 0.7) -> ray.data.Dataset:
+    """(doc_id, bench_id, est_jaccard) — NEAR-DUP decontamination: training
+    documents whose MinHash signature agreement with any benchmark document
+    reaches ``threshold`` (the fuzzy companion to the exact 8-gram
+    ``decontaminate`` — paraphrased or lightly-edited benchmark leakage
+    that exact grams miss; C4/Dolma-style hygiene).
+
+    Same single-pass banded-LSH exchange as ``dedup_minhash`` — each doc's
+    64-lane signature travels with its 16 band rows through ONE keyed
+    sort — but run verification pairs only ACROSS the benchmark/train
+    split, so candidate volume is the cross product within a capped
+    bucket, not all pairs.  Boundary runs heal in a grouped stage; pairs
+    surfacing from several bands collapse in a native distinct groupby.
+    Rows-only (LSH has no SQL form); pinned by a planted-paraphrase
+    pytest."""
+    from .dedup import (_BUCKET_CAP, _band_hashes, _batch_signatures,
+                        _distinct_pairs, _perm_params, _sig_matrix,
+                        _split_kinds, _SIG_BYTES, _BANDS)
+
+    ds = _read_documents(sf_dir)
+    a_ref, b_ref = _perm_params()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        sigs = _batch_signatures(batch.column("text").to_pylist(),
+                                 a_ref, b_ref)
+        bh = _band_hashes(sigs)
+        sig_bytes = pa.array(
+            [s.tobytes() for s in np.repeat(sigs, _BANDS, axis=0)],
+            type=pa.binary(_SIG_BYTES))
+        return pa.table({
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+            "doc_id": pa.array(np.repeat(doc_ids, _BANDS)),
+            "sig": sig_bytes,
+        })
+
+    def run_rows(batch: pa.Table) -> pa.Table:
+        h = batch.column("band_hash").to_numpy()
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        n = len(h)
+        outs = {"id_a": [], "id_b": [], "est": []}
+        edge_idx = []
+        if n:
+            sigs = _sig_matrix(batch.column("sig"))
+            bnd = np.flatnonzero(np.diff(h) != 0) + 1
+            starts = np.r_[0, bnd]
+            stops = np.r_[bnd, n]
+            for ri in range(len(starts)):
+                s, e = int(starts[ri]), int(stops[ri])
+                if ri == 0 or ri == len(starts) - 1:
+                    edge_idx.append(np.arange(s, min(e, s + _BUCKET_CAP + 1)))
+                    continue
+                got = _verify_cross_run(d[s:e], sigs[s:e], _BUCKET_CAP,
+                                        threshold)
+                if got is not None:
+                    outs["id_a"].append(got[0])
+                    outs["id_b"].append(got[1])
+                    outs["est"].append(got[2])
+        z = np.empty(0, dtype=np.int64)
+        ia = np.concatenate(outs["id_a"]) if outs["id_a"] else z
+        ib = np.concatenate(outs["id_b"]) if outs["id_b"] else z
+        es = np.concatenate(outs["est"]) if outs["est"] else np.empty(0)
+        ei = np.concatenate(edge_idx) if edge_idx else z
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(ia), dtype=np.int8),
+                                   np.ones(len(ei), dtype=np.int8)]),
+            "id_a": pa.array(np.r_[ia, d[ei]], type=pa.int64()),
+            "id_b": pa.array(np.r_[ib, np.zeros(len(ei), dtype=np.int64)]),
+            "est_jaccard": pa.array(np.r_[es, np.zeros(len(ei))],
+                                    type=pa.float64()),
+            "key": pa.array(np.r_[np.zeros(len(ia), dtype=np.int64),
+                                  h[ei].astype(np.int64)]),
+            "sig": pa.array(
+                ([b"\x00" * _SIG_BYTES] * len(ia))
+                + [batch.column("sig")[int(i)].as_py() for i in ei],
+                type=pa.binary(_SIG_BYTES)),
+        })
+
+    out = (ds.map_batches(band_rows, batch_format="pyarrow")
+           .sort("band_hash")
+           .map_batches(run_rows, batch_format="pyarrow", batch_size=None))
+    interior, edges = _split_kinds(out, ["id_a", "id_b", "est_jaccard"],
+                                   ["key", "id_a", "sig"])
+
+    def heal(group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "est_jaccard": pa.array([], type=pa.float64())})
+        docs = group.column("id_a").to_numpy().astype(np.int64)
+        got = _verify_cross_run(docs, _sig_matrix(group.column("sig")),
+                                _BUCKET_CAP, threshold)
+        if got is None:
+            return empty
+        return pa.table({"id_a": pa.array(got[0], type=pa.int64()),
+                         "id_b": pa.array(got[1], type=pa.int64()),
+                         "est_jaccard": pa.array(got[2], type=pa.float64())})
+
+    healed = edges.groupby("key").map_groups(heal, batch_format="pyarrow")
+    both = interior.union(healed)
+    pairs = _distinct_pairs(both, extra="est_jaccard")
+    return pairs.map_batches(
+        lambda b: pa.table({"doc_id": b.column("id_a"),
+                            "bench_id": b.column("id_b"),
+                            "est_jaccard": b.column("est_jaccard")}),
+        batch_format="pyarrow")

@@ -292,3 +292,41 @@ def test_tfidf_top_terms_bruteforce(ray_session, docs_dir):
         expect = [(w, r + 1, -s) for r, (s, w) in enumerate(scored[:3])]
         rows = got[got["doc_id"] == i].sort_values("rank")
         assert list(zip(rows["term"], rows["rank"], rows["score_milli"])) == expect
+
+
+def test_fuzzy_decontaminate_planted(ray_session, tmp_path):
+    """Near-identical paraphrases of benchmark docs (doc_id % 13 == 0) are
+    flagged; unrelated docs and bench-bench/train-train pairs are not."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from paddleocr_json_ray.ops.decontam import fuzzy_decontaminate
+
+    rng = np.random.default_rng(31)
+    words = np.array([f"tok{i}" for i in range(500)])
+    bench_text = " ".join(rng.choice(words, size=120))
+    near = bench_text.replace("tok", "tok", 1) + " extra tail"  # ~identical
+    texts, ids = [], []
+    for i in range(60):
+        ids.append(i)
+        if i == 0:
+            texts.append(bench_text)           # benchmark (0 % 13 == 0)
+        elif i == 1:
+            texts.append(near)                 # train paraphrase -> flag
+        elif i == 14:
+            texts.append(bench_text + " x")    # train, also near -> flag
+        elif i == 26:
+            texts.append(" ".join(rng.choice(words, size=120)))  # bench, unrelated
+        else:
+            texts.append(" ".join(rng.choice(words, size=100)))
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "text": pa.array(texts)}),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    got = fuzzy_decontaminate(str(tmp_path), threshold=0.6).to_pandas()
+    flagged = set(got["doc_id"])
+    assert {1, 14} <= flagged
+    assert 26 not in flagged  # benchmark docs are never "contaminated"
+    assert (got["bench_id"] % 13 == 0).all()
+    assert (got["doc_id"] % 13 != 0).all()
+    assert len(flagged - {1, 14}) == 0  # no random-doc false flags
