@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "cust_revenue": relational.cust_revenue,
         "events_by_type": relational.events_by_type,
+        "props_k_stats": relational.props_k_stats,
         "lineitem_recent": relational.lineitem_recent,
         "suppliers_per_region": relational.suppliers_per_region,
         "revenue_by_priority": relational.revenue_by_priority,
@@ -632,6 +633,12 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag""",
         "user_value_median": """
 SELECT user_id, median(value) AS med_value FROM events GROUP BY user_id""",
+        "props_k_stats": """
+SELECT event_type, count(*) AS n,
+       sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+       round(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) * 1.0
+             / count(*), 2) AS avg_k
+FROM events GROUP BY event_type""",
         "event_transitions": """
 WITH o AS (SELECT event_type,
                   lead(event_type) OVER (PARTITION BY user_id

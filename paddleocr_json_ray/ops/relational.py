@@ -1158,3 +1158,41 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
 
     return agg.map_batches(finish, batch_format="pyarrow") \
               .sort("revenue", descending=True)
+
+
+def props_k_stats(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, n, sum_k, avg_k) — aggregate over a field EXTRACTED
+    from the semi-structured ``events.props`` JSON string column: the
+    engine's semi-structured surface (extract -> type -> aggregate).
+
+    Extraction is ZERO-loop: one ``pyarrow.compute.extract_regex`` kernel
+    per batch pulls the digits ('[0-9]+' — ASCII class, RE2-identical to
+    the DuckDB oracle) and casts to int64; the aggregate is a native
+    partial-agg groupby.  avg is finished as round(sum * 1.0 / n, 2) so
+    both engines divide the same exact integer sums."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), pattern=r"(?P<k>[0-9]+)")
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": batch.column("event_type"), "k": k})
+
+    agg = (ds.map_batches(extract, batch_format="pyarrow")
+           .groupby("event_type").aggregate(Count(), Sum("k")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.column("count()").to_numpy().astype(np.int64)
+        s = batch.column("sum(k)").to_numpy().astype(np.int64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": pa.array(n),
+            "sum_k": pa.array(s),
+            "avg_k": pa.array([_round_nd(float(a) / int(b), 2)
+                               for a, b in zip(s, n)], type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -553,3 +553,33 @@ def test_local_supplier_revenue_q5(ray_session, sf0001_dir):
                .sort_values(ascending=False))
     assert got["n_name"].tolist() == expect.index.tolist()
     assert np.allclose(got["revenue"], expect.to_numpy(), atol=0.011)
+
+
+def test_props_k_stats_extraction(ray_session, tmp_path):
+    """Vectorized JSON-field extraction: sums/avgs match the parsed field,
+    multi-digit and single-digit values included."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paddleocr_json_ray.ops.relational import props_k_stats
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    types = rng.choice(["click", "view"], size=n)
+    ks = rng.integers(0, 5000, size=n)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "event_type": pa.array(types),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array([json.dumps({"k": int(k)}) for k in ks])}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    got = props_k_stats(str(tmp_path)).to_pandas().set_index("event_type")
+    for t in ("click", "view"):
+        x = ks[types == t]
+        assert got.loc[t, "n"] == len(x)
+        assert got.loc[t, "sum_k"] == x.sum()
+        assert got.loc[t, "avg_k"] == round(x.sum() / len(x) + 1e-12, 2)
