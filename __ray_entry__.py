@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_revenue": relational.cust_revenue,
         "events_by_type": relational.events_by_type,
         "props_k_stats": relational.props_k_stats,
+        "events_dow_hour": relational.events_dow_hour,
+        "lineitem_unpivot": relational.lineitem_unpivot,
         "lineitem_recent": relational.lineitem_recent,
         "suppliers_per_region": relational.suppliers_per_region,
         "revenue_by_priority": relational.revenue_by_priority,
@@ -633,6 +635,17 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag""",
         "user_value_median": """
 SELECT user_id, median(value) AS med_value FROM events GROUP BY user_id""",
+        "events_dow_hour": """
+SELECT dayofweek(ts) AS dow, hour(ts) AS hour, count(*) AS n
+FROM events GROUP BY 1, 2""",
+        "lineitem_unpivot": """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""",
         "props_k_stats": """
 SELECT event_type, count(*) AS n,
        sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,

@@ -116,7 +116,8 @@ def run_suite() -> dict:
                 "quantity_mad_by_flag", "lang_source_chi2",
                 "cross_source_dups", "user_value_median", "user_value_ewma",
                 "weighted_median_price", "copurchase_pagerank",
-                "event_transitions", "fuzzy_decontaminate", "props_k_stats"]
+                "event_transitions", "fuzzy_decontaminate", "props_k_stats",
+                "events_dow_hour", "lineitem_unpivot"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

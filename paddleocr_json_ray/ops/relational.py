@@ -1196,3 +1196,56 @@ def props_k_stats(sf_dir: str) -> ray.data.Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_dow_hour(sf_dir: str) -> ray.data.Dataset:
+    """(dow, hour, n) — day-of-week x hour-of-day seasonality heatmap of
+    events (dow 0 = Sunday, matching DuckDB's dayofweek).  The timestamp
+    decomposition is pure int64 arithmetic on the epoch-microsecond
+    column (epoch day 0 was a Thursday -> (days + 4) % 7), so there is no
+    calendar library in the hot path; the aggregate is one native
+    partial-agg groupby over a 168-cell key domain."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        days = t // 86_400_000_000
+        return pa.table({
+            "dow": pa.array((days + 4) % 7, type=pa.int64()),
+            "hour": pa.array((t // 3_600_000_000) % 24, type=pa.int64())})
+
+    agg = ds.map_batches(keys, batch_format="pyarrow") \
+            .groupby(["dow", "hour"]).aggregate(Count())
+    return agg.map_batches(
+        lambda b: pa.table({"dow": b.column("dow"), "hour": b.column("hour"),
+                            "n": b.column("count()")}),
+        batch_format="pyarrow")
+
+
+def lineitem_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """(l_orderkey, l_linenumber, measure, value) — UNPIVOT/melt of three
+    lineitem measures into long format (the inverse of ``events_pivot``;
+    the feature-long-format step before grouped ML aggregates).  Pure
+    in-batch column fan-out — each batch emits 3x its rows with zero
+    Python per-row work — so the op is shuffle-free."""
+    import numpy as np
+
+    cols = ("l_quantity", "l_extendedprice", "l_discount")
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", *cols])
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        ln = batch.column("l_linenumber").to_numpy().astype(np.int64)
+        vals = [batch.column(c).to_numpy().astype(np.float64) for c in cols]
+        return pa.table({
+            "l_orderkey": pa.array(np.tile(ok, len(cols))),
+            "l_linenumber": pa.array(np.tile(ln, len(cols))),
+            "measure": pa.array(np.repeat(np.asarray(cols, dtype=object), n),
+                                type=pa.string()),
+            "value": pa.array(np.concatenate(vals), type=pa.float64())})
+
+    return ds.map_batches(melt, batch_format="pyarrow")
