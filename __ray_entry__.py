@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_mad_by_flag": sketches.quantity_mad_by_flag,
         "user_value_median": sketches.user_value_median,
         "weighted_median_price": sketches.weighted_median_price,
+        "user_activity_skew": sketches.user_activity_skew,
         "lang_source_chi2": text_ops.lang_source_chi2,
         "word_topk": text_ops.word_topk,
         "bigram_topk": text_ops.bigram_topk,
@@ -659,6 +660,12 @@ WITH o AS (SELECT event_type,
            FROM events)
 SELECT event_type AS prev_type, nxt AS next_type, count(*) AS n
 FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2""",
+        "user_activity_skew": """
+WITH c AS (SELECT count(*) AS n FROM events GROUP BY user_id)
+SELECT count(*) AS n_users, max(n)::BIGINT AS max_events,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n), 2) AS p50,
+       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY n), 2) AS p99
+FROM c""",
         "weighted_median_price": """
 WITH g AS (SELECT l_extendedprice AS v, sum(l_quantity) AS w
            FROM lineitem GROUP BY 1),

@@ -1013,3 +1013,40 @@ def weighted_median_price(sf_dir: str) -> ray.data.Dataset:
     return ray.data.from_arrow(pa.table(
         {"wmedian": pa.array([float(vv[order][min(k, len(cw) - 1)])],
                              type=pa.float64())}))
+
+
+def user_activity_skew(sf_dir: str) -> ray.data.Dataset:
+    """(n_users, max_events, p50, p99) — the key-skew diagnostic over the
+    per-user event-count distribution (the report that tells you whether
+    a keyed exchange will hot-spot BEFORE you run it).
+
+    Two composed exchanges, both scale-shaped: one native partial-agg
+    Count groupby builds the per-user counts DATASET, then the exact
+    unbounded-domain percentile core (``_exact_percentile_values``) runs
+    over that derived dataset — the counts never land on the driver, so
+    the report works at any key cardinality."""
+    from ray.data.aggregate import Count, Max
+
+    from ..sources.readers import read_table
+
+    from .relational import _round_nd
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+    counts = (ds.groupby("user_id").aggregate(Count())
+              .map_batches(lambda b: pa.table(
+                  {"n": b.column("count()").cast(pa.float64())}),
+                  batch_format="pyarrow").materialize())
+    stats = counts.aggregate(Count(), Max("n"))
+    n_users = int(stats["count()"] or 0)
+    if n_users == 0:
+        return ray.data.from_arrow(pa.table(
+            {"n_users": pa.array([0], type=pa.int64()),
+             "max_events": pa.array([0], type=pa.int64()),
+             "p50": pa.array([0.0]), "p99": pa.array([0.0])}))
+    vals = _exact_percentile_values(counts, "n", None, (0.5, 0.99))
+    return ray.data.from_arrow(pa.table({
+        "n_users": pa.array([n_users], type=pa.int64()),
+        "max_events": pa.array([int(stats["max(n)"])], type=pa.int64()),
+        "p50": pa.array([_round_nd(vals[(None, 0.5)], 2)]),
+        "p99": pa.array([_round_nd(vals[(None, 0.99)], 2)]),
+    }))

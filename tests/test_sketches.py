@@ -416,3 +416,27 @@ def test_event_transitions(ray_session, tmp_path):
         if users[a] == users[b]:
             want[(types[a], types[b])] += 1
     assert got == dict(want)
+
+
+def test_user_activity_skew(ray_session, tmp_path, monkeypatch):
+    """Skew report equals numpy over a planted hot-key distribution, with
+    the refinement loop exercised over the derived counts dataset."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(29)
+    n = 20_000
+    users = np.where(rng.random(n) < 0.3, 1,
+                     rng.integers(10, 2010, size=n))
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(users, type=pa.int64())}),
+        os.path.join(str(tmp_path), "events.parquet"))
+    monkeypatch.setattr(sketches, "_EXACT_PCT_COLLECT_CAP", 128)
+    got = sketches.user_activity_skew(str(tmp_path)).to_pandas().iloc[0]
+    _, cnts = np.unique(users, return_counts=True)
+    assert got["n_users"] == len(cnts)
+    assert got["max_events"] == cnts.max()
+    assert got["p50"] == pytest.approx(np.percentile(cnts, 50, method="linear"), abs=0.005)
+    assert got["p99"] == pytest.approx(np.percentile(cnts, 99, method="linear"), abs=0.005)
