@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_median": sketches.user_value_median,
         "weighted_median_price": sketches.weighted_median_price,
         "user_activity_skew": sketches.user_activity_skew,
+        "adaptive_quality_filter": text_ops.adaptive_quality_filter,
         "lang_source_chi2": text_ops.lang_source_chi2,
         "word_topk": text_ops.word_topk,
         "bigram_topk": text_ops.bigram_topk,
@@ -660,6 +661,15 @@ WITH o AS (SELECT event_type,
            FROM events)
 SELECT event_type AS prev_type, nxt AS next_type, count(*) AS n
 FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2""",
+        "adaptive_quality_filter": f"""
+WITH qs AS (SELECT * FROM ({quality_cte})),
+q AS (SELECT qs.doc_id, d.source, qs.quality_milli
+      FROM qs JOIN documents d ON qs.doc_id = d.doc_id),
+t AS (SELECT source,
+             percentile_cont(0.25) WITHIN GROUP (ORDER BY quality_milli) AS thr
+      FROM q GROUP BY source)
+SELECT q.doc_id FROM q JOIN t ON q.source = t.source
+WHERE q.quality_milli >= t.thr""",
         "user_activity_skew": """
 WITH c AS (SELECT count(*) AS n FROM events GROUP BY user_id)
 SELECT count(*) AS n_users, max(n)::BIGINT AS max_events,

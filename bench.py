@@ -117,7 +117,8 @@ def run_suite() -> dict:
                 "cross_source_dups", "user_value_median", "user_value_ewma",
                 "weighted_median_price", "copurchase_pagerank",
                 "event_transitions", "fuzzy_decontaminate", "props_k_stats",
-                "events_dow_hour", "lineitem_unpivot", "user_activity_skew"]
+                "events_dow_hour", "lineitem_unpivot", "user_activity_skew",
+                "adaptive_quality_filter"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

@@ -807,3 +807,56 @@ def lang_source_chi2(sf_dir: str) -> ray.data.Dataset:
         "chi2": pa.array([_round_nd(chi2, 2)], type=pa.float64()),
         "dof": pa.array([dof], type=pa.int64()),
     }))
+
+
+def adaptive_quality_filter(sf_dir: str, pct: float = 0.25) -> ray.data.Dataset:
+    """(doc_id) — documents at or above their OWN SOURCE's ``pct``
+    quality percentile: the per-domain adaptive threshold cut (a fixed
+    global threshold over-prunes clean sources and under-prunes noisy
+    ones — the CCNet-bucket idea as a filter).
+
+    Pass 1 scores quality per doc and shrinks to per-(source, quality)
+    histogram partials (quality_milli has a <= 1001-value domain, so the
+    exchange is source x domain bounded); the exact per-source
+    PERCENTILE_CONT threshold falls out of the merged histogram and
+    broadcasts as a dict in the task closure (source-bounded).  Pass 2
+    re-scores and filters — stateless, so the two passes stream."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir, ("doc_id", "text", "source"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source"))
+        q = np.asarray([quality_stats(t)["quality_milli"]
+                        for t in batch.column("text").to_pylist()],
+                       dtype=np.int64)
+        key = np.asarray([f"{s}\x00{v}" for s, v in zip(src, q)], dtype=object)
+        u, cnt = np.unique(key, return_counts=True)
+        srcs = [k.split("\x00")[0] for k in u]
+        vals = [int(k.split("\x00")[1]) for k in u]
+        return pa.table({"source": pa.array(srcs, type=pa.string()),
+                         "q": pa.array(vals, type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    part = (ds.map_batches(hist, batch_format="pyarrow")
+            .groupby(["source", "q"]).aggregate(Sum("n")).to_pandas())
+    thr: dict = {}
+    from ..ops.sketches import _hist_percentile_cont  # noqa: circular-safe
+
+    for src, grp in part.groupby("source"):
+        order = np.argsort(grp["q"].to_numpy())
+        u = grp["q"].to_numpy().astype(np.float64)[order]
+        tot = grp["sum(n)"].to_numpy().astype(np.int64)[order]
+        thr[str(src)] = _hist_percentile_cont(u, tot, pct)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source"))
+        q = np.asarray([quality_stats(t)["quality_milli"]
+                        for t in batch.column("text").to_pylist()],
+                       dtype=np.float64)
+        t = np.asarray([thr[s] for s in src])
+        return pa.table({"doc_id": batch.column("doc_id").filter(
+            pa.array(q >= t))})
+
+    return ds.map_batches(keep, batch_format="pyarrow")

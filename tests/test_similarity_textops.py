@@ -291,3 +291,44 @@ def test_lang_source_chi2(ray_session, tmp_path):
     chi2 = ((obs - exp) ** 2 / exp).sum()
     assert got["dof"] == (len(ls) - 1) * (len(ss) - 1)
     assert got["chi2"] == pytest.approx(chi2, abs=0.01)
+
+
+def test_adaptive_quality_filter(ray_session, tmp_path):
+    """Per-source thresholds differ: the noisy source keeps its own top 75%
+    instead of being wiped out by the clean source's bar."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paddleocr_json_ray.functions.textstats import quality_stats
+    from paddleocr_json_ray.ops.text_ops import adaptive_quality_filter
+
+    rng = np.random.default_rng(41)
+    words = [f"word{i}" for i in range(200)]
+    texts, sources, ids = [], [], []
+    for i in range(400):
+        ids.append(i)
+        if i % 2:  # clean prose
+            sources.append("clean")
+            texts.append(" ".join(rng.choice(words, size=60)))
+        else:      # noisy: lots of digits/punct, variable quality
+            sources.append("noisy")
+            junk = "!?.," * rng.integers(0, 30)
+            texts.append(" ".join(rng.choice(words, size=10)) + " " + junk)
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "text": pa.array(texts),
+                             "source": pa.array(sources)}),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    kept = set(adaptive_quality_filter(str(tmp_path)).to_pandas()["doc_id"])
+    # numpy oracle: per-source p25 threshold, keep >= thr
+    q = np.array([quality_stats(t)["quality_milli"] for t in texts])
+    src = np.array(sources)
+    want = set()
+    for s in ("clean", "noisy"):
+        m = src == s
+        thr = np.percentile(q[m], 25, method="linear")
+        want |= set(np.array(ids)[m][q[m] >= thr])
+    assert kept == want
+    assert any(sources[i] == "noisy" for i in kept)  # noisy not wiped out
