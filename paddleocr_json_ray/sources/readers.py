@@ -102,3 +102,44 @@ def tasks_from_json_lines(lines: list[str]) -> ray.data.Dataset:
         rows.append({"doc_id": f"task-{i:06d}",
                      "spans": [{"kind": "media", "text": "", "media_ref": ref, "offset": 0}]})
     return ray.data.from_items(rows)
+
+
+def read_documents_any(path: str, columns=None) -> ray.data.Dataset:
+    """Format-dispatched corpus ingest — parquet, JSONL (.jsonl/.json
+    lines) or CSV — under the same bytes-derived block bounding as
+    ``read_table``.  Raw text corpora overwhelmingly arrive as JSONL;
+    this is the one-stop ingest seam for them.
+
+    Parquet prunes columns AT the read (projection pushdown); the text
+    formats have no pushdown, so pruning happens in a fused select right
+    after parse — the bytes still leave disk once either way.  Mixed
+    directories dispatch on the majority extension; text formats get a
+    2x block multiplier (row materialization inflates heap vs columnar
+    parquet)."""
+    import ray as _ray
+
+    files: list[str] = []
+    for pat in ("*.parquet", "*.jsonl", "*.json", "*.csv"):
+        if os.path.isdir(path):
+            files.extend(sorted(_glob.glob(os.path.join(path, "**", pat),
+                                           recursive=True)))
+    if not files:
+        files = expand_paths(path)
+    if not files:
+        raise FileNotFoundError(f"no corpus inputs under {path!r}")
+    exts = [os.path.splitext(f)[1].lower() for f in files]
+    ext = max(set(exts), key=exts.count)
+    chosen = [f for f, e in zip(files, exts) if e == ext]
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    nb = blocks_for_paths(chosen, floor=cpus, target_bytes=16 << 20)
+    if ext == ".parquet":
+        return ray.data.read_parquet(
+            chosen, columns=list(columns) if columns is not None else None,
+            override_num_blocks=nb)
+    if ext in (".jsonl", ".json"):
+        ds = ray.data.read_json(chosen, override_num_blocks=nb * 2)
+    elif ext == ".csv":
+        ds = ray.data.read_csv(chosen, override_num_blocks=nb * 2)
+    else:
+        raise ValueError(f"unsupported corpus format {ext!r}")
+    return ds.select_columns(list(columns)) if columns is not None else ds

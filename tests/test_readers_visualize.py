@@ -75,3 +75,42 @@ def test_rebuild_table_pure():
     blocks = [{"box": [[0, 0], [10, 0], [10, 10], [0, 10]], "text": "cell", "score": 0.9}]
     html = rebuild_table(blocks, [[0, 0, 12, 12]], ["<table>", "<td></td>", "</table>"])
     assert html == "<table><td>cell</td></table>"
+
+
+def test_read_documents_any_formats(ray_session, tmp_path):
+    """The same corpus written as parquet, JSONL and CSV reads back
+    identically (column pruning included) through the one ingest seam."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from paddleocr_json_ray.sources.readers import read_documents_any
+
+    rows = [{"doc_id": i, "text": f"doc {i} body text", "lang": "en",
+             "source": f"src{i % 3}", "n_chars": 15 + i}
+            for i in range(200)]
+    dirs = {}
+    for fmt in ("parquet", "jsonl", "csv"):
+        d = os.path.join(str(tmp_path), fmt)
+        os.makedirs(d)
+        dirs[fmt] = d
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(dirs["parquet"], "documents.parquet"))
+    with open(os.path.join(dirs["jsonl"], "documents.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(dirs["csv"], "documents.csv"), "w") as f:
+        f.write("doc_id,text,lang,source,n_chars\n")
+        for r in rows:
+            f.write(f"{r['doc_id']},{r['text']},{r['lang']},"
+                    f"{r['source']},{r['n_chars']}\n")
+    frames = {}
+    for fmt, d in dirs.items():
+        df = (read_documents_any(d, columns=("doc_id", "text", "source"))
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(df.columns) == ["doc_id", "text", "source"], fmt
+        frames[fmt] = df
+    assert frames["parquet"].equals(frames["jsonl"])
+    assert frames["parquet"].equals(frames["csv"])
