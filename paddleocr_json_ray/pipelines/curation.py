@@ -127,10 +127,12 @@ def export_partition_keys(doc_ids: list, shards: int):
 
 
 def export_corpus(sf_dir: str, out_dir: str, shards: int = 8,
-                  cfg: PipelineConfig | None = None) -> dict:
-    """Training-export sink: the curated corpus written as hive-partitioned
-    parquet (``split=train|val|test / shard=NN``) — the end of the
-    extract -> score -> filter -> dedup -> export chain.
+                  cfg: PipelineConfig | None = None,
+                  fmt: str = "parquet") -> dict:
+    """Training-export sink: the curated corpus written hive-partitioned
+    (``split=train|val|test / shard=NN``) as parquet (default) or JSONL
+    (``fmt="jsonl"`` — what most tokenizer/training stacks ingest) — the
+    end of the extract -> score -> filter -> dedup -> export chain.
 
     Deterministic end to end: split (8/1/1) and shard both derive from
     md5 of the string doc id (independent digest slices), so a re-run
@@ -150,7 +152,40 @@ def export_corpus(sf_dir: str, out_dir: str, shards: int = 8,
                      .append_column("shard", pa.array(sh.astype(np.int64))))
 
     ds = cur.map_batches(assign, batch_format="pyarrow").materialize()
-    ds.write_parquet(out_dir, partition_cols=["split", "shard"])
+    if fmt == "parquet":
+        ds.write_parquet(out_dir, partition_cols=["split", "shard"])
+    elif fmt == "jsonl":
+        # Ray's write_json has no partition_cols; a map-based sink writes
+        # each block's (split, shard) groups into the same hive layout
+        # (row serialization is inherent to JSONL — sink-only cost)
+        def write_block(batch: pa.Table) -> pa.Table:
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            import numpy as _np
+
+            sp = _np.asarray(batch.column("split"))
+            sh = batch.column("shard").to_numpy()
+            key = _np.asarray([f"{a}\x00{b}" for a, b in zip(sp, sh)],
+                              dtype=object)
+            for k in _np.unique(key):
+                s_, n_ = k.split("\x00")
+                d = _os.path.join(out_dir, f"split={s_}", f"shard={n_}")
+                _os.makedirs(d, exist_ok=True)
+                sub = batch.filter(pa.array(key == k)) \
+                           .drop_columns(["split", "shard"])
+                fn = _os.path.join(d, f"part-{_uuid.uuid4().hex}.jsonl")
+                with open(fn, "w") as fh:
+                    for row in sub.to_pylist():
+                        fh.write(_json.dumps(row, ensure_ascii=False) + "\n")
+            return pa.table({"n": pa.array([batch.num_rows])})
+
+        for _ in ds.map_batches(write_block,
+                                batch_format="pyarrow").iter_batches():
+            pass
+    else:
+        raise ValueError(f"unsupported export format {fmt!r}")
     from ray.data.aggregate import Count
 
     counts = {r["split"]: r["count()"]

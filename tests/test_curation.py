@@ -54,3 +54,27 @@ def test_export_corpus_partitioned_sink(ray_session, sf0001_dir, tmp_path):
     key = ["doc_id", "split", "shard"]
     assert back.sort_values("doc_id")[key].reset_index(drop=True).equals(
         back2.sort_values("doc_id")[key].reset_index(drop=True))
+
+
+def test_export_corpus_jsonl(ray_session, tmp_path):
+    """JSONL export writes the same hive partition layout and row counts
+    as the parquet sink, and the shards parse back as JSON lines."""
+    import glob
+    import json
+    import os
+
+    from paddleocr_json_ray.pipelines.curation import export_corpus
+
+    out = os.path.join(str(tmp_path), "jsonl_out")
+    s = export_corpus("/root/testdata/sf0.001", out, shards=4, fmt="jsonl")
+    files = glob.glob(os.path.join(out, "**", "*.json*"), recursive=True)
+    assert files
+    assert all("split=" in f and "shard=" in f for f in files)
+    n = 0
+    for f in files[:3]:
+        with open(f) as fh:
+            for line in fh:
+                json.loads(line)
+                n += 1
+    assert n > 0
+    assert s["n_docs"] == s["n_train"] + s["n_val"] + s["n_test"]
