@@ -174,42 +174,78 @@ def top_orders_per_cust(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     return finals.union(healed)
 
 
-def user_funnel(sf_dir: str) -> ray.data.Dataset:
+def _sorted_user_ts(agg_ds: ray.data.Dataset,
+                    ts_col: str = "min(ts_us)") -> tuple[np.ndarray, np.ndarray]:
+    """Collect a users-bounded (user_id, ts) aggregate into sorted parallel
+    numpy arrays straight from the Arrow refs (no pandas)."""
+    tabs = [ray.get(r) for r in agg_ds.to_arrow_refs()]
+    t = pa.concat_tables([tb for tb in tabs if tb.num_rows],
+                         ) if any(tb.num_rows for tb in tabs) else None
+    if t is None or t.num_rows == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    u = t.column("user_id").to_numpy().astype(np.int64)
+    ts = t.column(ts_col).to_numpy().astype(np.int64)
+    order = np.argsort(u)
+    return u[order], ts[order]
+
+
+def _lookup_ts(sorted_u: np.ndarray, sorted_ts: np.ndarray,
+               probe: np.ndarray) -> np.ndarray:
+    """Vectorized user -> ts lookup; misses get int64 max (excludes them
+    from any strictly-after comparison)."""
+    if len(sorted_u) == 0:
+        return np.full(len(probe), np.iinfo(np.int64).max, dtype=np.int64)
+    pos = np.minimum(np.searchsorted(sorted_u, probe), len(sorted_u) - 1)
+    hit = sorted_u[pos] == probe
+    return np.where(hit, sorted_ts[pos], np.iinfo(np.int64).max)
+
+
+def user_funnel(sf_dir: str,
+                broadcast_max_users: int | None = None) -> ray.data.Dataset:
     """(user_id, funnel_stage) — how far each user progressed through the
     ORDERED funnel signup -> click -> purchase (stage 0-3): the sequential
     event-pattern shape (conversion funnels, multi-step task completion).
 
-    Three chained stages, each a native grouped Min over a broadcast-
-    filtered read: stage k+1's candidate events must be STRICTLY after the
-    user's stage-k first-hit time, which is a per-user lookup (one sorted
-    searchsorted per batch) against the previous stage's users-bounded
-    result broadcast via ``ray.put``.  The exchange per stage is one row
-    per (user x batch) — never raw events; at user cardinalities past
-    object-store broadcast the same chain runs as partitioned hash
-    semi-joins.  Partitioning assumption documented per the module
-    contract: per-user first-hit tables fit the object store."""
-    from ray.data.aggregate import Min
+    Three chained stages, each a native grouped Min over a filtered read;
+    stage k+1's candidate events must be STRICTLY after the user's stage-k
+    first-hit time.  TWO TIERS on per-stage user cardinality (counted on
+    the distributed aggregate, measured before anything lands anywhere):
+
+      * broadcast tier (<= ``broadcast_max_users``, default
+        $PJR_FUNNEL_BROADCAST_MAX or 10M): the stage-k first-hit table is
+        two sorted int64 arrays in the object store (16 B/user), applied
+        per batch with one vectorized ``np.searchsorted`` — no per-row
+        Python, no shuffle;
+      * join tier (beyond): the SAME chain as partitioned hash joins —
+        stage-k+1 events join the stage-k firsts on user_id, filter
+        strictly-after, then the grouped Min; the final stage assignment
+        is three left-outer joins onto the distinct-user set.  Nothing is
+        ever materialized on the driver, so a billion-user events table
+        costs three user-keyed exchanges, not driver RSS.
+
+    Both tiers are equality-tested (tests/test_joins.py pins
+    ``broadcast_max_users=0``)."""
+    from ray.data.aggregate import Count, Min
 
     from ..sources.readers import read_table
+    from .relational import _join_partitions
 
+    cap = (broadcast_max_users if broadcast_max_users is not None
+           else int(os.environ.get("PJR_FUNNEL_BROADCAST_MAX", 10_000_000)))
     ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
 
-    def first_hits(etype: str, after: dict | None):
-        after_ref = ray.put(after) if after is not None else None
+    def pick(etype: str, after_ref):
+        """Per-batch combiner: one (user, min ts) row per user present,
+        thresholded against the broadcast previous stage when given."""
 
-        def pick(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
+        def fn(batch: pa.Table) -> pa.Table:
             t = batch.filter(pc.equal(batch.column("event_type"), etype))
             u = t.column("user_id").to_numpy().astype(np.int64)
             ts = t.column("ts").cast(pa.int64()).to_numpy()
             if after_ref is not None:
-                lut = ray.get(after_ref)
-                keys = np.fromiter((lut.get(int(x), np.iinfo(np.int64).max)
-                                    for x in u), dtype=np.int64, count=len(u))
-                keep = ts > keys
+                au, ats = ray.get(after_ref)
+                keep = ts > _lookup_ts(au, ats, u)
                 u, ts = u[keep], ts[keep]
-            # in-batch combiner: one min row per user present
             if len(u) == 0:
                 return pa.table({"user_id": pa.array([], type=pa.int64()),
                                  "ts_us": pa.array([], type=pa.int64())})
@@ -221,34 +257,119 @@ def user_funnel(sf_dir: str) -> ray.data.Dataset:
                 "ts_us": pa.array(np.minimum.reduceat(ts, st), type=pa.int64()),
             })
 
-        agg = (ds.map_batches(pick, batch_format="pyarrow")
-                 .groupby("user_id").aggregate(Min("ts_us")).to_pandas())
-        if agg.empty:  # no event of this type cleared the previous stage
-            return {}
-        return dict(zip(agg["user_id"].astype(int), agg["min(ts_us)"].astype(int)))
+        return fn
 
-    t1 = first_hits("signup", None)
-    t2 = first_hits("click", t1)
-    t3 = first_hits("purchase", t2)
+    def grouped_min(stream: ray.data.Dataset) -> ray.data.Dataset:
+        return (stream.groupby("user_id").aggregate(Min("ts_us"))
+                      .materialize())
 
-    from ray.data.aggregate import Count
+    def join_stage(etype: str, prev: ray.data.Dataset) -> ray.data.Dataset:
+        """Join tier: etype events semi-joined to the previous stage's
+        firsts, strictly-after filter, then the grouped Min.  The events
+        CANNOT be per-batch min-combined before the join — the per-user
+        threshold is unknown until the join lands, and a pre-min below the
+        threshold would mask a valid later candidate in the same batch —
+        so the join ships the etype slice raw (one event type's rows, not
+        the corpus) and the combiner runs after the filter."""
+        prev_r = prev.map_batches(
+            lambda b: pa.table({"uj": b.column("user_id"),
+                                "prev_us": b.column("min(ts_us)")}),
+            batch_format="pyarrow")
+
+        def slice_etype(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch.column("event_type"), etype))
+            return pa.table({
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            })
+
+        ev = ds.map_batches(slice_etype, batch_format="pyarrow")
+        joined = ev.join(prev_r, "inner",
+                         num_partitions=_join_partitions(ev, prev_r),
+                         on=("user_id",), right_on=("uj",))
+
+        def after_min(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.greater(b.column("ts_us"), b.column("prev_us")))
+            u = t.column("user_id").to_numpy().astype(np.int64)
+            ts = t.column("ts_us").to_numpy()
+            if len(u) == 0:
+                return pa.table({"user_id": pa.array([], type=pa.int64()),
+                                 "ts_us": pa.array([], type=pa.int64())})
+            order = np.argsort(u, kind="stable")
+            u, ts = u[order], ts[order]
+            st = np.r_[0, np.flatnonzero(np.diff(u)) + 1]
+            return pa.table({
+                "user_id": pa.array(u[st], type=pa.int64()),
+                "ts_us": pa.array(np.minimum.reduceat(ts, st),
+                                  type=pa.int64()),
+            })
+
+        return grouped_min(joined.map_batches(after_min,
+                                              batch_format="pyarrow"))
+
+    t1 = grouped_min(ds.map_batches(pick("signup", None),
+                                    batch_format="pyarrow"))
+    small = t1.count() <= cap  # later stages only shrink
+    if small:
+        r1 = ray.put(_sorted_user_ts(t1))
+        t2 = grouped_min(ds.map_batches(pick("click", r1),
+                                        batch_format="pyarrow"))
+        r2 = ray.put(_sorted_user_ts(t2))
+        t3 = grouped_min(ds.map_batches(pick("purchase", r2),
+                                        batch_format="pyarrow"))
+        r3 = ray.put(_sorted_user_ts(t3))
+    else:
+        t2 = join_stage("click", t1)
+        t3 = join_stage("purchase", t2)
 
     users = (ds.map_batches(
         lambda b: b.select(["user_id"]).group_by("user_id").aggregate([]),
         batch_format="pyarrow")
         .groupby("user_id").aggregate(Count()))
-    s1, s2, s3 = ray.put(t1), ray.put(t2), ray.put(t3)
 
-    def stage(batch: pa.Table, r1, r2, r3) -> pa.Table:
-        a, b, c = ray.get(r1), ray.get(r2), ray.get(r3)
+    if small:
+        def stage(batch: pa.Table, ra, rb, rc) -> pa.Table:
+            au, _ = ray.get(ra)
+            bu, _ = ray.get(rb)
+            cu, _ = ray.get(rc)
+            u = batch.column("user_id").to_numpy().astype(np.int64)
+
+            def member(arr: np.ndarray) -> np.ndarray:
+                if len(arr) == 0:
+                    return np.zeros(len(u), dtype=np.int64)
+                p = np.minimum(np.searchsorted(arr, u), len(arr) - 1)
+                return (arr[p] == u).astype(np.int64)
+
+            # stages nest (c ⊆ b ⊆ a by construction) so membership sums
+            st = member(au) + member(bu) + member(cu)
+            return pa.table({"user_id": pa.array(u, type=pa.int64()),
+                             "funnel_stage": pa.array(st, type=pa.int64())})
+
+        return users.map_batches(stage, batch_format="pyarrow",
+                                 fn_args=(r1, r2, r3))
+
+    # join tier: three left-outer joins onto the distinct-user set; stage =
+    # number of non-null first-hit timestamps (they nest).
+    out = users.select_columns(["user_id"])
+    for i, tk in enumerate((t1, t2, t3), start=1):
+        rhs = tk.map_batches(
+            lambda b, i=i: pa.table({f"u{i}": b.column("user_id"),
+                                     f"hit{i}": b.column("min(ts_us)")}),
+            batch_format="pyarrow")
+        out = out.join(rhs, "left_outer",
+                       num_partitions=_join_partitions(out, rhs),
+                       on=("user_id",), right_on=(f"u{i}",))
+
+    def assign(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").to_numpy().astype(np.int64)
-        st = np.fromiter((3 if x in c else 2 if x in b else 1 if x in a else 0
-                          for x in u), dtype=np.int64, count=len(u))
+        st = np.zeros(len(u), dtype=np.int64)
+        for i in (1, 2, 3):
+            st += pc.is_valid(batch.column(f"hit{i}")).to_numpy(
+                zero_copy_only=False).astype(np.int64)
         return pa.table({"user_id": pa.array(u, type=pa.int64()),
                          "funnel_stage": pa.array(st, type=pa.int64())})
 
-    return users.map_batches(stage, batch_format="pyarrow",
-                             fn_args=(s1, s2, s3))
+    return out.map_batches(assign, batch_format="pyarrow")
 
 
 def click_to_purchase(sf_dir: str,

@@ -771,37 +771,42 @@ def small_quantity_revenue(sf_dir: str) -> ray.data.Dataset:
     correlated-scalar-subquery filter, i.e. a fact table filtered against
     an aggregate of ITSELF).
 
-    Two passes over lineitem, no self-join shuffle: pass 1 is the native
-    partial-agg (Sum, Count) groupby per partkey; the resulting per-part
-    thresholds are a DIMENSION-sized table (bounded by |part|, not
-    |lineitem|) broadcast once as a dense direct-index array; pass 2
-    streams lineitem again, filters against the broadcast threshold and
-    partial-sums revenue.  Exactness note: quantities are integral, so
+    Two passes over lineitem, no shuffle at all: pass 1 is a per-batch
+    (partkey -> sum, count) combiner — each block reduces to at most
+    |parts-in-block| partial rows — and the partials merge on the driver
+    with one vectorized ``np.add.at`` (the repo's measured-40x-faster
+    alternative to the native multi-agg groupby; O(blocks x parts/block)
+    control-plane rows, bounded by the |part| DIMENSION, not |lineitem|).
+    The per-part thresholds broadcast once as a dense direct-index array;
+    pass 2 streams lineitem again, filters against the broadcast threshold
+    and partial-sums revenue.  Exactness note: quantities are integral, so
     both engines' double sums are exact and the strict-< boundary is
     bit-deterministic regardless of summation order."""
     import numpy as np
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
-    per_part = (li.groupby("l_partkey")
-                  .aggregate(Sum("l_quantity"), Count()))
 
-    def to_rows(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "pk": b.column("l_partkey"),
-            "lim": pc.multiply(
-                pc.divide(b.column("sum(l_quantity)"),
-                          pc.cast(b.column("count()"), pa.float64())),
-                pa.scalar(0.2)),
-        })
+    def per_part_partial(b: pa.Table) -> pa.Table:
+        k = b.column("l_partkey").to_numpy().astype(np.int64)
+        q = b.column("l_quantity").to_numpy().astype(np.float64)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk))
+        np.add.at(s, inv, q)
+        c = np.bincount(inv, minlength=len(uk)).astype(np.float64)
+        return pa.table({"pk": pa.array(uk), "s": pa.array(s),
+                         "c": pa.array(c)})
 
-    lim_ds = per_part.map_batches(to_rows, batch_format="pyarrow")
-    lim_tab = pa.concat_tables([ray.get(r) for r in lim_ds.to_arrow_refs()])
-    pk = lim_tab.column("pk").to_numpy().astype(np.int64)
-    lim = lim_tab.column("lim").to_numpy()
-    lut = np.full(pk.max() + 1, -np.inf)
-    lut[pk] = lim
+    part_ds = li.map_batches(per_part_partial, batch_format="pyarrow")
+    parts = pa.concat_tables([ray.get(r) for r in part_ds.to_arrow_refs()])
+    pk = parts.column("pk").to_numpy().astype(np.int64)
+    lut_s = np.zeros(pk.max() + 1)
+    lut_c = np.zeros(pk.max() + 1)
+    np.add.at(lut_s, pk, parts.column("s").to_numpy())
+    np.add.at(lut_c, pk, parts.column("c").to_numpy())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lut = np.where(lut_c > 0, 0.2 * lut_s / np.maximum(lut_c, 1), -np.inf)
     lut_ref = ray.put(lut)
 
     ds = _read(sf_dir, "lineitem",

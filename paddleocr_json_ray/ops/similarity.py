@@ -292,10 +292,13 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
 
         s = np.asarray(batch.column("sum(s)").to_pylist())
         n = np.asarray(batch.column("sum(n)").to_pylist())
+        # normalize IEEE -0.0 -> +0.0 so the byte hash matches the oracle
+        vals = np.array([_round_nd(v, 3) for v in s / n])
+        vals = np.where(vals == 0.0, 0.0, vals)
         return pa.table({
             "label": batch.column("label"),
             "dim": batch.column("dim"),
-            "avg_val": pa.array([_round_nd(v, 3) for v in s / n]),
+            "avg_val": pa.array(vals),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -344,10 +347,13 @@ def embedding_covariance(sf_dir: str) -> ray.data.Dataset:
     from .relational import _round_nd
 
     ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    # normalize IEEE -0.0 -> +0.0 so the byte hash matches the oracle
+    vals = np.array([_round_nd(v, 5) for v in cov.ravel()])
+    vals = np.where(vals == 0.0, 0.0, vals)
     return ray.data.from_arrow(pa.table({
         "dim_i": pa.array(ii.ravel(), type=pa.int64()),
         "dim_j": pa.array(jj.ravel(), type=pa.int64()),
-        "cov": pa.array([_round_nd(v, 5) for v in cov.ravel()]),
+        "cov": pa.array(vals),
     }))
 
 

@@ -1060,27 +1060,33 @@ def events_rolling_sum(sf_dir: str, window: int = 3) -> ray.data.Dataset:
     return finals.union(healed)
 
 
-def cohort_retention(sf_dir: str) -> ray.data.Dataset:
+def cohort_retention(sf_dir: str,
+                     broadcast_max_users: int | None = None) -> ray.data.Dataset:
     """(cohort_day_us, day_offset, n_users) — classic retention matrix:
     users grouped by first-seen day, counted on each later day they were
     active.  The two-table cohort shape (signup-cohort x activity) built
     from streaming parts:
 
-      * first-seen day per user: native Min groupby (users-bounded),
-        broadcast once as a user -> cohort lookup;
+      * first-seen day per user: native Min groupby (users-bounded);
       * activity days: per-batch distinct (user, day) combiner then the
         distinct-pair groupby (pairs bounded by users x days, never raw
         events);
-      * one vectorized lookup turns pairs into (cohort, offset) keys for
-        the final native Count groupby.
-
-    Partitioning assumption: the per-user cohort table fits the object
-    store (8+8 bytes per user); beyond that the lookup becomes a
-    partitioned hash join keyed like relational._join_partitions."""
+      * the pair -> (cohort, offset) keying runs in TWO TIERS on user
+        cardinality (default $PJR_COHORT_BROADCAST_MAX or 10M): under the
+        cap the first-seen table broadcasts as two sorted int64 arrays
+        (16 B/user, assembled from Arrow refs — no pandas) and keys each
+        batch with one ``np.searchsorted``; beyond it the SAME keying is a
+        partitioned hash join of the pairs against the first-seen table,
+        so a billion-user table never lands on the driver.  Both tiers
+        feed the identical final Count groupby and are equality-tested
+        (tests/test_joins.py pins ``broadcast_max_users=0``)."""
     from ray.data.aggregate import Count, Min
 
     from ..sources.readers import read_table
+    from .relational import _join_partitions
 
+    cap = (broadcast_max_users if broadcast_max_users is not None
+           else int(os.environ.get("PJR_COHORT_BROADCAST_MAX", 10_000_000)))
     DAY_US = 86_400_000_000
     ds = read_table(sf_dir, "events", ["user_id", "ts"])
 
@@ -1094,17 +1100,13 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
         })
 
     days = ds.map_batches(to_days, batch_format="pyarrow")
-    first = (days.groupby("user_id").aggregate(Min("day_us"))).to_pandas()
-    if first.empty:  # empty events table
+    first = days.groupby("user_id").aggregate(Min("day_us")).materialize()
+    n_users = first.count()
+    if n_users == 0:  # empty events table
         return ray.data.from_arrow(pa.table({
             "cohort_day_us": pa.array([], type=pa.int64()),
             "day_offset": pa.array([], type=pa.int64()),
             "n_users": pa.array([], type=pa.int64())}))
-    lut_ids = np.sort(first["user_id"].to_numpy().astype(np.int64))
-    order = np.argsort(first["user_id"].to_numpy().astype(np.int64))
-    lut_cohort = first["min(day_us)"].to_numpy().astype(np.int64)[order]
-    import ray as _ray
-    ids_ref, coh_ref = _ray.put(lut_ids), _ray.put(lut_cohort)
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
         return batch.group_by(["user_id", "day_us"]).aggregate([])
@@ -1112,21 +1114,44 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
     pairs = (days.map_batches(distinct_pairs, batch_format="pyarrow")
                  .groupby(["user_id", "day_us"]).aggregate(Count()))
 
-    def keyed(batch: pa.Table, i_ref, c_ref) -> pa.Table:
-        ids = _ray.get(i_ref)
-        coh = _ray.get(c_ref)
-        u = batch.column("user_id").to_numpy().astype(np.int64)
-        d = batch.column("day_us").to_numpy().astype(np.int64)
-        pos = np.searchsorted(ids, u)
-        c = coh[pos]  # every active user has a first day by construction
-        return pa.table({
-            "cohort_day_us": pa.array(c, type=pa.int64()),
-            "day_offset": pa.array((d - c) // DAY_US, type=pa.int64()),
-        })
+    if n_users <= cap:
+        from .joins import _sorted_user_ts
 
-    agg = (pairs.map_batches(keyed, batch_format="pyarrow",
-                             fn_args=(ids_ref, coh_ref))
-                .groupby(["cohort_day_us", "day_offset"]).aggregate(Count()))
+        ids_coh_ref = ray.put(_sorted_user_ts(first, ts_col="min(day_us)"))
+
+        def keyed(batch: pa.Table, ref) -> pa.Table:
+            ids, coh = ray.get(ref)
+            u = batch.column("user_id").to_numpy().astype(np.int64)
+            d = batch.column("day_us").to_numpy().astype(np.int64)
+            pos = np.searchsorted(ids, u)
+            c = coh[pos]  # every active user has a first day by construction
+            return pa.table({
+                "cohort_day_us": pa.array(c, type=pa.int64()),
+                "day_offset": pa.array((d - c) // DAY_US, type=pa.int64()),
+            })
+
+        keyed_ds = pairs.map_batches(keyed, batch_format="pyarrow",
+                                     fn_args=(ids_coh_ref,))
+    else:
+        firsts_r = first.map_batches(
+            lambda b: pa.table({"uf": b.column("user_id"),
+                                "cohort_us": b.column("min(day_us)")}),
+            batch_format="pyarrow")
+        joined = pairs.join(firsts_r, "inner",
+                            num_partitions=_join_partitions(pairs, firsts_r),
+                            on=("user_id",), right_on=("uf",))
+
+        def keyed_join(batch: pa.Table) -> pa.Table:
+            d = batch.column("day_us").to_numpy().astype(np.int64)
+            c = batch.column("cohort_us").to_numpy().astype(np.int64)
+            return pa.table({
+                "cohort_day_us": pa.array(c, type=pa.int64()),
+                "day_offset": pa.array((d - c) // DAY_US, type=pa.int64()),
+            })
+
+        keyed_ds = joined.map_batches(keyed_join, batch_format="pyarrow")
+
+    agg = keyed_ds.groupby(["cohort_day_us", "day_offset"]).aggregate(Count())
     return agg.map_batches(
         lambda b: pa.table({
             "cohort_day_us": b.column("cohort_day_us"),

@@ -400,3 +400,43 @@ def test_hour_window_sum_in_block_peers(ray_session, tmp_path):
     assert got.loc[0] == got.loc[1] == got.loc[2] == 700  # full peer burst
     assert got.loc[3] == 1500
     assert got.loc[4] == 1600  # 2h later: own row only
+
+
+def test_funnel_and_cohort_tier_equality_hot_key(ray_session, tmp_path):
+    """user_funnel / cohort_retention join tier (broadcast_max_users=0 —
+    the beyond-object-store path that never materializes a per-user table
+    on the driver) must equal the broadcast tier, on a corpus where one
+    user owns 50% of the events (hot-key skew)."""
+    from paddleocr_json_ray.ops import joins, windows
+
+    rng = np.random.default_rng(77)
+    n = 4000
+    hot = rng.random(n) < 0.5
+    users = np.where(hot, 7, rng.integers(100, 160, size=n)).astype(np.int64)
+    base = 1_600_000_000_000_000
+    ts = base + rng.integers(0, 20 * 86_400_000_000, size=n)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+        "event_type": pa.array(rng.choice(
+            ["signup", "click", "purchase", "view"], size=n)),
+        "value": pa.array(rng.uniform(0, 10, size=n)),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+
+    import pandas as pd
+
+    fa = (joins.user_funnel(str(tmp_path)).to_pandas()
+          .sort_values("user_id", ignore_index=True))
+    fb = (joins.user_funnel(str(tmp_path), broadcast_max_users=0).to_pandas()
+          .sort_values("user_id", ignore_index=True))
+    pd.testing.assert_frame_equal(fa, fb)
+    assert int(fa.loc[fa.user_id == 7, "funnel_stage"].iloc[0]) == 3
+
+    cols = ["cohort_day_us", "day_offset"]
+    ca = (windows.cohort_retention(str(tmp_path)).to_pandas()
+          .sort_values(cols, ignore_index=True))
+    cb = (windows.cohort_retention(str(tmp_path), broadcast_max_users=0)
+          .to_pandas().sort_values(cols, ignore_index=True))
+    pd.testing.assert_frame_equal(ca, cb)
+    assert len(ca) > 0
