@@ -90,8 +90,8 @@ class PipelineConfig:
             raise ValueError(f"unknown parser {self.parser!r}; choose from {sorted(PARSERS)}")
         if self.det_db_score_mode not in ("slow", "fast"):
             raise ValueError("det_db_score_mode must be 'slow' or 'fast'")
-        if self.backend not in ("pixel", "paddle"):
-            raise ValueError("backend must be 'pixel' or 'paddle'")
+        if self.backend not in ("pixel", "onnx", "paddle"):
+            raise ValueError("backend must be 'pixel', 'onnx' or 'paddle'")
         if self.assemble_mode not in ("auto", "shuffle"):
             raise ValueError("assemble_mode must be 'auto' or 'shuffle'")
         if not self.det and not self.rec:

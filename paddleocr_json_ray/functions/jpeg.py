@@ -10,10 +10,19 @@ most common real-world payload format the reference accepts via OpenCV
     Huffman tables, byte stuffing.  Quality 100 quantizes every
     coefficient by 1 — error is then only DCT float round-trip (max ~±2
     per sample).
-  * Decoder: baseline SOF0, 1- or 3-component, sampling factors 1 or 2
-    (4:4:4 / 4:2:2 / 4:2:0), multiple DQT/DHT segments, restart markers,
-    16-bit quant precision.  Returns HxWx3 uint8 RGB or ``None`` for
-    malformed/unsupported payloads (progressive, arithmetic, 12-bit).
+  * Decoder: baseline SOF0/SOF1 and PROGRESSIVE SOF2 (spectral selection +
+    successive approximation, DC/AC first and refinement scans, EOB runs —
+    T.81 Annex G, the format libjpeg writes by default for web images and
+    the reference accepts via ``cv::imdecode``), 1- or 3-component,
+    sampling factors 1 or 2 (4:4:4 / 4:2:2 / 4:2:0), multiple DQT/DHT
+    segments, restart markers, 16-bit quant precision.  Returns HxWx3
+    uint8 RGB or ``None`` for malformed/unsupported payloads (arithmetic,
+    12-bit, lossless).
+  * ``encode_jpeg_progressive``: SOF2 writer (4:4:4) with a scan script
+    covering all four progressive scan types (DC first at Al=1, per-
+    component AC first at Al=1 with EOB runs, DC refinement, AC
+    refinement) — exists so the decoder's progressive paths are
+    round-trip-testable without external codecs.
 
 The JPEG DCT is the orthonormal DCT-II: with T[k,n] = c(k) sqrt(2/8)
 cos((2n+1) k pi / 16), c(0)=1/sqrt2, FDCT(B) = T B T', IDCT(S) = T' S T.
@@ -459,7 +468,8 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
     htabs: dict[tuple[int, int], _DecodeTable] = {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    coeffs = None  # progressive: per-component accumulated zigzag coeffs
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             return None
         marker = payload[pos + 1]
@@ -467,6 +477,8 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
+            if coeffs is not None:  # progressive: all scans accumulated
+                return _reconstruct_progressive(frame, coeffs, qtabs)
             return None  # EOI before SOS
         if pos + 2 > len(payload):
             return None
@@ -492,7 +504,7 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
                 vals = list(body[i + 17:i + 17 + n])
                 htabs[(tc, th)] = _DecodeTable(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc not in (1, 3):
                 return None
@@ -500,10 +512,11 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive/arithmetic unsupported
+            return None  # lossless/arithmetic unsupported
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -513,12 +526,23 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
             scan = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c:3 + 2 * c]
-                comp = next((cc for cc in frame["comps"] if cc["id"] == cs), None)
+                comp = next((i for i, cc in enumerate(frame["comps"])
+                             if cc["id"] == cs), None)
                 if comp is None:
                     return None
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(payload, pos + seglen, frame, scan, qtabs,
-                                htabs, restart_interval)
+            if not frame.get("progressive"):
+                scan_b = [(frame["comps"][i], td, ta) for i, td, ta in scan]
+                return _decode_scan(payload, pos + seglen, frame, scan_b,
+                                    qtabs, htabs, restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if coeffs is None:
+                coeffs = _alloc_progressive_coeffs(frame)
+            pos = _decode_progressive_scan(
+                payload, pos + seglen, frame, scan, ss, se,
+                ahal >> 4, ahal & 0x0F, htabs, restart_interval, coeffs)
+            continue
         pos += seglen
     return None
 
@@ -572,3 +596,389 @@ def _decode_scan(payload, pos, frame, scan, qtabs, htabs, restart_interval):
         y = np.clip(out[0].round(), 0, 255).astype(np.uint8)
         return np.repeat(y[..., None], 3, axis=2)
     return _ycbcr_to_rgb(np.stack(out, axis=-1))
+
+
+# ------------------------------------------------- progressive (T.81 G.2)
+def _comp_geometry(frame, ci):
+    """Per-component block geometry: (padded_bw, padded_bh) sized to the
+    interleaved MCU grid, (nw, nh) the non-interleaved block counts."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    c = comps[ci]
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    comp_w = -(-frame["w"] * c["h"] // hmax)   # ceil(w * h_i / hmax)
+    comp_h = -(-frame["h"] * c["v"] // vmax)
+    nw = -(-comp_w // 8)
+    nh = -(-comp_h // 8)
+    return mcux * c["h"], mcuy * c["v"], nw, nh, mcux, mcuy
+
+
+def _alloc_progressive_coeffs(frame):
+    """One (padded_bh, padded_bw, 64) int array per component, zigzag
+    coefficient order, accumulated across scans."""
+    out = []
+    for ci in range(len(frame["comps"])):
+        bw, bh, _, _, _, _ = _comp_geometry(frame, ci)
+        out.append(np.zeros((bh, bw, 64), dtype=np.int64))
+    return out
+
+
+def _next_marker_pos(payload: bytes, pos: int) -> int:
+    """First byte of the next real marker at/after ``pos`` (skips entropy
+    data, stuffed 0xFF00 and RSTn)."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(payload, pos, frame, scan, ss, se, ah, al,
+                             htabs, restart_interval, coeffs) -> int:
+    """Decode one progressive scan into ``coeffs``; returns the position of
+    the marker following the scan's entropy data.
+
+    Four scan types (T.81 G.2 / libjpeg jdphuff.c): DC first (Ss=0, Ah=0,
+    possibly interleaved), DC refinement (one bit per block), AC first
+    (single component, EOB runs), AC refinement (correction bits woven
+    between newly-nonzero coefficients)."""
+    br = _BitReader(payload, pos)
+    if ss == 0:  # ---- DC scan (interleaved or single-component)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        interleaved = len(scan) > 1
+        preds = [0] * len(scan)
+        if interleaved:
+            _, _, _, _, mcux, mcuy = _comp_geometry(frame, scan[0][0])
+            n_mcu = mcux * mcuy
+        else:
+            _, _, nw, nh, _, _ = _comp_geometry(frame, scan[0][0])
+            n_mcu = nw * nh
+        for m in range(n_mcu):
+            if restart_interval and m and m % restart_interval == 0:
+                br.restart()
+                preds = [0] * len(scan)
+            for si, (ci, td, _ta) in enumerate(scan):
+                comp = frame["comps"][ci]
+                if interleaved:
+                    my, mx = divmod(m, mcux)
+                    blocks = [(my * comp["v"] + by, mx * comp["h"] + bx)
+                              for by in range(comp["v"])
+                              for bx in range(comp["h"])]
+                else:
+                    _, _, nw, _, _, _ = _comp_geometry(frame, ci)
+                    blocks = [divmod(m, nw)]
+                for by, bx in blocks:
+                    if ah == 0:  # first pass
+                        s = _huff_decode(br, htabs[(0, td)])
+                        diff = _extend(br.bits(s), s)
+                        preds[si] += diff
+                        coeffs[ci][by, bx, 0] = preds[si] << al
+                    else:  # refinement: one bit
+                        if br.bits(1):
+                            coeffs[ci][by, bx, 0] |= 1 << al
+        return _next_marker_pos(payload, br.pos)
+
+    # ---- AC scan: single component only (T.81 G.1.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("interleaved AC progressive scan")
+    ci, _td, ta = scan[0]
+    actab = htabs[(1, ta)]
+    _, _, nw, nh, _, _ = _comp_geometry(frame, ci)
+    plane = coeffs[ci]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    for m in range(nw * nh):
+        if restart_interval and m and m % restart_interval == 0:
+            br.restart()
+            eobrun = 0
+        by, bx = divmod(m, nw)
+        blk = plane[by, bx]
+        if ah == 0:  # ---- AC first pass
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_decode(br, actab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC index out of band")
+                blk[k] = _extend(br.bits(s), s) << al
+                k += 1
+        else:  # ---- AC refinement pass
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(br, actab)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # r == 15: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("bad refinement size")
+                        val = p1 if br.bits(1) else m1
+                    while k <= se:
+                        c = blk[k]
+                        if c != 0:
+                            if br.bits(1) and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                if s:
+                                    blk[k] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = blk[k]
+                    if c != 0:
+                        if br.bits(1) and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return _next_marker_pos(payload, br.pos)
+
+
+def _reconstruct_progressive(frame, coeffs, qtabs):
+    """Dequantize + IDCT the accumulated coefficients, assemble planes."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out = []
+    for ci, comp in enumerate(comps):
+        q = qtabs.get(comp["tq"])
+        if q is None:
+            return None
+        zz = coeffs[ci].reshape(-1, 64) * q[None, :]
+        nat = np.zeros_like(zz, dtype=np.float64)
+        nat[:, _ZIGZAG] = zz
+        blocks = nat.reshape(-1, 8, 8)
+        spatial = np.einsum("ji,njk,kl->nil", _T, blocks, _T) + 128.0
+        bh, bw = coeffs[ci].shape[:2]
+        plane = (spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                        .reshape(bh * 8, bw * 8))
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out.append(plane[:h, :w])
+    if len(out) == 1:
+        y = np.clip(out[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(y[..., None], 3, axis=2)
+    return _ycbcr_to_rgb(np.stack(out, axis=-1))
+
+
+# --------------------------------------------------- progressive encoder
+# Flat 9-bit AC Huffman table covering every symbol a progressive AC scan
+# can emit (EOB runs r<<4 for r<=14, ZRL 0xF0, (run, size) pairs) — the
+# standard Annex K tables lack the EOB-run symbols, and correctness (not
+# compression) is what this writer exists for.
+_AC_PROG_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+_AC_PROG_BITS = [0] * 16
+_AC_PROG_BITS[8] = len(_AC_PROG_VALS)  # all codes 9 bits long
+
+
+def _emit_eobrun(bw: _BitWriter, actab: dict, state: dict):
+    """Flush a pending EOB run and the correction bits riding with it."""
+    if state["eobrun"] > 0:
+        nb = state["eobrun"].bit_length() - 1
+        code, ln = actab[nb << 4]
+        bw.put(code, ln)
+        if nb:
+            bw.put(state["eobrun"] & ((1 << nb) - 1), nb)
+        state["eobrun"] = 0
+        for b in state["be"]:
+            bw.put(b, 1)
+        state["be"] = []
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """8-bit RGB (or gray) -> PROGRESSIVE (SOF2) JFIF JPEG, YCbCr 4:4:4.
+
+    Scan script exercises every progressive scan type the decoder
+    implements: (1) interleaved DC first at Al=1; (2-4) per-component AC
+    first Ss=1..63 at Al=1 (EOB-run coded); (5) DC refinement Ah=1->Al=0;
+    (6-8) per-component AC refinement with buffered correction bits
+    (T.81 G.1.2.2-3, the libjpeg jcphuff algorithm)."""
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    img = np.ascontiguousarray(img[..., :3], dtype=np.uint8)
+    h, w, _ = img.shape
+    qlum, qchrom = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(img)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    qy = qlum.reshape(8, 8).astype(np.float64)
+    qc = qchrom.reshape(8, 8).astype(np.float64)
+    comps = [_quant_blocks(pad[..., 0], qy),
+             _quant_blocks(pad[..., 1], qc),
+             _quant_blocks(pad[..., 2], qc)]
+    n_blk = comps[0].shape[0]
+
+    dc_tabs = [_build_encode_table(_DC_LUM_BITS, _DC_LUM_VALS),
+               _build_encode_table(_DC_CHROM_BITS, _DC_CHROM_VALS),
+               _build_encode_table(_DC_CHROM_BITS, _DC_CHROM_VALS)]
+    actab = _build_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(comp_specs: list[tuple[int, int, int]], ss: int, se: int,
+            ah: int, al: int, entropy: bytes) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body) + entropy
+
+    # ---- scan 1: DC first, interleaved, Al=1
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(n_blk):
+        for ci in range(3):
+            v = int(comps[ci][m, 0]) >> 1        # point transform
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = _mag_cat(diff)
+            code, ln = dc_tabs[ci][s]
+            bw.put(code, ln)
+            if s:
+                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    dc_first = bw.out
+
+    # ---- scans 2-4: AC first per component, Ss=1..63, Al=1
+    ac_first = []
+    for ci in range(3):
+        bw = _BitWriter()
+        state = {"eobrun": 0, "be": []}
+        for m in range(n_blk):
+            blk = comps[ci][m]
+            r = 0
+            wrote = False
+            for k in range(1, 64):
+                v = int(blk[k])
+                t = (abs(v) >> 1) * (1 if v >= 0 else -1)
+                if t == 0:
+                    r += 1
+                    continue
+                _emit_eobrun(bw, actab, state)
+                while r > 15:
+                    code, ln = actab[0xF0]
+                    bw.put(code, ln)
+                    r -= 16
+                s = _mag_cat(t)
+                code, ln = actab[(r << 4) | s]
+                bw.put(code, ln)
+                bw.put(t if t >= 0 else t + (1 << s) - 1, s)
+                r = 0
+                wrote = True
+            if r > 0 or not wrote:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    _emit_eobrun(bw, actab, state)
+        _emit_eobrun(bw, actab, state)
+        bw.flush()
+        ac_first.append(bw.out)
+
+    # ---- scan 5: DC refinement, interleaved, Ah=1 -> Al=0
+    bw = _BitWriter()
+    for m in range(n_blk):
+        for ci in range(3):
+            bw.put(int(comps[ci][m, 0]) & 1, 1)
+    bw.flush()
+    dc_refine = bw.out
+
+    # ---- scans 6-8: AC refinement per component, Ah=1 -> Al=0
+    ac_refine = []
+    for ci in range(3):
+        bw = _BitWriter()
+        state = {"eobrun": 0, "be": []}
+        for m in range(n_blk):
+            blk = comps[ci][m]
+            ab = np.abs(blk[1:64])
+            nz = np.flatnonzero(ab)
+            eob = int(nz[-1]) + 1 if len(nz) else 0
+            r = 0
+            br: list[int] = []
+            for k in range(1, 64):
+                temp = int(ab[k - 1])
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    _emit_eobrun(bw, actab, state)
+                    code, ln = actab[0xF0]
+                    bw.put(code, ln)
+                    r -= 16
+                    for b in br:
+                        bw.put(b, 1)
+                    br = []
+                if temp > 1:  # history-nonzero: buffer the correction bit
+                    br.append(temp & 1)
+                    continue
+                _emit_eobrun(bw, actab, state)
+                code, ln = actab[(r << 4) | 1]
+                bw.put(code, ln)
+                bw.put(1 if int(blk[k]) >= 0 else 0, 1)
+                for b in br:
+                    bw.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                state["eobrun"] += 1
+                state["be"].extend(br)
+                if state["eobrun"] == 0x7FFF:
+                    _emit_eobrun(bw, actab, state)
+        _emit_eobrun(bw, actab, state)
+        bw.flush()
+        ac_refine.append(bw.out)
+
+    def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([tc_th]) + bytes(bits) + bytes(vals)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qlum[_ZIGZAG].tolist()))
+    out += seg(0xFFDB, b"\x01" + bytes(qchrom[_ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    out += seg(0xFFC2, sof)  # SOF2: progressive
+    out += seg(0xFFC4, dht(0x00, _DC_LUM_BITS, _DC_LUM_VALS))
+    out += seg(0xFFC4, dht(0x01, _DC_CHROM_BITS, _DC_CHROM_VALS))
+    out += seg(0xFFC4, dht(0x10, _AC_PROG_BITS, _AC_PROG_VALS))
+    out += bytes(sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1, dc_first))
+    for ci, cid in enumerate((1, 2, 3)):
+        out += bytes(sos([(cid, 0, 0)], 1, 63, 0, 1, ac_first[ci]))
+    out += bytes(sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0, dc_refine))
+    for ci, cid in enumerate((1, 2, 3)):
+        out += bytes(sos([(cid, 0, 0)], 1, 63, 1, 0, ac_refine[ci]))
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -223,11 +223,15 @@ def rec_blocks(items: list[DetItem], crops: list, cfg: PipelineConfig,
                     normalize(crnn_resize(crops[pos], cfg.rec_img_h, max_ratio),
                               REC_MEAN, REC_SCALE) for pos in chunk])
             for off, pos in enumerate(chunk):
-                if cfg.det:
+                if cfg.det and hasattr(rec_backend, "logits_from_tensor"):
+                    # real-model backends (onnx) emit CTC logits directly
+                    logits = rec_backend.logits_from_tensor(batch_t[off])
+                elif cfg.det:
                     raw = rec_backend.read_tensor(batch_t[off])
+                    logits = rec_backend.logits_for(raw)
                 else:  # whole-image mode reads the raster's kernel bands
                     raw = rec_backend.read_crop(crops[pos], whole_image=True)
-                logits = rec_backend.logits_for(raw)
+                    logits = rec_backend.logits_for(raw)
                 text, score = ctc_greedy_decode(logits, rec_backend.label_list)
                 if math.isnan(score):
                     continue  # slot stays empty (cpp/src/ocr_rec.cpp:124-127)

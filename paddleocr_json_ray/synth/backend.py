@@ -34,14 +34,21 @@ def make_backends(cfg, dict_chars: list[str]):
     """Backend factory — the seam where a real-model backend plugs in.
 
     ``backend='pixel'`` returns the pixel-driven trio below;
-    ``backend='paddle'`` is the drop-in slot for Paddle-Inference/ONNX
-    weights (``cfg.models_path``), unavailable in this container."""
+    ``backend='onnx'`` loads real exported weights from ``cfg.models_path``
+    through stages/onnx_backend (import-guarded; the seam is contract-
+    tested with a mocked session in tests/test_onnx_backend.py);
+    ``backend='paddle'`` is the Paddle-Inference slot, unavailable here."""
+    if cfg.backend == "onnx":
+        from ..stages.onnx_backend import make_onnx_backends
+
+        return make_onnx_backends(cfg, dict_chars)
     if cfg.backend == "paddle":
         raise NotImplementedError(
-            "paddle backend requires paddle-inference/onnxruntime + model "
-            "weights (cfg.models_path); this environment ships neither — "
-            "the pixel backend exercises the same interfaces and all "
-            "pre/post-processing math (SURVEY.md §7.4)")
+            "paddle backend requires paddle-inference + model weights "
+            "(cfg.models_path); this environment ships neither — use "
+            "backend='onnx' for exported weights, or the pixel backend "
+            "which exercises the same interfaces and all pre/post-"
+            "processing math (SURVEY.md §7.4)")
     return (PixelDetBackend(cfg), PixelRecBackend(dict_chars),
             PixelClsBackend() if cfg.cls else None)
 

@@ -264,3 +264,65 @@ def test_jpeg_through_envelope():
     code, _, _, _ = ocr_media_ref("b64:" + base64.b64encode(bad).decode(),
                                   cfg, *backends)
     assert code == errors.CODE_ERR_BASE64_IM_DECODE
+
+
+@pytest.mark.parametrize("quality", [100, 90, 70, 35])
+def test_progressive_jpeg_bit_equals_baseline(quality):
+    """The progressive (SOF2) decode path reconstructs coefficients
+    BIT-EXACTLY equal to the baseline decode of the same image at the same
+    quality — DC/AC first passes, successive-approximation refinement and
+    EOB runs all verified against the sequential pipeline."""
+    from paddleocr_json_ray.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                                   encode_jpeg_progressive)
+
+    rng = np.random.default_rng(11)
+    img = (rng.integers(0, 256, size=(41, 67, 3)).astype(float) * 0.3
+           + 100).astype(np.uint8)
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+    base = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert prog is not None
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_jpeg_edges_odd_sizes_gray():
+    from paddleocr_json_ray.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                                   encode_jpeg_progressive)
+
+    img = np.zeros((130, 201, 3), np.uint8)
+    img[10:60, 20:180] = [255, 0, 0]
+    img[70:120, 40:90] = [0, 255, 128]
+    img[::7, :] = 255
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=92))
+    base = decode_jpeg(encode_jpeg(img, quality=92))
+    np.testing.assert_array_equal(prog, base)
+    gray = (np.outer(np.arange(50), np.ones(71)) % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_progressive(gray, quality=88))
+    assert dec is not None and dec.shape == (50, 71, 3)
+    # truncated progressive payload -> None, not an exception
+    good = encode_jpeg_progressive(img, quality=80)
+    assert decode_jpeg(good[:100]) is None
+    assert decode_jpeg(good[:len(good) // 2]) is None
+
+
+def test_progressive_jpeg_through_envelope():
+    """A PROGRESSIVE payload round-trips the envelope with code 100 and
+    codec-independent OCR output (same det boxes as the SIMG source; text
+    >= 0.75 similar — identical to the baseline-JPEG envelope contract,
+    since the progressive decode is bit-equal to baseline)."""
+    from paddleocr_json_ray.functions.jpeg import encode_jpeg_progressive
+
+    cfg = PipelineConfig()
+    backends = make_backends(cfg, CHARS)
+    simg_payload = _simg_payload()
+    from paddleocr_json_ray.synth.imaging import decode as simg_decode, raster_seed
+    raster = render_raster(simg_decode(simg_payload), raster_seed(simg_payload))
+    ref_simg = "b64:" + base64.b64encode(simg_payload).decode()
+    ref_prog = "b64:" + base64.b64encode(
+        encode_jpeg_progressive(raster, quality=100)).decode()
+    code_a, _, blocks_a, text_a = ocr_media_ref(ref_simg, cfg, *backends)
+    code_b, _, blocks_b, text_b = ocr_media_ref(ref_prog, cfg, *backends)
+    assert code_a == code_b == errors.CODE_OK
+    assert [b["box"] for b in blocks_a] == [b["box"] for b in blocks_b]
+    import difflib
+
+    assert difflib.SequenceMatcher(None, text_a, text_b).ratio() >= 0.75
