@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": text_ops.compression_ratio,  # zlib signal, rows-only
         "pii_scrub": text_ops.pii_scrub,
         "word_repetition": text_ops.word_repetition,
+        "gopher_repetition": text_ops.gopher_repetition,
         "split_assign": text_ops.split_assign,
         "length_histogram": text_ops.length_histogram,
         "sample_docs": text_ops.sample_docs,
@@ -141,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- similarity search ----
         "knn_brute": similarity.knn_brute,
         "knn_ivf": similarity.knn_ivf,            # ANN, rows-only by design
+        "knn_pq": similarity.knn_pq,              # PQ/ADC ANN, rows-only by design
         "kmeans_embeddings": similarity.kmeans_embeddings,  # iterative, rows-only
         "label_centroids": similarity.label_centroids,
         "embedding_covariance": similarity.embedding_covariance,
@@ -508,7 +510,7 @@ ORDER BY n DESC, w1, w2 LIMIT 30""",
         "custs_without_orders": """
 SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)""",
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)""",
         "pii_scrub": """
 SELECT doc_id,
        regexp_replace(
@@ -860,6 +862,48 @@ FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
         "sample_docs": """
 SELECT doc_id FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200""",
+        "gopher_repetition": """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS pos
+  FROM documents),
+tot AS (SELECT doc_id, sum(length(word)) AS total, count(*) AS n
+        FROM w GROUP BY doc_id),
+b AS (SELECT doc_id,
+             word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM w QUALIFY g IS NOT NULL),
+bc AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY doc_id, g),
+btop AS (SELECT doc_id, (length(g) - 1) * n AS chars FROM (
+           SELECT doc_id, g, n,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY n DESC, g) AS rn
+           FROM bc) WHERE rn = 1),
+t3 AS (SELECT doc_id,
+              word || ' ' || lead(word, 1) OVER win
+                   || ' ' || lead(word, 2) OVER win AS g
+       FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+       QUALIFY g IS NOT NULL),
+tc AS (SELECT doc_id, g, count(*) AS n FROM t3 GROUP BY doc_id, g),
+tdup AS (SELECT doc_id, CAST(sum((length(g) - 2) * n) AS BIGINT) AS chars
+         FROM tc WHERE n >= 2 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN tot.n >= 2
+            THEN coalesce(btop.chars, 0) * 1000 // tot.total
+            ELSE 0 END AS BIGINT) AS top2gram_milli,
+       CAST(CASE WHEN tot.n >= 3
+            THEN coalesce(tdup.chars, 0) * 1000 // tot.total
+            ELSE 0 END AS BIGINT) AS dup3gram_milli
+FROM documents d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN btop ON btop.doc_id = d.doc_id
+LEFT JOIN tdup ON tdup.doc_id = d.doc_id""",
+        "weighted_sample": """
+SELECT doc_id, n_chars AS weight FROM documents
+ORDER BY -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+              ::UBIGINT::DOUBLE + 1) / 18446744073709551616.0)
+         / greatest(n_chars, 1),
+         doc_id
+LIMIT 200""",
         "shuffle_positions": """
 SELECT doc_id,
        row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos

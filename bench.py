@@ -118,7 +118,10 @@ def run_suite() -> dict:
                 "weighted_median_price", "copurchase_pagerank",
                 "event_transitions", "fuzzy_decontaminate", "props_k_stats",
                 "events_dow_hour", "lineitem_unpivot", "user_activity_skew",
-                "adaptive_quality_filter"]
+                "adaptive_quality_filter",
+                # round-4 additions
+                "gopher_repetition", "knn_pq", "user_funnel",
+                "cohort_retention"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

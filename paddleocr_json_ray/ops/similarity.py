@@ -252,6 +252,144 @@ def knn_ivf(sf_dir: str, n_queries: int = 8, k: int = 5,
                                               batch_format="pyarrow"))
 
 
+# ------------------------------------------------ product quantization (PQ)
+PQ_ROOT = os.environ.get("PJR_PQ_ROOT", "/tmp/pjr_pq")
+_PQ_VERSION = 1
+
+
+def _pq_codebooks(sample: np.ndarray, m: int, ks: int,
+                  iters: int = 10) -> np.ndarray:
+    """[m, ks, d/m] per-subspace Lloyd codebooks (Jégou et al., TPAMI 2011
+    §III).  Deterministic: init = the first ``ks`` sample rows; empty cells
+    keep their centroid; ties break to the lower code."""
+    n, d = sample.shape
+    sub = d // m
+    books = np.empty((m, ks, sub))
+    for j in range(m):
+        x = sample[:, j * sub:(j + 1) * sub]
+        c = x[:ks].copy()
+        for _ in range(iters):
+            d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ c.T)
+                  + (c * c).sum(1)[None, :])
+            a = np.argmin(d2, axis=1)
+            for ci in range(ks):
+                mask = a == ci
+                if mask.any():
+                    c[ci] = x[mask].mean(axis=0)
+        books[j] = c
+    return books
+
+
+def _pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """[N, D] -> [N, m] uint8 code matrix (nearest centroid per subspace)."""
+    m, ks, sub = books.shape
+    codes = np.empty((mat.shape[0], m), dtype=np.uint8)
+    for j in range(m):
+        x = mat[:, j * sub:(j + 1) * sub]
+        c = books[j]
+        d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ c.T)
+              + (c * c).sum(1)[None, :])
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def build_pq_index(sf_dir: str, m: int = 8, ks: int = 16,
+                   train_n: int = 2048, force: bool = False) -> tuple[str, np.ndarray]:
+    """One streaming pass: PQ-encode every vector and write the CODES-ONLY
+    index (vec_id + m uint8 codes = m+8 bytes/vector vs 8 bytes/dim raw —
+    32x smaller at D=64/m=8).  At 100 TB this is the amortized index-build
+    job; the query scan then reads codes, never raw vectors.  Codebooks
+    train on a deterministic vec_id-pruned sample (sample-bounded driver
+    memory) and are persisted beside the codes for reuse."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(PQ_ROOT, f"{name}-m{m}-ks{ks}-{_PQ_VERSION}")
+    marker = os.path.join(out, "_COMPLETE")
+    books_path = os.path.join(out, "codebooks.npy")
+    if os.path.exists(marker) and not force:
+        return os.path.join(out, "codes"), np.load(books_path)
+    import pyarrow.parquet as pq
+
+    sample_tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"],
+                               filters=[("vec_id", "<", train_n)])
+    order = np.argsort(sample_tab.column("vec_id").to_numpy())
+    sample = _normalize(_mat(sample_tab.column("embedding")))[order]
+    books = _pq_codebooks(sample, m, ks)
+    books_ref = ray.put(books)
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def encode(batch: pa.Table, ref) -> pa.Table:
+        b = ray.get(ref)
+        codes = _pq_encode(_normalize(_mat(batch.column("embedding"))), b)
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "codes": pa.array([c.tobytes() for c in codes], type=pa.binary()),
+        })
+
+    os.makedirs(out, exist_ok=True)
+    ds.map_batches(encode, batch_format="pyarrow", batch_size=1024,
+                   fn_args=(books_ref,)).write_parquet(
+        os.path.join(out, "codes"))
+    np.save(books_path, books)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return os.path.join(out, "codes"), books
+
+
+def knn_pq(sf_dir: str, n_queries: int = 8, k: int = 5, m: int = 8,
+           ks: int = 16) -> ray.data.Dataset:
+    """ANN top-k by product-quantization asymmetric distance (ADC): the
+    MEMORY-scale ANN path next to ``knn_ivf``'s IO-scale one.  The scan
+    reads the codes-only index (m bytes/vector); each query precomputes an
+    [m, ks] subspace distance table once, so per-candidate cost is m table
+    lookups (one numpy fancy-index per batch), never a D-dim multiply.
+    Recall < 1 by design (quantization error) — the exact baseline is
+    ``knn_brute`` and the recall floor is pinned in pytest.  Vectors are
+    L2-normalized first, so PQ L2 order approximates cosine order.
+    Output (query_id, neighbor_id, rank)."""
+    index_dir, books = build_pq_index(sf_dir, m=m, ks=ks)
+    q_ids, q_mat = _read_queries(sf_dir, n_queries)
+    qn = _normalize(q_mat)
+    mm, _ks, sub = books.shape
+    # per-query [m, ks] ADC tables: ||q_j - c||^2 per subspace centroid
+    tabs = np.stack([
+        ((qn[:, j * sub:(j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2
+         ).sum(axis=2)
+        for j in range(mm)], axis=1)  # [Q, m, ks]
+    q_ref = ray.put((q_ids, tabs))
+
+    ds = ray.data.read_parquet(index_dir, columns=["vec_id", "codes"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qtabs = ray.get(q_ref)
+        bids = batch.column("vec_id").to_numpy().astype(np.int64)
+        blob = b"".join(batch.column("codes").to_pylist())
+        codes = np.frombuffer(blob, dtype=np.uint8).reshape(len(bids), -1)
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        cols = np.arange(codes.shape[1])
+        for qi, qid in enumerate(qids):
+            dist = qtabs[qi][cols, codes].sum(axis=1)  # m lookups/candidate
+            cand = np.flatnonzero(bids != qid)
+            if cand.size == 0:
+                continue
+            take = cand[np.argsort(dist[cand], kind="stable")][:k]
+            rows["query_id"].extend([int(qid)] * len(take))
+            rows["neighbor_id"].extend(int(bids[c]) for c in take)
+            rows["sim"].extend(float(-dist[c]) for c in take)
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+            "sim": pa.array(rows["sim"], type=pa.float64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+              .groupby("query_id").map_groups(_merge_topk_fn(k),
+                                              batch_format="pyarrow"))
+
+
 # ------------------------------------------------------------------ k-means
 def label_centroids(sf_dir: str) -> ray.data.Dataset:
     """(label, dim, avg_val) — element-wise per-label mean of the embedding

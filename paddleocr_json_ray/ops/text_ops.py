@@ -211,6 +211,50 @@ def word_repetition(sf_dir: str) -> ray.data.Dataset:
     return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def gopher_repetition(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, top2gram_milli, dup3gram_milli) — the Gopher n-gram
+    repetition filters (Rae et al. 2021 §A1.1): the fraction of token
+    characters covered by the most frequent word 2-gram, and the fraction
+    covered by word 3-grams occurring more than once.  Completes the
+    repetition family next to ``word_repetition``'s unigram signal
+    (line-level duplicates are untestable here: documents.text carries no
+    newlines).
+
+    Integer milli outputs with (count desc, gram asc) tie-break so the
+    result is hash-exact against the SQL oracle.  Per-document local
+    computation — an embarrassingly parallel map_batches, no exchange."""
+    from collections import Counter
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": batch.column("doc_id"),
+               "top2gram_milli": [], "dup3gram_milli": []}
+        for t in batch.column("text").to_pylist():
+            toks = _RE_TOKEN_ASCII.findall(t)
+            total = sum(len(w) for w in toks)
+            if total == 0 or len(toks) < 2:
+                out["top2gram_milli"].append(0)
+                out["dup3gram_milli"].append(0)
+                continue
+            big = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+            # most frequent 2-gram, lexicographic tie-break
+            top_g, top_n = min(big.items(), key=lambda kv: (-kv[1], kv[0]))
+            top_chars = (len(top_g) - 1) * top_n  # gram chars exclude the space
+            out["top2gram_milli"].append(top_chars * 1000 // total)
+            if len(toks) < 3:
+                out["dup3gram_milli"].append(0)
+                continue
+            tri = Counter(" ".join(p) for p in zip(toks, toks[1:], toks[2:]))
+            dup_chars = sum((len(g) - 2) * n for g, n in tri.items() if n >= 2)
+            out["dup3gram_milli"].append(dup_chars * 1000 // total)
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "top2gram_milli": pa.array(out["top2gram_milli"], type=pa.int64()),
+            "dup3gram_milli": pa.array(out["dup3gram_milli"], type=pa.int64()),
+        })
+
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 def split_assign(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, split) — deterministic 8/1/1 train/val/test assignment by
     id residue: reproducible across runs and engines, no shuffle, no state
