@@ -153,9 +153,19 @@ def embedding_lsh_buckets(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=1024)
 
 
-def ivf_index_dir(sf_dir: str, n_planes: int = _N_PLANES) -> str:
+def _dir_tag(sf_dir: str) -> str:
+    """Cache key component: basename + abspath digest, so two corpora that
+    happen to share a directory basename (pytest tmp fixtures) never share
+    an index cache."""
+    import hashlib
+
     name = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(IVF_ROOT, f"{name}-p{n_planes}-{_IVF_VERSION}")
+    dig = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"{name}-{dig}"
+
+
+def ivf_index_dir(sf_dir: str, n_planes: int = _N_PLANES) -> str:
+    return os.path.join(IVF_ROOT, f"{_dir_tag(sf_dir)}-p{n_planes}-{_IVF_VERSION}")
 
 
 def build_ivf_index(sf_dir: str, force: bool = False,
@@ -169,6 +179,9 @@ def build_ivf_index(sf_dir: str, force: bool = False,
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker) and not force:
         return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # stale/partial builds must not accumulate
     from ..sources.readers import read_table
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -301,12 +314,14 @@ def build_pq_index(sf_dir: str, m: int = 8, ks: int = 16,
     job; the query scan then reads codes, never raw vectors.  Codebooks
     train on a deterministic vec_id-pruned sample (sample-bounded driver
     memory) and are persisted beside the codes for reuse."""
-    name = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(PQ_ROOT, f"{name}-m{m}-ks{ks}-{_PQ_VERSION}")
+    out = os.path.join(PQ_ROOT, f"{_dir_tag(sf_dir)}-m{m}-ks{ks}-{_PQ_VERSION}")
     marker = os.path.join(out, "_COMPLETE")
     books_path = os.path.join(out, "codebooks.npy")
     if os.path.exists(marker) and not force:
         return os.path.join(out, "codes"), np.load(books_path)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # stale/partial builds must not accumulate
     import pyarrow.parquet as pq
 
     sample_tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
