@@ -103,58 +103,170 @@ def duplicated_gram_owners(sf_dir: str, min_len: int) -> ray.data.Dataset:
     return agg.map_batches(dup_only, batch_format="pyarrow")
 
 
-def dedup_substrings(sf_dir: str, min_len: int = 20) -> ray.data.Dataset:
+def _cut_rows(ids, lens, tok_lists, drop_by_doc, min_len):
+    """Excise merged [pos, pos+L) windows per doc; returns the output
+    columns shared by both tiers."""
+    removed = np.zeros(len(ids), dtype=np.int64)
+    out_text = []
+    for k, (i, toks) in enumerate(zip(ids, tok_lists)):
+        ps = drop_by_doc.get(int(i))
+        if not ps:
+            out_text.append(" ".join(toks))
+            continue
+        dead = np.zeros(len(toks), dtype=bool)
+        for pp in ps:
+            dead[pp:pp + min_len] = True
+        removed[k] = int(dead.sum())
+        out_text.append(" ".join(t for t, dd_ in zip(toks, dead) if not dd_))
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "n_tokens": pa.array(lens, type=pa.int64()),
+        "n_removed": pa.array(removed, type=pa.int64()),
+        "clean_text": pa.array(out_text, type=pa.string()),
+    })
+
+
+def dedup_substrings(sf_dir: str, min_len: int = 20,
+                     broadcast_max_grams: int | None = None) -> ray.data.Dataset:
     """(doc_id, n_tokens, n_removed, clean_text) — documents with every
-    non-canonical duplicated >= ``min_len``-token run excised."""
+    non-canonical duplicated >= ``min_len``-token run excised.
+
+    TWO TIERS on the duplicated-gram count (counted on the distributed
+    aggregate; default cap $PJR_SUBSTR_BROADCAST_MAX or 20M grams = 320 MB
+    of sorted int64 pairs):
+
+      * broadcast tier: the dup (gram, owner) table ships once as sorted
+        arrays; pass B marks non-owner occurrences with one searchsorted
+        probe per batch — no second exchange.
+      * bloom-join tier (beyond the cap — extreme dup rates where even the
+        dup-bounded table outgrows the object store): a FIXED-memory Bloom
+        bitmap over dup grams (512 KiB, per-block partials OR-merged)
+        prunes each batch's grams to candidates, candidates join the dup
+        table ON GRAM (candidate-bounded partitioned hash join — the
+        ``big_order_lineitems_bloom`` pattern), surviving non-owner marks
+        group per doc, and one doc-keyed left join carries the mark lists
+        back to the documents for the cut.  Nothing dup-sized ever lands
+        on the driver or in a single task.
+
+    Both tiers are equality-tested on the planted-duplication corpus
+    (tests/test_substring.py pins ``broadcast_max_grams=0``)."""
+    import os
+
     from ..sources.readers import read_table
 
-    dup_refs = duplicated_gram_owners(sf_dir, min_len) \
-        .materialize().to_arrow_refs()
-
+    cap = (broadcast_max_grams if broadcast_max_grams is not None
+           else int(os.environ.get("PJR_SUBSTR_BROADCAST_MAX", 20_000_000)))
+    dup_ds = duplicated_gram_owners(sf_dir, min_len).materialize()
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
-    def cut(batch: pa.Table, refs) -> pa.Table:
-        tabs = [t for t in ray.get(list(refs)) if t.num_rows]
-        if tabs:
-            dup = pa.concat_tables(tabs)
-            grams = dup.column("gram").to_numpy().astype(np.int64)
-            owners = dup.column("owner").to_numpy().astype(np.int64)
-            order = np.argsort(grams)
-            grams, owners = grams[order], owners[order]
-        else:
-            grams = np.empty(0, dtype=np.int64)
-            owners = np.empty(0, dtype=np.int64)
+    if dup_ds.count() <= cap:
+        dup_refs = dup_ds.to_arrow_refs()
+
+        def cut(batch: pa.Table, refs) -> pa.Table:
+            tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+            if tabs:
+                dup = pa.concat_tables(tabs)
+                grams = dup.column("gram").to_numpy().astype(np.int64)
+                owners = dup.column("owner").to_numpy().astype(np.int64)
+                order = np.argsort(grams)
+                grams, owners = grams[order], owners[order]
+            else:
+                grams = np.empty(0, dtype=np.int64)
+                owners = np.empty(0, dtype=np.int64)
+            ids = batch.column("doc_id").to_numpy().astype(np.int64)
+            g, d, p, lens, tok_lists = _batch_grams(
+                batch.column("text").to_pylist(), ids, min_len)
+            gi = g.view(np.int64)
+            idx = np.searchsorted(grams, gi) if len(grams) else np.empty(0, np.int64)
+            idx = np.minimum(idx, max(len(grams) - 1, 0))
+            is_dup = (grams[idx] == gi) if len(grams) else np.zeros(len(gi), bool)
+            packed = (d << _POS_BITS) | p
+            marked = is_dup & (owners[idx] != packed) if len(grams) \
+                else np.zeros(len(gi), bool)
+            drop_by_doc: dict[int, list[int]] = {}
+            for dd, pp in zip(d[marked], p[marked]):
+                drop_by_doc.setdefault(int(dd), []).append(int(pp))
+            return _cut_rows(ids, lens, tok_lists, drop_by_doc, min_len)
+
+        return ds.map_batches(cut, batch_format="pyarrow", fn_args=(dup_refs,))
+
+    # ---- bloom-join tier
+    from .decontam import _BLOOM_BITS, _bloom_positions
+    from .relational import _join_partitions
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        g = batch.column("gram").to_numpy().astype(np.int64).view(np.uint64)
+        pos = _bloom_positions(g).ravel()
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pa.table({"bitmap": pa.array([bits.tobytes()], type=pa.binary())})
+
+    bitmap = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for t in ray.get(dup_ds.map_batches(bloom_partial, batch_format="pyarrow")
+                     .to_arrow_refs()):
+        for buf in t.column("bitmap").to_pylist():
+            bitmap |= np.frombuffer(buf, dtype=np.uint8)
+    bloom_ref = ray.put(bitmap)
+
+    def candidates(batch: pa.Table, bref) -> pa.Table:
+        bits = ray.get(bref)
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
-        g, d, p, lens, tok_lists = _batch_grams(
-            batch.column("text").to_pylist(), ids, min_len)
-        gi = g.view(np.int64)
-        idx = np.searchsorted(grams, gi) if len(grams) else np.empty(0, np.int64)
-        idx = np.minimum(idx, max(len(grams) - 1, 0))
-        is_dup = (grams[idx] == gi) if len(grams) else np.zeros(len(gi), bool)
+        g, d, p, _, _ = _batch_grams(batch.column("text").to_pylist(),
+                                     ids, min_len)
+        if len(g) == 0:
+            return pa.table({"gram": pa.array([], type=pa.int64()),
+                             "packed": pa.array([], type=pa.int64())})
+        pos = _bloom_positions(g)
+        hit = np.ones(len(g), dtype=bool)
+        for j in range(pos.shape[1]):
+            hit &= (bits[pos[:, j] >> 3] & (1 << (pos[:, j] & 7))) != 0
         packed = (d << _POS_BITS) | p
-        marked = is_dup & (owners[idx] != packed) if len(grams) \
-            else np.zeros(len(gi), bool)
-        # cut merged [pos, pos+L) windows per doc
-        removed = np.zeros(len(ids), dtype=np.int64)
-        out_text = []
-        drop_by_doc: dict[int, list[int]] = {}
-        for dd, pp in zip(d[marked], p[marked]):
-            drop_by_doc.setdefault(int(dd), []).append(int(pp))
-        for k, (i, toks) in enumerate(zip(ids, tok_lists)):
-            ps = drop_by_doc.get(int(i))
-            if not ps:
-                out_text.append(" ".join(toks))
-                continue
-            dead = np.zeros(len(toks), dtype=bool)
-            for pp in ps:
-                dead[pp:pp + min_len] = True
-            removed[k] = int(dead.sum())
-            out_text.append(" ".join(t for t, dd_ in zip(toks, dead) if not dd_))
+        return pa.table({"gram": pa.array(g.view(np.int64)[hit], type=pa.int64()),
+                         "packed": pa.array(packed[hit], type=pa.int64())})
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow",
+                          fn_args=(bloom_ref,))
+    dup_r = dup_ds.map_batches(
+        lambda b: pa.table({"gj": b.column("gram"), "owner": b.column("owner")}),
+        batch_format="pyarrow")
+    joined = cand.join(dup_r, "inner",
+                       num_partitions=_join_partitions(cand, dup_r),
+                       on=("gram",), right_on=("gj",))
+
+    def to_marks(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(pc.not_equal(b.column("packed"), b.column("owner")))
+        packed = t.column("packed").to_numpy().astype(np.int64)
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "n_tokens": pa.array(lens, type=pa.int64()),
-            "n_removed": pa.array(removed, type=pa.int64()),
-            "clean_text": pa.array(out_text, type=pa.string()),
+            "doc_id": pa.array(packed >> _POS_BITS, type=pa.int64()),
+            "pos": pa.array(packed & ((1 << _POS_BITS) - 1), type=pa.int64()),
         })
 
-    return ds.map_batches(cut, batch_format="pyarrow", fn_args=(dup_refs,))
+    def collect_doc(group: pa.Table) -> pa.Table:
+        # marks packed as an int64 byte blob: Arrow's hash join rejects
+        # list-typed non-key payload columns
+        did = group.column("doc_id")[0].as_py()
+        ps = np.sort(group.column("pos").to_numpy().astype(np.int64))
+        return pa.table({"md": pa.array([did], type=pa.int64()),
+                         "marks": pa.array([ps.tobytes()], type=pa.binary())})
+
+    marks = (joined.map_batches(to_marks, batch_format="pyarrow")
+                   .groupby("doc_id").map_groups(collect_doc,
+                                                 batch_format="pyarrow"))
+    docs_marked = ds.join(marks, "left_outer",
+                          num_partitions=_join_partitions(ds, marks),
+                          on=("doc_id",), right_on=("md",))
+
+    def cut_joined(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        tok_lists = [_RE_TOKEN.findall(t)
+                     for t in batch.column("text").to_pylist()]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        drop_by_doc = {int(i): np.frombuffer(ps, dtype=np.int64).tolist()
+                       for i, ps in zip(ids, batch.column("marks").to_pylist())
+                       if ps}
+        return _cut_rows(ids, lens, tok_lists, drop_by_doc, min_len)
+
+    return docs_marked.map_batches(cut_joined, batch_format="pyarrow")

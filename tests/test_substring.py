@@ -89,3 +89,19 @@ def test_substring_dedup_no_duplicates_is_identity(ray_session, tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     assert (got["n_removed"] == 0).all()
     assert list(got["clean_text"]) == texts
+
+
+def test_substring_dedup_bloom_join_tier_equality(ray_session, planted_dir):
+    """The bloom-join tier (broadcast_max_grams=0 — the beyond-object-store
+    path: fixed-memory bloom prune + gram-keyed candidate join + doc-keyed
+    mark join) must produce EXACTLY the broadcast tier's output on the
+    planted-duplication corpus."""
+    d, texts = planted_dir
+    a = (substring.dedup_substrings(d).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    b = (substring.dedup_substrings(d, broadcast_max_grams=0).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_removed"] > 0).any()  # the corpus really has duplicates
