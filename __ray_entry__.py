@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_recent": relational.lineitem_recent,
         "suppliers_per_region": relational.suppliers_per_region,
         "revenue_by_priority": relational.revenue_by_priority,
+        "high_balance_inactive_custs": relational.high_balance_inactive_custs,
+        "band_revenue": relational.band_revenue,
+        "shipping_priority": relational.shipping_priority,
         "revenue_by_part_type": relational.revenue_by_part_type,
         "returned_revenue_by_cust": relational.returned_revenue_by_cust,
         "small_quantity_revenue": relational.small_quantity_revenue,
@@ -507,6 +510,39 @@ SELECT w1, w2, n FROM (
   GROUP BY 1, 2)
 ORDER BY n DESC, w1, w2 LIMIT 30""",
         "distinct_sources": "SELECT DISTINCT source FROM documents",
+        "high_balance_inactive_custs": """
+WITH a AS (SELECT avg(c_acctbal) AS v FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment, count(*) AS n_custs,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer c, a
+WHERE c.c_acctbal > a.v
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment""",
+        "band_revenue": """
+SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 20 AND 35)""",
+        "shipping_priority": """
+SELECT l_orderkey, revenue, o_orderdate_us, o_orderpriority FROM (
+  SELECT l.l_orderkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+         epoch_us(o.o_orderdate) AS o_orderdate_us,
+         o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-03-15'
+    AND l.l_shipdate > TIMESTAMP '1998-03-15'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         "custs_without_orders": """
 SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o

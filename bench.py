@@ -121,7 +121,8 @@ def run_suite() -> dict:
                 "adaptive_quality_filter",
                 # round-4 additions
                 "gopher_repetition", "knn_pq", "user_funnel",
-                "cohort_retention"]
+                "cohort_retention", "high_balance_inactive_custs",
+                "band_revenue", "shipping_priority"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

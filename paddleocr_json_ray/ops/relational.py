@@ -1257,3 +1257,215 @@ def lineitem_unpivot(sf_dir: str) -> ray.data.Dataset:
             "value": pa.array(np.concatenate(vals), type=pa.float64())})
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def high_balance_inactive_custs(sf_dir: str,
+                                since_us: int = 946_684_800_000_000
+                                ) -> ray.data.Dataset:
+    """(c_mktsegment, n_custs, total_acctbal) — customers whose balance is
+    above the positive-balance average but who placed NO order since
+    ``since_us`` (default 2000-01-01): the TPC-H Q22 shape, composing a
+    SCALAR correlated threshold (global average), an ANTI-join against a
+    date-filtered key set, and a final groupby.
+
+    Plan: the average is two control-plane numbers (per-batch (sum, count)
+    partials, driver-merged); the exclusion side is a predicate-pushed
+    single-column read reduced to distinct int64 keys, broadcast once and
+    probed with one ``searchsorted`` per batch (the ``custs_without_orders``
+    anti-join pattern — same object-store tier note: beyond broadcast the
+    filter runs as a partitioned hash anti-join); the survivors feed the
+    native partial-agg groupby.  Nothing customer-sized lands anywhere."""
+    import numpy as np
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        v = b.column("c_acctbal").to_numpy()
+        pos = v[v > 0.0]
+        return pa.table({"s": pa.array([float(pos.sum())]),
+                         "n": pa.array([int(len(pos))], type=pa.int64())})
+
+    parts = pa.concat_tables(
+        [ray.get(r) for r in
+         cust.map_batches(bal_partial, batch_format="pyarrow").to_arrow_refs()])
+    total = float(np.sum(parts.column("s").to_numpy()))
+    cnt = int(np.sum(parts.column("n").to_numpy()))
+    avg_bal = total / max(cnt, 1)
+
+    import pyarrow.dataset as pads
+
+    keys = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
+        filters=pads.field("o_orderdate") >= pa.scalar(
+            since_us, type=pa.timestamp("us")))
+    have = np.unique(keys.column("o_custkey").to_numpy().astype(np.int64))
+    have_ref = ray.put(have)
+
+    def survivors(batch: pa.Table, ref) -> pa.Table:
+        h = ray.get(ref)
+        t = batch.filter(pc.greater(batch.column("c_acctbal"),
+                                    pa.scalar(avg_bal)))
+        ids = t.column("c_custkey").to_numpy().astype(np.int64)
+        if len(h):
+            pos = np.minimum(np.searchsorted(h, ids), len(h) - 1)
+            t = t.filter(pa.array(h[pos] != ids))
+        return pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                         "bal": t.column("c_acctbal")})
+
+    agg = (cust.map_batches(survivors, batch_format="pyarrow",
+                            fn_args=(have_ref,))
+               .groupby("c_mktsegment").aggregate(Count(), Sum("bal")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": b.column("c_mktsegment"),
+            "n_custs": b.column("count()").cast(pa.int64()),
+            "total_acctbal": pa.array(
+                [_round2(v) for v in b.column("sum(bal)").to_pylist()]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_Q19_BANDS = (("Brand#1", 1, 20, 1, 15),
+              ("Brand#2", 1, 25, 10, 25),
+              ("Brand#3", 1, 30, 20, 35))
+
+
+def band_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Single-row {revenue} — discounted revenue under a DISJUNCTION of
+    (brand, size-range, quantity-range) bands (TPC-H Q19 shape: the
+    multi-predicate OR that defeats naive predicate pushdown).
+
+    Plan: part is a DIMENSION — its (brand-band-id, size-ok) verdict
+    compresses to one int8 per partkey, broadcast as a dense direct-index
+    array; each lineitem batch evaluates the whole disjunction as three
+    vectorized compares against the banded lookup (no join, no shuffle)
+    and partial-sums revenue.  The only exchange is the final one-row
+    Sum."""
+    import numpy as np
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    keys = part.column("p_partkey").to_numpy().astype(np.int64)
+    brand = np.asarray(part.column("p_brand").to_pylist())
+    size = part.column("p_size").to_numpy().astype(np.int64)
+    band_of = np.full(keys.max() + 2, -1, dtype=np.int8)
+    for bi, (bname, slo, shi, _qlo, _qhi) in enumerate(_Q19_BANDS):
+        m = (brand == bname) & (size >= slo) & (size <= shi)
+        band_of[keys[m]] = bi
+    lut_ref = ray.put(band_of)
+    qlo = np.array([b[3] for b in _Q19_BANDS], dtype=np.float64)
+    qhi = np.array([b[4] for b in _Q19_BANDS], dtype=np.float64)
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(batch: pa.Table, ref) -> pa.Table:
+        lut = ray.get(ref)
+        k = batch.column("l_partkey").to_numpy().astype(np.int64)
+        band = lut[k]
+        q = batch.column("l_quantity").to_numpy()
+        ok = band >= 0
+        bi = np.where(ok, band, 0)
+        ok &= (q >= qlo[bi]) & (q <= qhi[bi])
+        rev = (batch.column("l_extendedprice").to_numpy()[ok]
+               * (1.0 - batch.column("l_discount").to_numpy()[ok]))
+        return pa.table({"s": pa.array([float(rev.sum())])})
+
+    total = (ds.map_batches(partial, batch_format="pyarrow",
+                            fn_args=(lut_ref,)).aggregate(Sum("s")))["sum(s)"]
+    return ray.data.from_arrow(
+        pa.table({"revenue": pa.array([_round2(total or 0.0)])}))
+
+
+def shipping_priority(sf_dir: str, cutoff_us: int = 889_920_000_000_000,
+                      segment: str = "BUILDING", n: int = 10
+                      ) -> ray.data.Dataset:
+    """Top-n unshipped orders by revenue for one market segment (TPC-H Q3
+    shape): customer(segment) |> orders(date <) |> lineitem(shipdate >),
+    grouped per order.  Default cutoff 1998-03-15.
+
+    Plan: the segment's custkeys are a selective DIMENSION slice
+    (predicate-pushed read, distinct int64 keys, broadcast); orders filter
+    by date + membership probe and broadcast the surviving
+    (orderkey -> orderdate, priority) as sorted parallel arrays (1/5 x
+    date selectivity of |orders| — the documented object-store tier;
+    beyond it this becomes the ``revenue_by_priority`` partitioned hash
+    join); lineitem streams once with a per-batch orderkey combiner, and
+    the per-order Sum exchange carries only qualifying orders."""
+    import numpy as np
+
+    import pyarrow.dataset as pads
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"],
+                         filters=pads.field("c_mktsegment") == segment)
+    seg_keys = np.unique(cust.column("c_custkey").to_numpy().astype(np.int64))
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filters=pads.field("o_orderdate") < pa.scalar(
+            cutoff_us, type=pa.timestamp("us")))
+    ock = orders.column("o_custkey").to_numpy().astype(np.int64)
+    pos = np.minimum(np.searchsorted(seg_keys, ock),
+                     max(len(seg_keys) - 1, 0))
+    hit = (seg_keys[pos] == ock) if len(seg_keys) else np.zeros(len(ock), bool)
+    okeys = orders.column("o_orderkey").to_numpy().astype(np.int64)[hit]
+    odates = orders.column("o_orderdate").cast(pa.int64()).to_numpy()[hit]
+    oprio = np.asarray(orders.column("o_orderpriority").to_pylist())[hit]
+    order_sort = np.argsort(okeys)
+    okeys, odates, oprio = okeys[order_sort], odates[order_sort], oprio[order_sort]
+    keys_ref = ray.put(okeys)
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def partial(batch: pa.Table, ref) -> pa.Table:
+        k = ray.get(ref)
+        t = batch.filter(pc.greater(batch.column("l_shipdate"),
+                                    pa.scalar(cutoff_us,
+                                              type=pa.timestamp("us"))))
+        ok_ = t.column("l_orderkey").to_numpy().astype(np.int64)
+        if len(k):
+            p = np.minimum(np.searchsorted(k, ok_), len(k) - 1)
+            m = k[p] == ok_
+        else:
+            m = np.zeros(len(ok_), dtype=bool)
+        ok_ = ok_[m]
+        rev = (t.column("l_extendedprice").to_numpy()[m]
+               * (1.0 - t.column("l_discount").to_numpy()[m]))
+        uk, inv = np.unique(ok_, return_inverse=True)
+        s = np.zeros(len(uk))
+        np.add.at(s, inv, rev)
+        return pa.table({"l_orderkey": pa.array(uk, type=pa.int64()),
+                         "rev": pa.array(s)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          fn_args=(keys_ref,))
+             .groupby("l_orderkey").aggregate(Sum("rev")))
+    meta_ref = ray.put((okeys, odates, oprio))
+
+    def enrich(b: pa.Table, ref) -> pa.Table:
+        k, dts, pr = ray.get(ref)
+        ok_ = b.column("l_orderkey").to_numpy().astype(np.int64)
+        p = np.searchsorted(k, ok_)
+        revenue = np.array([_round2(v) for v in
+                            b.column("sum(rev)").to_pylist()])
+        return pa.table({
+            "l_orderkey": pa.array(ok_, type=pa.int64()),
+            "revenue": pa.array(revenue),
+            "o_orderdate_us": pa.array(dts[p], type=pa.int64()),
+            "o_orderpriority": pa.array(pr[p]),
+            "neg_rev": pa.array(-revenue),
+        })
+
+    return (agg.map_batches(enrich, batch_format="pyarrow",
+                            fn_args=(meta_ref,))
+               .sort(["neg_rev", "l_orderkey"])
+               .limit(n)
+               .drop_columns(["neg_rev"]))

@@ -60,3 +60,27 @@ def test_png_codec_exact(h, w, seed, filter_type):
 def test_bmp_codec_exact(h, w, seed):
     img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    quality=st.sampled_from([100, 85, 60, 30]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_progressive_jpeg_always_bit_equals_baseline(h, w, quality, seed):
+    """Property: for ANY image and quality, the progressive (SOF2)
+    encode/decode reconstructs EXACTLY the baseline decode of the same
+    image — the two entropy layouts carry identical coefficients."""
+    import numpy as np
+
+    from paddleocr_json_ray.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                                   encode_jpeg_progressive)
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+    base = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert prog is not None and base is not None
+    np.testing.assert_array_equal(prog, base)
