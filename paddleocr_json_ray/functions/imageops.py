@@ -40,6 +40,8 @@ def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     if (h, w) == (out_h, out_w):
         return img
     f = img.astype(np.float32)
+    # blends run as in-place chains (t = a*(1-w); t += b*w) — identical
+    # expression tree to a*(1-w) + b*w, so bit-identical, fewer temporaries
     if out_h != h:
         ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
         y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
@@ -47,7 +49,12 @@ def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         wy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)[:, None]
         if img.ndim == 3:
             wy = wy[..., None]
-        f = f[y0] * (1 - wy) + f[y1] * wy
+        t = f[y0]
+        t *= (1 - wy)
+        u = f[y1]
+        u *= wy
+        t += u
+        f = t
     if out_w != w:
         xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
         x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
@@ -55,15 +62,27 @@ def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         wx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)[None, :]
         if img.ndim == 3:
             wx = wx[..., None]
-        f = f[:, x0] * (1 - wx) + f[:, x1] * wx
+        t = f[:, x0]
+        t *= (1 - wx)
+        u = f[:, x1]
+        u *= wx
+        t += u
+        f = t
     # round, don't truncate: a blend of equal integers can land at v-1e-7
     # and truncation would bias exact plateaus down by one
     return np.rint(f).astype(img.dtype) if np.issubdtype(img.dtype, np.integer) else f
 
 
 def normalize(img: np.ndarray, mean: np.ndarray, scale: np.ndarray) -> np.ndarray:
-    """uint8 HxWx3 -> float32 normalized."""
-    return (img.astype(np.float32) / 255.0 - mean) * scale
+    """uint8 HxWx3 -> float32 normalized.  In-place op chain (one
+    allocation); the op ORDER matches the original ``(x/255 - mean) *
+    scale`` expression exactly, so results are bit-identical (pixel-golden
+    stability depends on that)."""
+    out = img.astype(np.float32)
+    out /= 255.0
+    out -= mean
+    out *= scale
+    return out
 
 
 def to_chw(img: np.ndarray) -> np.ndarray:
