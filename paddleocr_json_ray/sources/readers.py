@@ -53,6 +53,20 @@ def read_table(sf_dir: str, table: str, columns=None,
     data-bound)."""
     import ray as _ray
 
+    lance_path = os.path.join(sf_dir, f"{table}.lance")
+    if os.path.isdir(lance_path):
+        # Lance is the north rule's preferred storage; dispatch to it when a
+        # .lance dataset exists (column pruning passes through).  This
+        # sandbox ships no lance package, so the parquet branch below is
+        # the tested path — same seam rule as read_interleaved.
+        try:
+            return ray.data.read_lance(
+                lance_path,
+                columns=list(columns) if columns is not None else None, **kw)
+        except (AttributeError, ImportError) as exc:
+            raise NotImplementedError(
+                f"{lance_path} exists but no lance reader is available in "
+                "this environment; store the table as parquet") from exc
     path = os.path.join(sf_dir, f"{table}.parquet")
     cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     return ray.data.read_parquet(

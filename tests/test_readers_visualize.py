@@ -114,3 +114,21 @@ def test_read_documents_any_formats(ray_session, tmp_path):
         frames[fmt] = df
     assert frames["parquet"].equals(frames["jsonl"])
     assert frames["parquet"].equals(frames["csv"])
+
+
+def test_lance_seam_errors_clearly_without_reader(ray_session, tmp_path):
+    """A .lance dataset path must raise an actionable NotImplementedError in
+    this lance-less environment (never a silent parquet fallback), for both
+    the interleaved reader and the table reader."""
+    import os
+
+    import pytest
+
+    from paddleocr_json_ray.sources import readers
+
+    d = os.path.join(str(tmp_path), "documents.lance")
+    os.makedirs(d)
+    with pytest.raises(NotImplementedError, match="lance"):
+        readers.read_table(str(tmp_path), "documents")
+    with pytest.raises(NotImplementedError, match="lance"):
+        readers.read_interleaved(d)
