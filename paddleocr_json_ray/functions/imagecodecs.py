@@ -154,7 +154,8 @@ def decode_bmp(payload: bytes) -> np.ndarray | None:
 
 
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Sniff + decode (PNG, BMP, JPEG); None for anything else/malformed."""
+    """Sniff + decode (PNG, BMP, JPEG incl. progressive, GIF); None for
+    anything else/malformed."""
     if payload.startswith(PNG_MAGIC):
         return decode_png(payload)
     if payload[:2] == b"BM":
@@ -163,6 +164,10 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload.startswith(b"GIF8"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     return None
 
 

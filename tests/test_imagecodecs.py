@@ -326,3 +326,54 @@ def test_progressive_jpeg_through_envelope():
     import difflib
 
     assert difflib.SequenceMatcher(None, text_a, text_b).ratio() >= 0.75
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip_exact(interlace):
+    """GIF is palette-indexed and LOSSLESS for <=256-color images; both the
+    sequential and interlaced row orders must round-trip byte-exactly,
+    including the 12-bit-code / table-reset regime on noisy images."""
+    from paddleocr_json_ray.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 256, (90, 140))]
+    dec = decode_gif(encode_gif(img, interlace=interlace))
+    np.testing.assert_array_equal(dec, img)
+    tiny = np.array([[0, 255], [255, 0]], dtype=np.uint8)
+    dec2 = decode_gif(encode_gif(tiny, interlace=interlace))
+    np.testing.assert_array_equal(dec2, np.repeat(tiny[..., None], 3, axis=2))
+
+
+def test_gif_malformed_and_limits():
+    from paddleocr_json_ray.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(18)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 64, (40, 60))]
+    good = encode_gif(img)
+    assert decode_gif(good[:30]) is None
+    assert decode_gif(good[:len(good) // 2]) is None
+    assert decode_gif(b"GIF89a" + b"\x00" * 6) is None
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+
+
+def test_gif_through_envelope_byte_exact():
+    """The OCR raster has <= 256 distinct colors, so GIF carries it
+    LOSSLESSLY — byte-exact spans like PNG/BMP, unlike JPEG's
+    similarity-bounded contract."""
+    from paddleocr_json_ray.functions.gif import encode_gif
+
+    cfg = PipelineConfig()
+    backends = make_backends(cfg, CHARS)
+    simg_payload = _simg_payload()
+    from paddleocr_json_ray.synth.imaging import decode as simg_decode, raster_seed
+    raster = render_raster(simg_decode(simg_payload), raster_seed(simg_payload))
+    ref_simg = "b64:" + base64.b64encode(simg_payload).decode()
+    ref_gif = "b64:" + base64.b64encode(encode_gif(raster)).decode()
+    code_a, _, blocks_a, text_a = ocr_media_ref(ref_simg, cfg, *backends)
+    code_b, _, blocks_b, text_b = ocr_media_ref(ref_gif, cfg, *backends)
+    assert code_a == code_b == errors.CODE_OK
+    assert text_a == text_b
+    assert [b["box"] for b in blocks_a] == [b["box"] for b in blocks_b]

@@ -84,3 +84,26 @@ def test_progressive_jpeg_always_bit_equals_baseline(h, w, quality, seed):
     base = decode_jpeg(encode_jpeg(img, quality=quality))
     assert prog is not None and base is not None
     np.testing.assert_array_equal(prog, base)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=50),
+    w=st.integers(min_value=1, max_value=50),
+    ncol=st.integers(min_value=1, max_value=256),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, ncol, interlace, seed):
+    """Property: any palette image round-trips GIF byte-exactly, sequential
+    or interlaced."""
+    import numpy as np
+
+    from paddleocr_json_ray.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, ncol, (h, w))]
+    dec = decode_gif(encode_gif(img, interlace=interlace))
+    assert dec is not None
+    np.testing.assert_array_equal(dec, img)
