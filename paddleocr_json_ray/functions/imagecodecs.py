@@ -168,6 +168,10 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         from .gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(payload)
     return None
 
 

@@ -22,9 +22,9 @@ from ..synth.corpus import build_corpus
 
 def decode_real_image(payload: bytes) -> "np.ndarray":
     """Real-image decode seam: cv2 when present; otherwise the
-    dependency-free PNG/BMP/JPEG (baseline + progressive)/GIF codecs
-    (functions/imagecodecs).  Only formats neither path can read
-    (WebP/TIFF/...) raise."""
+    dependency-free PNG/BMP/JPEG (baseline + progressive)/GIF/TIFF codecs
+    (functions/imagecodecs).  Only formats neither path can read (WebP —
+    needs a VP8 entropy decoder — and exotica) raise."""
     try:
         import cv2  # type: ignore
 

@@ -377,3 +377,61 @@ def test_gif_through_envelope_byte_exact():
     assert code_a == code_b == errors.CODE_OK
     assert text_a == text_b
     assert [b["box"] for b in blocks_a] == [b["box"] for b in blocks_b]
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+@pytest.mark.parametrize("predictor", [False, True])
+def test_tiff_roundtrip_exact(comp, predictor):
+    """Baseline TIFF round-trips byte-exactly across all three supported
+    compressions, with and without horizontal-differencing Predictor 2 and
+    multi-strip organization."""
+    from paddleocr_json_ray.functions.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (61, 83, 3), dtype=np.uint8)
+    for rps in (0, 9):
+        p = encode_tiff(img, compression=comp, rows_per_strip=rps,
+                        predictor=predictor)
+        np.testing.assert_array_equal(decode_tiff(p), img)
+
+
+def test_tiff_malformed_and_unsupported():
+    from paddleocr_json_ray.functions.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(24)
+    img = rng.integers(0, 256, (30, 40, 3), dtype=np.uint8)
+    good = encode_tiff(img, compression="lzw")
+    assert decode_tiff(good[:30]) is None
+    assert decode_tiff(good[:len(good) // 2]) is None
+    assert decode_tiff(b"II*\x00" + b"\x00" * 8) is None
+    assert decode_tiff(b"XX*\x00") is None
+
+
+def test_tiff_and_gif_through_decode_image_dispatch():
+    from paddleocr_json_ray.functions.gif import encode_gif
+    from paddleocr_json_ray.functions.tiff import encode_tiff
+
+    rng = np.random.default_rng(25)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 16, (20, 30))]
+    np.testing.assert_array_equal(decode_image(encode_tiff(img)), img)
+    np.testing.assert_array_equal(decode_image(encode_gif(img)), img)
+
+
+def test_tiff_through_envelope_byte_exact():
+    """TIFF is lossless: byte-exact spans like PNG/BMP/GIF."""
+    from paddleocr_json_ray.functions.tiff import encode_tiff
+
+    cfg = PipelineConfig()
+    backends = make_backends(cfg, CHARS)
+    simg_payload = _simg_payload()
+    from paddleocr_json_ray.synth.imaging import decode as simg_decode, raster_seed
+    raster = render_raster(simg_decode(simg_payload), raster_seed(simg_payload))
+    ref_simg = "b64:" + base64.b64encode(simg_payload).decode()
+    ref_tiff = "b64:" + base64.b64encode(
+        encode_tiff(raster, compression="lzw", predictor=True)).decode()
+    code_a, _, blocks_a, text_a = ocr_media_ref(ref_simg, cfg, *backends)
+    code_b, _, blocks_b, text_b = ocr_media_ref(ref_tiff, cfg, *backends)
+    assert code_a == code_b == errors.CODE_OK
+    assert text_a == text_b
+    assert [b["box"] for b in blocks_a] == [b["box"] for b in blocks_b]

@@ -107,3 +107,28 @@ def test_gif_roundtrip_property(h, w, ncol, interlace, seed):
     dec = decode_gif(encode_gif(img, interlace=interlace))
     assert dec is not None
     np.testing.assert_array_equal(dec, img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    comp=st.sampled_from(["none", "packbits", "lzw"]),
+    predictor=st.booleans(),
+    rps=st.sampled_from([0, 3, 11]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_tiff_roundtrip_property(h, w, comp, predictor, rps, seed):
+    """Property: any RGB image round-trips baseline TIFF byte-exactly under
+    every compression x predictor x strip configuration."""
+    import numpy as np
+
+    from paddleocr_json_ray.functions.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    p = encode_tiff(img, compression=comp, rows_per_strip=rps,
+                    predictor=predictor)
+    dec = decode_tiff(p)
+    assert dec is not None
+    np.testing.assert_array_equal(dec, img)
