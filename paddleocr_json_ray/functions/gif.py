@@ -266,3 +266,161 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# -------------------------------------------------------------- animation
+def decode_gif_frames(payload: bytes,
+                      max_frames: int | None = None) -> list[np.ndarray] | None:
+    """All frames of an animated GIF (or [frame] for a static one), each a
+    full HxWx3 uint8 RGB canvas after compositing: sub-rectangle frames
+    draw over the previous canvas, the graphic-control transparent index
+    leaves underlying pixels visible, disposal 2 restores the background
+    color after the frame, disposal 3 restores the previous canvas.
+    Returns None if malformed."""
+    try:
+        return _decode_gif_frames_inner(payload, max_frames)
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _decode_gif_frames_inner(payload, max_frames):
+    if not payload.startswith(b"GIF87a") and not payload.startswith(b"GIF89a"):
+        return None
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[np.ndarray] = []
+    disposal = 0
+    transparent = -1
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x21:
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and payload[pos] >= 4:  # graphic control
+                flags = payload[pos + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = payload[pos + 4] if flags & 0x01 else -1
+            while pos < len(payload):
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+        elif b == 0x2C:
+            left, top, w, h, ipack = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            pal = gct
+            if ipack & 0x80:
+                n = 2 << (ipack & 0x07)
+                pal = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                                    offset=pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None or w == 0 or h == 0:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                return None
+            chunks = []
+            while pos < len(payload):
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                chunks.append(payload[pos:pos + sz])
+                pos += sz
+            raw = _lzw_decode(b"".join(chunks), min_code, w * h)
+            if raw is None or len(raw) < w * h:
+                return None
+            idx = np.frombuffer(bytes(raw[:w * h]), dtype=np.uint8).reshape(h, w)
+            if ipack & 0x40:
+                idx = _deinterlace(idx)
+            prev = canvas.copy() if disposal == 3 else None
+            hh = min(h, sh - top)
+            ww = min(w, sw - left)
+            region = canvas[top:top + hh, left:left + ww]
+            sub = np.minimum(idx[:hh, :ww], len(pal) - 1)
+            px = pal[sub]
+            if transparent >= 0:
+                opaque = idx[:hh, :ww] != transparent
+                region[opaque] = px[opaque]
+            else:
+                region[:] = px
+            frames.append(canvas.copy())
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            if disposal == 2:
+                canvas[top:top + hh, left:left + ww] = bg_rgb
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            disposal = 0
+            transparent = -1
+        elif b == 0x3B:
+            break
+        else:
+            return None
+    return frames or None
+
+
+def encode_gif_animation(frames: list[np.ndarray],
+                         transparent_delta: bool = False) -> bytes:
+    """Frames (equal-size 8-bit RGB, <= 255 distinct colors TOTAL so a
+    transparent slot fits) -> animated GIF89a.  ``transparent_delta``
+    encodes each frame after the first as a delta: unchanged pixels become
+    the transparent index (exercises the decoder's compositing path)."""
+    if not frames:
+        raise ValueError("no frames")
+    imgs = []
+    for f in frames:
+        if f.ndim == 2:
+            f = np.repeat(f[..., None], 3, axis=2)
+        imgs.append(np.ascontiguousarray(f[..., :3], dtype=np.uint8))
+    h, w, _ = imgs[0].shape
+    allpix = np.concatenate([f.reshape(-1, 3) for f in imgs])
+    pal, _ = np.unique(allpix, axis=0, return_inverse=True)
+    if len(pal) > 255:
+        raise ValueError(f"animation needs <= 255 colors, has {len(pal)}")
+    lut = {tuple(c): i for i, c in enumerate(pal)}
+    trans = len(pal)  # one extra palette slot for transparency
+    bits = max(1, int(trans).bit_length())
+    n = 1 << bits
+    pal_out = np.zeros((n, 3), dtype=np.uint8)
+    pal_out[:len(pal)] = pal
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal_out.tobytes()
+    min_code = max(2, bits)
+    prev_img = None
+    for fi, img in enumerate(imgs):
+        flat = img.reshape(-1, 3)
+        idx = np.fromiter((lut[tuple(p)] for p in flat), dtype=np.uint8,
+                          count=len(flat)).reshape(h, w)
+        use_trans = transparent_delta and fi > 0
+        if use_trans:
+            same = (img == prev_img).all(axis=2)
+            idx = np.where(same, np.uint8(trans), idx)
+        out += bytes([0x21, 0xF9, 0x04,
+                      (1 << 2) | (1 if use_trans else 0),  # disposal 1
+                      0x00, 0x00, trans if use_trans else 0x00, 0x00])
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x00)
+        out.append(min_code)
+        data = _lzw_encode(idx, min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0x00)  # per-frame data terminator
+        prev_img = img
+    out += b"\x3b"
+    return bytes(out)

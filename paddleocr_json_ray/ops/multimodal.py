@@ -127,6 +127,51 @@ def media_thumbnails(sf_dir: str, concurrency: int | None = None) -> ray.data.Da
         batch_format="pyarrow", num_cpus=1)
 
 
+class GifFrameSampleStage:
+    """Actor-pool stage: VIDEO-style frame sampling over animated-GIF
+    payloads — full multi-frame decode with compositing (sub-rectangle
+    frames, transparency, disposal), keep every ``every``-th frame, emit
+    one row per kept frame with a small per-frame feature (mean RGB +
+    resized thumbnail mean).  1 payload -> N rows: the flat_map shape of a
+    real video frame-extract stage; small batches because payloads are
+    heavy, state-free but actor-pool shaped so a model-based frame scorer
+    drops in at ``__init__``."""
+
+    def __init__(self, every: int = 2, thumb: int = 32,
+                 max_frames: int | None = 64):
+        self.every = max(1, every)
+        self.thumb = thumb
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.gif import decode_gif_frames
+
+        rows = {"blob_id": [], "frame_idx": [], "height": [], "width": [],
+                "mean_pixel": [], "thumb_mean": []}
+        for blob_id, payload in zip(batch.column("blob_id").to_pylist(),
+                                    batch.column("payload").to_pylist()):
+            frames = decode_gif_frames(payload, max_frames=self.max_frames)
+            if not frames:
+                continue
+            for i in range(0, len(frames), self.every):
+                f = frames[i]
+                th = resize_image(f, self.thumb, self.thumb)
+                rows["blob_id"].append(blob_id)
+                rows["frame_idx"].append(i)
+                rows["height"].append(f.shape[0])
+                rows["width"].append(f.shape[1])
+                rows["mean_pixel"].append(int(f.astype(np.int64).mean()))
+                rows["thumb_mean"].append(int(th.astype(np.int64).mean()))
+        return pa.table({
+            "blob_id": pa.array(rows["blob_id"], type=pa.string()),
+            "frame_idx": pa.array(rows["frame_idx"], type=pa.int32()),
+            "height": pa.array(rows["height"], type=pa.int32()),
+            "width": pa.array(rows["width"], type=pa.int32()),
+            "mean_pixel": pa.array(rows["mean_pixel"], type=pa.int64()),
+            "thumb_mean": pa.array(rows["thumb_mean"], type=pa.int64()),
+        })
+
+
 _AUDIO_SR = 16_000
 
 

@@ -435,3 +435,66 @@ def test_tiff_through_envelope_byte_exact():
     assert code_a == code_b == errors.CODE_OK
     assert text_a == text_b
     assert [b["box"] for b in blocks_a] == [b["box"] for b in blocks_b]
+
+
+def test_gif_animation_roundtrip_and_compositing():
+    """Animated GIF: full-frame and transparent-delta (sub-rect compositing)
+    encodings must reconstruct every frame exactly; the delta stream is the
+    compositing stress (unchanged pixels ride the transparent index)."""
+    from paddleocr_json_ray.functions.gif import (decode_gif,
+                                                  decode_gif_frames,
+                                                  encode_gif_animation)
+
+    rng = np.random.default_rng(33)
+    pal = rng.integers(0, 256, (40, 3), dtype=np.uint8)
+    base = pal[rng.integers(0, 40, (50, 70))]
+    frames = [base.copy() for _ in range(5)]
+    for k, f in enumerate(frames):
+        f[10 + k:20 + k, 15:40] = pal[k]
+    for delta in (False, True):
+        p = encode_gif_animation(frames, transparent_delta=delta)
+        dec = decode_gif_frames(p)
+        assert dec is not None and len(dec) == 5
+        for a, b in zip(dec, frames):
+            np.testing.assert_array_equal(a, b)
+    # static first-frame decode agrees; max_frames truncates
+    np.testing.assert_array_equal(
+        decode_gif(encode_gif_animation(frames)), frames[0])
+    assert len(decode_gif_frames(encode_gif_animation(frames),
+                                 max_frames=2)) == 2
+
+
+def test_gif_frame_sample_stage_actor_pool(ray_session, tmp_path):
+    """The video-style frame sampler runs as an actor-pool map_batches over
+    animated-GIF payload rows: 1 payload -> ceil(n_frames/every) rows, with
+    per-frame geometry and features."""
+    import pyarrow as pa
+    import ray.data
+
+    from paddleocr_json_ray.functions.gif import encode_gif_animation
+    from paddleocr_json_ray.ops.multimodal import GifFrameSampleStage
+
+    rng = np.random.default_rng(34)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    ids, payloads, nframes = [], [], []
+    for gi in range(6):
+        n = int(rng.integers(1, 9))
+        base = pal[rng.integers(0, 16, (20, 30))]
+        frames = [base.copy() for _ in range(n)]
+        for k, f in enumerate(frames):
+            f[k:k + 4, 2:12] = pal[k % 16]
+        ids.append(f"g{gi}")
+        payloads.append(encode_gif_animation(frames, transparent_delta=True))
+        nframes.append(n)
+    tab = pa.table({"blob_id": pa.array(ids),
+                    "payload": pa.array(payloads, type=pa.binary())})
+    got = (ray.data.from_arrow(tab)
+           .map_batches(GifFrameSampleStage, batch_format="pyarrow",
+                        concurrency=2, batch_size=4,
+                        fn_constructor_kwargs={"every": 2})
+           .to_pandas())
+    for gid, n in zip(ids, nframes):
+        rows = got[got["blob_id"] == gid]
+        assert len(rows) == -(-n // 2)  # every 2nd frame, ceil
+        assert set(rows["frame_idx"]) == set(range(0, n, 2))
+        assert (rows["height"] == 20).all() and (rows["width"] == 30).all()
