@@ -525,11 +525,15 @@ SELECT w1, w2, n FROM (
 ORDER BY n DESC, w1, w2 LIMIT 30""",
         "distinct_sources": "SELECT DISTINCT source FROM documents",
         "high_balance_inactive_custs": """
-WITH a AS (SELECT avg(c_acctbal) AS v FROM customer WHERE c_acctbal > 0.0)
+WITH pc AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+            FROM customer),
+a AS (SELECT CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+      FROM pc WHERE c_acctbal > 0.0)
 SELECT c_mktsegment, count(*) AS n_custs,
        round(sum(c_acctbal), 2) AS total_acctbal
-FROM customer c, a
-WHERE c.c_acctbal > a.v
+FROM pc c, a
+WHERE c.cents * a.n > a.s
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01')
@@ -839,7 +843,7 @@ SELECT event_type, count(*) AS n_events,
 FROM events GROUP BY event_type""",
         "qty_price_corr": """
 SELECT l_returnflag, count(*) AS n_items,
-       round(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price
+       round(corr(l_quantity, l_extendedprice), 3) + 0.0 AS corr_qty_price
 FROM lineitem GROUP BY l_returnflag""",
         "price_on_qty_regression": """
 SELECT l_returnflag,
@@ -852,7 +856,7 @@ SELECT event_id,
        round(CASE WHEN count(*) OVER w <= 1
                     OR stddev_samp(value) OVER w = 0 THEN 0
                   ELSE (value - avg(value) OVER w)
-                       / stddev_samp(value) OVER w END, 3) AS z
+                       / stddev_samp(value) OVER w END, 3) + 0.0 AS z
 FROM events
 WINDOW w AS (PARTITION BY event_type)""",
         "users_click_and_purchase": """

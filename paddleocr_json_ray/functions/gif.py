@@ -387,10 +387,12 @@ def encode_gif_animation(frames: list[np.ndarray],
         imgs.append(np.ascontiguousarray(f[..., :3], dtype=np.uint8))
     h, w, _ = imgs[0].shape
     allpix = np.concatenate([f.reshape(-1, 3) for f in imgs])
-    pal, _ = np.unique(allpix, axis=0, return_inverse=True)
+    pal, allinv = np.unique(allpix, axis=0, return_inverse=True)
     if len(pal) > 255:
         raise ValueError(f"animation needs <= 255 colors, has {len(pal)}")
-    lut = {tuple(c): i for i, c in enumerate(pal)}
+    # per-frame palette indices come straight from the unique() inverse —
+    # no per-pixel Python lookups
+    frame_idx = allinv.reshape(len(imgs), h, w).astype(np.uint8)
     trans = len(pal)  # one extra palette slot for transparency
     bits = max(1, int(trans).bit_length())
     n = 1 << bits
@@ -403,9 +405,7 @@ def encode_gif_animation(frames: list[np.ndarray],
     min_code = max(2, bits)
     prev_img = None
     for fi, img in enumerate(imgs):
-        flat = img.reshape(-1, 3)
-        idx = np.fromiter((lut[tuple(p)] for p in flat), dtype=np.uint8,
-                          count=len(flat)).reshape(h, w)
+        idx = frame_idx[fi]
         use_trans = transparent_delta and fi > 0
         if use_trans:
             same = (img == prev_img).all(axis=2)

@@ -809,7 +809,10 @@ def small_quantity_revenue(sf_dir: str) -> ray.data.Dataset:
     np.add.at(lut_s, pk, parts.column("s").to_numpy())
     np.add.at(lut_c, pk, parts.column("c").to_numpy())
     with np.errstate(divide="ignore", invalid="ignore"):
-        lut = np.where(lut_c > 0, 0.2 * lut_s / np.maximum(lut_c, 1), -np.inf)
+        # divide FIRST, multiply by 0.2 second — the oracle's
+        # `0.2 * (sum/count)` expression tree (IEEE multiply commutes, so
+        # (s/c)*0.2 == 0.2*(s/c) bitwise; (0.2*s)/c does NOT)
+        lut = np.where(lut_c > 0, lut_s / np.maximum(lut_c, 1) * 0.2, -np.inf)
     lut_ref = ray.put(lut)
 
     ds = _read(sf_dir, "lineitem",
@@ -1274,7 +1277,12 @@ def high_balance_inactive_custs(sf_dir: str,
     probed with one ``searchsorted`` per batch (the ``custs_without_orders``
     anti-join pattern — same object-store tier note: beyond broadcast the
     filter runs as a partitioned hash anti-join); the survivors feed the
-    native partial-agg groupby.  Nothing customer-sized lands anywhere."""
+    native partial-agg groupby.  Nothing customer-sized lands anywhere.
+
+    Exactness: the threshold compare runs in INTEGER CENTS on both sides
+    (``cents * n > sum_cents``) — a float average computed with different
+    summation order than DuckDB's AVG could flip a boundary customer by
+    one ulp; integer arithmetic cannot."""
     import numpy as np
 
     cust = _read(sf_dir, "customer",
@@ -1283,15 +1291,15 @@ def high_balance_inactive_custs(sf_dir: str,
     def bal_partial(b: pa.Table) -> pa.Table:
         v = b.column("c_acctbal").to_numpy()
         pos = v[v > 0.0]
-        return pa.table({"s": pa.array([float(pos.sum())]),
+        cents = np.floor(pos * 100 + 0.5).astype(np.int64)
+        return pa.table({"s": pa.array([int(cents.sum())], type=pa.int64()),
                          "n": pa.array([int(len(pos))], type=pa.int64())})
 
     parts = pa.concat_tables(
         [ray.get(r) for r in
          cust.map_batches(bal_partial, batch_format="pyarrow").to_arrow_refs()])
-    total = float(np.sum(parts.column("s").to_numpy()))
-    cnt = int(np.sum(parts.column("n").to_numpy()))
-    avg_bal = total / max(cnt, 1)
+    sum_cents = int(np.sum(parts.column("s").to_numpy()))
+    cnt = max(int(np.sum(parts.column("n").to_numpy())), 1)
 
     import pyarrow.dataset as pads
 
@@ -1304,8 +1312,9 @@ def high_balance_inactive_custs(sf_dir: str,
 
     def survivors(batch: pa.Table, ref) -> pa.Table:
         h = ray.get(ref)
-        t = batch.filter(pc.greater(batch.column("c_acctbal"),
-                                    pa.scalar(avg_bal)))
+        v = batch.column("c_acctbal").to_numpy()
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        t = batch.filter(pa.array(cents * cnt > sum_cents))
         ids = t.column("c_custkey").to_numpy().astype(np.int64)
         if len(h):
             pos = np.minimum(np.searchsorted(h, ids), len(h) - 1)

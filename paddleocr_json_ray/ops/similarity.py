@@ -276,6 +276,9 @@ def _pq_codebooks(sample: np.ndarray, m: int, ks: int,
     §III).  Deterministic: init = the first ``ks`` sample rows; empty cells
     keep their centroid; ties break to the lower code."""
     n, d = sample.shape
+    if n == 0:
+        raise ValueError("PQ codebook training needs at least one vector")
+    ks = min(ks, n)  # degrade gracefully on tiny/sparse-id corpora
     sub = d // m
     books = np.empty((m, ks, sub))
     for j in range(m):

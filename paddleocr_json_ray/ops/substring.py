@@ -160,19 +160,23 @@ def dedup_substrings(sf_dir: str, min_len: int = 20,
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     if dup_ds.count() <= cap:
-        dup_refs = dup_ds.to_arrow_refs()
+        # sort ONCE on the driver and broadcast the sorted arrays — a
+        # per-task argsort of an up-to-cap table repeats identical
+        # O(n log n) work in every batch (the _sorted_user_ts pattern)
+        tabs = [t for t in ray.get(dup_ds.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            dup = pa.concat_tables(tabs)
+            grams_s = dup.column("gram").to_numpy().astype(np.int64)
+            owners_s = dup.column("owner").to_numpy().astype(np.int64)
+            order = np.argsort(grams_s)
+            grams_s, owners_s = grams_s[order], owners_s[order]
+        else:
+            grams_s = np.empty(0, dtype=np.int64)
+            owners_s = np.empty(0, dtype=np.int64)
+        sorted_ref = ray.put((grams_s, owners_s))
 
-        def cut(batch: pa.Table, refs) -> pa.Table:
-            tabs = [t for t in ray.get(list(refs)) if t.num_rows]
-            if tabs:
-                dup = pa.concat_tables(tabs)
-                grams = dup.column("gram").to_numpy().astype(np.int64)
-                owners = dup.column("owner").to_numpy().astype(np.int64)
-                order = np.argsort(grams)
-                grams, owners = grams[order], owners[order]
-            else:
-                grams = np.empty(0, dtype=np.int64)
-                owners = np.empty(0, dtype=np.int64)
+        def cut(batch: pa.Table, ref) -> pa.Table:
+            grams, owners = ray.get(ref)
             ids = batch.column("doc_id").to_numpy().astype(np.int64)
             g, d, p, lens, tok_lists = _batch_grams(
                 batch.column("text").to_pylist(), ids, min_len)
@@ -188,7 +192,8 @@ def dedup_substrings(sf_dir: str, min_len: int = 20,
                 drop_by_doc.setdefault(int(dd), []).append(int(pp))
             return _cut_rows(ids, lens, tok_lists, drop_by_doc, min_len)
 
-        return ds.map_batches(cut, batch_format="pyarrow", fn_args=(dup_refs,))
+        return ds.map_batches(cut, batch_format="pyarrow",
+                              fn_args=(sorted_ref,))
 
     # ---- bloom-join tier
     from .decontam import _BLOOM_BITS, _bloom_positions

@@ -56,13 +56,21 @@ def read_table(sf_dir: str, table: str, columns=None,
     lance_path = os.path.join(sf_dir, f"{table}.lance")
     if os.path.isdir(lance_path):
         # Lance is the north rule's preferred storage; dispatch to it when a
-        # .lance dataset exists (column pruning passes through).  This
-        # sandbox ships no lance package, so the parquet branch below is
-        # the tested path — same seam rule as read_interleaved.
+        # .lance dataset exists (column pruning passes through).  Block
+        # bounding applies here too — Ray's default ~200-block read is the
+        # documented micro-task regression this function exists to prevent.
+        # This sandbox ships no lance package, so the parquet branch below
+        # is the tested path — same seam rule as read_interleaved.
+        nbytes = sum(os.path.getsize(os.path.join(r, f))
+                     for r, _, fs in os.walk(lance_path) for f in fs)
+        cpus_l = (int(_ray.cluster_resources().get("CPU", 8))
+                  if _ray.is_initialized() else 8)
+        blocks = max(cpus_l, -(-nbytes // max(1, target_bytes)))
         try:
             return ray.data.read_lance(
                 lance_path,
-                columns=list(columns) if columns is not None else None, **kw)
+                columns=list(columns) if columns is not None else None,
+                override_num_blocks=blocks, **kw)
         except (AttributeError, ImportError) as exc:
             raise NotImplementedError(
                 f"{lance_path} exists but no lance reader is available in "

@@ -137,10 +137,23 @@ class OnnxRecBackend:
         out = np.asarray(_run(self.session, nchw), dtype=np.float32)
         return out.reshape(out.shape[-2], out.shape[-1])
 
+    def read_crop(self, crop: np.ndarray, whole_image: bool = False) -> str:
+        raise NotImplementedError(
+            "whole-image recognition (det=False) is a pixel-backend mode; "
+            "the onnx backend recognizes det crops only — enable detection "
+            "or use backend='pixel'")
+
 
 def make_onnx_backends(cfg, dict_chars: list[str]):
     """(det, rec, cls-or-None) trio over real sessions — the factory
     ``synth.backend.make_backends`` dispatches to for backend='onnx'."""
+    if not cfg.det and cfg.rec:
+        # fail at factory time, not deep inside an actor: whole-image
+        # recognition (det=False) reads raster kernel bands — a
+        # pixel-backend capability with no CRNN equivalent
+        raise ValueError(
+            "backend='onnx' requires det=True when rec is enabled "
+            "(whole-image recognition is pixel-backend only)")
     return (OnnxDetBackend(cfg),
             OnnxRecBackend(cfg, dict_chars),
             OnnxClsBackend(cfg) if cfg.cls else None)

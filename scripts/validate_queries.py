@@ -74,7 +74,7 @@ def compare(got: pd.DataFrame, exp: pd.DataFrame) -> str | None:
         if gk != ek:
             return f"col {c!r}: dtype kind {gk} (got) != {ek} (oracle)"
         g, e = got[c].to_numpy(), exp[c].to_numpy()
-        if gk == "float":
+        if gk.startswith("float"):
             gn, en = np.isnan(g.astype(float)), np.isnan(e.astype(float))
             if not np.array_equal(gn, en):
                 return f"col {c!r}: NaN placement differs"
