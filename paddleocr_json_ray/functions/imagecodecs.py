@@ -154,8 +154,8 @@ def decode_bmp(payload: bytes) -> np.ndarray | None:
 
 
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Sniff + decode (PNG, BMP, JPEG incl. progressive, GIF); None for
-    anything else/malformed."""
+    """Sniff + decode (PNG, BMP, JPEG incl. progressive, GIF, TIFF, lossless
+    WebP); None for anything else/malformed."""
     if payload.startswith(PNG_MAGIC):
         return decode_png(payload)
     if payload[:2] == b"BM":
@@ -172,6 +172,10 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         from .tiff import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(payload)
     return None
 
 

@@ -3,8 +3,9 @@ by actor-pool ``map_batches`` stages.
 
 Image formats decode via the in-repo PNG/BMP/JPEG codecs (cv2 slots in when
 present); audio decodes via the in-repo RIFF/WAV PCM parser
-(``functions/audiocodecs``), with compressed codecs (MP3/WebP/...) raising
-NotImplementedError at the same clearly-marked seams a codec lib would fill.
+(``functions/audiocodecs``), with compressed codecs (MP3/lossy VP8/...)
+raising NotImplementedError at the same clearly-marked seams a codec lib
+would fill.
 All Ray-side plumbing — binary schema, actor signature, batch sizing,
 output layout — is real and tested.
 """
@@ -22,9 +23,10 @@ from ..synth.corpus import build_corpus
 
 def decode_real_image(payload: bytes) -> "np.ndarray":
     """Real-image decode seam: cv2 when present; otherwise the
-    dependency-free PNG/BMP/JPEG (baseline + progressive)/GIF/TIFF codecs
-    (functions/imagecodecs).  Only formats neither path can read (WebP —
-    needs a VP8 entropy decoder — and exotica) raise."""
+    dependency-free PNG/BMP/JPEG (baseline + progressive)/GIF/TIFF/lossless-
+    WebP codecs (functions/imagecodecs).  Only formats neither path can read
+    (lossy VP8 — needs a boolean-arithmetic DCT decoder — and exotica)
+    raise."""
     try:
         import cv2  # type: ignore
 
@@ -39,8 +41,9 @@ def decode_real_image(payload: bytes) -> "np.ndarray":
     arr = decode_image(payload)
     if arr is None:
         raise NotImplementedError(
-            "only PNG/BMP/JPEG decode without cv2/PIL in this environment "
-            "(functions/imagecodecs); other formats need a real codec lib")
+            "only PNG/BMP/JPEG/GIF/TIFF/lossless-WebP decode without cv2/PIL "
+            "in this environment (functions/imagecodecs); other formats need "
+            "a real codec lib")
     return arr
 
 

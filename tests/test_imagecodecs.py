@@ -498,3 +498,129 @@ def test_gif_frame_sample_stage_actor_pool(ray_session, tmp_path):
         assert len(rows) == -(-n // 2)  # every 2nd frame, ceil
         assert set(rows["frame_idx"]) == set(range(0, n, 2))
         assert (rows["height"] == 20).all() and (rows["width"] == 30).all()
+
+
+# ----------------------------------------------------------------- WebP/VP8L
+def test_webp_distance_map_matches_spec_prefix():
+    """The 120-entry 2D distance map is generated (d^2 asc, dy desc, +dx
+    first); pin the first 40 entries against the spec's literal table."""
+    from paddleocr_json_ray.functions.webp import _DIST_MAP
+
+    spec40 = [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+              (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+              (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+              (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+              (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0)]
+    assert len(_DIST_MAP) == 120
+    assert _DIST_MAP[:40] == spec40
+
+
+@pytest.mark.parametrize("kwargs", [
+    {},
+    {"transform": "subtract_green"},
+    {"transform": "color"},
+    {"transform": "color", "color_elem": (255, 1, 130)},
+    {"cache_bits": 8},
+    {"backrefs": True},
+    {"backrefs": True, "cache_bits": 6},
+])
+def test_webp_roundtrip_exact(kwargs):
+    """VP8L is lossless: every encoder surface (plain literals, subtract-
+    green, cross-color, color cache, LZ77 runs) must round-trip exactly."""
+    from paddleocr_json_ray.functions.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (29, 33, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_webp(encode_webp(img, **kwargs)), img)
+    runs = np.repeat(rng.integers(0, 256, (15, 9, 3), dtype=np.uint8), 5, axis=1)
+    np.testing.assert_array_equal(decode_webp(encode_webp(runs, **kwargs)), runs)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_webp_predictor_modes_roundtrip(mode):
+    """All 14 spatial predictors (incl. Select's 2021 tie-break and the
+    C-truncating ClampAddSubtractHalf) invert exactly."""
+    from paddleocr_json_ray.functions.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(100 + mode)
+    img = rng.integers(0, 256, (18, 23, 3), dtype=np.uint8)
+    dec = decode_webp(encode_webp(img, transform="predictor", predictor_mode=mode))
+    np.testing.assert_array_equal(dec, img)
+
+
+@pytest.mark.parametrize("ncolors", [2, 3, 4, 16, 17, 256])
+def test_webp_palette_roundtrip(ncolors):
+    """Color-indexing transform incl. sub-pixel packing (8/4/2/1 px per
+    byte) and the delta-coded palette image."""
+    from paddleocr_json_ray.functions.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(200 + ncolors)
+    pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, ncolors, (21, 37))]
+    np.testing.assert_array_equal(decode_webp(encode_webp(img, transform="palette")), img)
+    with pytest.raises(ValueError, match="256"):
+        encode_webp(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8),
+                    transform="palette")
+
+
+def test_webp_edge_sizes_and_gray():
+    from paddleocr_json_ray.functions.webp import decode_webp, encode_webp
+
+    one = np.array([[[7, 8, 9]]], dtype=np.uint8)
+    np.testing.assert_array_equal(decode_webp(encode_webp(one)), one)
+    gray = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    np.testing.assert_array_equal(decode_webp(encode_webp(gray)),
+                                  np.repeat(gray[..., None], 3, axis=2))
+    col = np.arange(9 * 3, dtype=np.uint8).reshape(9, 1, 3)
+    np.testing.assert_array_equal(decode_webp(encode_webp(col)), col)
+
+
+def test_webp_malformed_lossy_and_container():
+    """Truncation/garbage -> None; lossy VP8 -> None (documented seam);
+    VP8L inside a VP8X extended container decodes."""
+    from paddleocr_json_ray.functions.webp import decode_webp, encode_webp
+
+    img = _rand_img(12, 17, seed=41)
+    good = encode_webp(img)
+    assert decode_webp(good[:16]) is None
+    assert decode_webp(good[:len(good) // 2]) is None
+    assert decode_webp(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 8) is None
+    assert decode_webp(b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+                       + b"VP8 " + struct.pack("<I", 8) + b"\x00" * 8) is None
+    # corrupt the VP8L signature byte
+    bad = bytearray(good)
+    bad[20] ^= 0xFF
+    assert decode_webp(bytes(bad)) is None
+    # re-wrap the VP8L chunk behind a VP8X header chunk
+    vp8l_chunk = good[12:]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    body = b"WEBP" + vp8x + vp8l_chunk
+    ext = b"RIFF" + struct.pack("<I", len(body)) + body
+    np.testing.assert_array_equal(decode_webp(ext), img)
+
+
+def test_webp_through_decode_image_dispatch():
+    from paddleocr_json_ray.functions.webp import encode_webp
+
+    img = _rand_img(20, 30, seed=42)
+    np.testing.assert_array_equal(decode_image(encode_webp(img)), img)
+
+
+def test_webp_through_envelope_byte_exact():
+    """The OCR raster has <= 256 distinct colors, so palette-mode VP8L
+    carries it LOSSLESSLY — byte-exact spans like PNG/BMP/GIF/TIFF."""
+    from paddleocr_json_ray.functions.webp import encode_webp
+
+    cfg = PipelineConfig()
+    backends = make_backends(cfg, CHARS)
+    simg_payload = _simg_payload()
+    from paddleocr_json_ray.synth.imaging import decode as simg_decode, raster_seed
+    raster = render_raster(simg_decode(simg_payload), raster_seed(simg_payload))
+    ref_simg = "b64:" + base64.b64encode(simg_payload).decode()
+    ref_webp = "b64:" + base64.b64encode(
+        encode_webp(raster, transform="palette", backrefs=True)).decode()
+    code_a, _, blocks_a, text_a = ocr_media_ref(ref_simg, cfg, *backends)
+    code_b, _, blocks_b, text_b = ocr_media_ref(ref_webp, cfg, *backends)
+    assert code_a == code_b == errors.CODE_OK
+    assert text_a == text_b
+    assert [b["box"] for b in blocks_a] == [b["box"] for b in blocks_b]
