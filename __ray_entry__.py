@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_balance_inactive_custs": relational.high_balance_inactive_custs,
         "band_revenue": relational.band_revenue,
         "shipping_priority": relational.shipping_priority,
+        "sole_return_suppliers": relational.sole_return_suppliers,
+        "source_cap": text_ops.source_cap,
         "revenue_by_part_type": relational.revenue_by_part_type,
         "returned_revenue_by_cust": relational.returned_revenue_by_cust,
         "small_quantity_revenue": relational.small_quantity_revenue,
@@ -257,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 new oracled ops
         "gopher_repetition", "weighted_sample",
         "high_balance_inactive_custs", "band_revenue", "shipping_priority",
+        "sole_return_suppliers", "source_cap",
     ]
     oracled = set(oracle_sql())
     ordered = {k: q[k] for k in priority if k in q and k in oracled}
@@ -565,6 +568,28 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)""",
+        "sole_return_suppliers": """
+WITH pairs AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem GROUP BY 1, 2),
+ostats AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(has_r) AS n_r,
+         SUM(CASE WHEN has_r = 1 THEN l_suppkey ELSE 0 END) AS r_supp
+  FROM pairs GROUP BY 1)
+SELECT s.s_name AS s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM ostats o JOIN supplier s ON s.s_suppkey = o.r_supp
+WHERE o.n_supp > 1 AND o.n_r = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""",
+        "source_cap": """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       MAX(doc_id) AS max_kept_doc
+FROM ranked WHERE rn <= 64 GROUP BY source ORDER BY source""",
         "pii_scrub": """
 SELECT doc_id,
        regexp_replace(

@@ -1478,3 +1478,94 @@ def shipping_priority(sf_dir: str, cutoff_us: int = 889_920_000_000_000,
                .sort(["neg_rev", "l_orderkey"])
                .limit(n)
                .drop_columns(["neg_rev"]))
+
+
+def sole_return_suppliers(sf_dir: str, n: int = 20) -> ray.data.Dataset:
+    """(s_name, numwait) — for each supplier, how many MULTI-supplier orders
+    exist where that supplier is the ONLY one with returned items
+    (l_returnflag = 'R'): the TPC-H Q21 shape (EXISTS another supplier in
+    the order + NOT EXISTS another supplier who also failed), re-expressed
+    without correlated subqueries.
+
+    Plan (two single-aggregate exchanges, both in-batch pre-reduced):
+      1. distinct (order, supplier) pairs with an any-R flag: per batch a
+         vectorized sort+first-per-run reduce over the PACKED int64 key
+         (orderkey << 20 | suppkey), then one native Max groupby — the
+         packing assumes suppkey < 2^20 and orderkey < 2^43 (true for every
+         generated SF here; at larger key domains the same plan runs on the
+         two-column groupby).
+      2. per-order sufficient statistics as ONE packed Sum: each pair
+         contributes 1 | has_r << 20 | (suppkey * has_r) << 40, so the sum
+         unpacks to (n_suppliers, n_r_suppliers, sum of R-supplier keys).
+         The supplier-id sum identifies the culprit exactly when n_r == 1 —
+         the only case the filter keeps — and stays below 2^23 per order
+         (TPC-H orders have <= 7 lineitems), so no bit field overflows.
+    Survivors are order-bounded and dup-bounded; the per-supplier count is
+    a |supplier|-sized driver merge (dimension), joined to s_name via the
+    broadcast-dimension pattern.  Nothing order- or lineitem-sized lands on
+    the driver."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        has_r = pc.equal(batch.column("l_returnflag"),
+                         pa.scalar("R")).to_numpy(zero_copy_only=False)
+        key = (ok << 20) | sk
+        order = np.lexsort((~has_r, key))  # key asc, R rows first in run
+        ks, rs = key[order], has_r[order]
+        first = np.r_[True, np.diff(ks) != 0]
+        return pa.table({"pk": pa.array(ks[first], type=pa.int64()),
+                         "has_r": pa.array(rs[first].astype(np.int64))})
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby("pk").aggregate(Max("has_r")))
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy()
+        has_r = batch.column("max(has_r)").to_numpy()
+        ok = pk >> 20
+        sk = pk & ((1 << 20) - 1)
+        contrib = 1 + (has_r << 20) + ((sk * has_r) << 40)
+        order = np.argsort(ok)
+        oks, cs = ok[order], contrib[order]
+        first = np.r_[True, np.diff(oks) != 0]
+        sums = np.add.reduceat(cs, np.flatnonzero(first))
+        return pa.table({"l_orderkey": pa.array(oks[first], type=pa.int64()),
+                         "contrib": pa.array(sums, type=pa.int64())})
+
+    ostats = (pairs.map_batches(order_partial, batch_format="pyarrow")
+                   .groupby("l_orderkey").aggregate(Sum("contrib")))
+
+    def culprit_counts(batch: pa.Table) -> pa.Table:
+        v = batch.column("sum(contrib)").to_numpy()
+        n_supp = v & ((1 << 20) - 1)
+        n_r = (v >> 20) & ((1 << 20) - 1)
+        supp = v >> 40
+        keep = (n_supp > 1) & (n_r == 1)
+        uk, cnt = np.unique(supp[keep], return_counts=True)
+        return pa.table({"s_suppkey": pa.array(uk, type=pa.int64()),
+                         "c": pa.array(cnt, type=pa.int64())})
+
+    parts = pa.concat_tables(
+        [ray.get(r) for r in
+         ostats.map_batches(culprit_counts,
+                            batch_format="pyarrow").to_arrow_refs()])
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    skeys = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    names = np.asarray(supp.column("s_name").to_pylist(), dtype=object)
+    counts = np.zeros(len(skeys), dtype=np.int64)
+    lut = np.full(int(skeys.max()) + 1 if len(skeys) else 1, -1, np.int64)
+    lut[skeys] = np.arange(len(skeys))
+    pk = parts.column("s_suppkey").to_numpy()
+    np.add.at(counts, lut[pk], parts.column("c").to_numpy())
+    hit = counts > 0
+    nm, cn = names[hit], counts[hit]
+    top = np.lexsort((nm, -cn))[:n]
+    return ray.data.from_arrow(pa.table({
+        "s_name": pa.array(nm[top].tolist(), type=pa.string()),
+        "numwait": pa.array(cn[top], type=pa.int64())}))

@@ -904,3 +904,56 @@ def adaptive_quality_filter(sf_dir: str, pct: float = 0.25) -> ray.data.Dataset:
             pa.array(q >= t))})
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def source_cap(sf_dir: str, cap: int = 64) -> ray.data.Dataset:
+    """(source, n_kept, kept_chars, max_kept_doc) — cap each source at its
+    ``cap`` lowest-doc_id documents (the FineWeb/Gopher-style per-domain
+    cap: bound any one domain's contribution to the training mix with a
+    deterministic keep rule), summarized per source.
+
+    Plan: grouped smallest-k via block-local sufficient statistics — each
+    block emits at most ``cap`` candidate rows per source it touches (the
+    global smallest-k is contained in the union of block-local smallest-ks),
+    then ONE distributed grouped heal re-ranks candidates and aggregates.
+    Candidate volume is blocks x sources x cap — control-plane sized here,
+    and still dup-bounded at a million domains because the heal is a
+    grouped exchange, never a driver materialization.  A hot source
+    spanning B blocks ships cap*B rows to one heal task, never its corpus.
+    """
+    import numpy as np
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def block_candidates(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        s = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        c = batch.column("n_chars").to_numpy().astype(np.int64)
+        order = np.lexsort((d, s))
+        ds_, ss, cs = d[order], s[order], c[order]
+        first = np.r_[True, ss[1:] != ss[:-1]]
+        grp = np.cumsum(first) - 1
+        rank = np.arange(len(ds_)) - np.flatnonzero(first)[grp]
+        keep = rank < cap
+        return pa.table({"source": pa.array(ss[keep].tolist(), type=pa.string()),
+                         "doc_id": pa.array(ds_[keep], type=pa.int64()),
+                         "n_chars": pa.array(cs[keep], type=pa.int64())})
+
+    def heal(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy().astype(np.int64)
+        c = group.column("n_chars").to_numpy().astype(np.int64)
+        top = np.sort(np.unique(d))[:cap]
+        sel = np.isin(d, top)
+        # doc_ids are unique per source, so sel picks exactly the kept docs
+        return pa.table({
+            "source": group.column("source").slice(0, 1),
+            "n_kept": pa.array([int(sel.sum())], type=pa.int64()),
+            "kept_chars": pa.array([int(c[sel].sum())], type=pa.int64()),
+            "max_kept_doc": pa.array([int(d[sel].max())], type=pa.int64()),
+        })
+
+    return (ds.map_batches(block_candidates, batch_format="pyarrow")
+              .groupby("source").map_groups(heal, batch_format="pyarrow")
+              .sort("source"))

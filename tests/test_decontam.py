@@ -330,3 +330,37 @@ def test_fuzzy_decontaminate_planted(ray_session, tmp_path):
     assert (got["bench_id"] % 13 == 0).all()
     assert (got["doc_id"] % 13 != 0).all()
     assert len(flagged - {1, 14}) == 0  # no random-doc false flags
+
+
+def test_source_cap_hot_source_and_small_strata(ray_session, tmp_path):
+    """Per-source cap: one source owns 90% of docs (hot key spanning many
+    blocks -> the grouped heal must re-rank cap*B block-local candidates),
+    and one source has fewer docs than the cap (kept whole)."""
+    rng = np.random.default_rng(11)
+    n = 3000
+    srcs = np.where(rng.random(n) < 0.9, "web",
+                    np.where(rng.random(n) < 0.5, "wiki", "tiny"))
+    # keep 'tiny' genuinely below the cap
+    tiny_ids = np.flatnonzero(srcs == "tiny")[:40]
+    srcs[srcs == "tiny"] = "wiki"
+    srcs[tiny_ids] = "tiny"
+    doc_ids = rng.permutation(n)  # unsorted ids: rank order != row order
+    n_chars = rng.integers(10, 9999, size=n)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "source": pa.array(srcs.tolist(), type=pa.string()),
+        "n_chars": pa.array(n_chars, type=pa.int64()),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    cap = 64
+    got = text_ops.source_cap(str(tmp_path), cap=cap).to_pandas()
+    import pandas as pd
+
+    df = pd.DataFrame({"source": srcs, "doc_id": doc_ids, "n_chars": n_chars})
+    kept = (df.sort_values(["source", "doc_id"]).groupby("source").head(cap))
+    expect = (kept.groupby("source")
+                  .agg(n_kept=("doc_id", "count"), kept_chars=("n_chars", "sum"),
+                       max_kept_doc=("doc_id", "max"))
+                  .reset_index().sort_values("source").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), expect,
+                                  check_dtype=True)
+    assert int(got[got["source"] == "tiny"]["n_kept"].iloc[0]) == len(tiny_ids)

@@ -583,3 +583,43 @@ def test_props_k_stats_extraction(ray_session, tmp_path):
         assert got.loc[t, "n"] == len(x)
         assert got.loc[t, "sum_k"] == x.sum()
         assert got.loc[t, "avg_k"] == round(x.sum() / len(x) + 1e-12, 2)
+
+
+def test_sole_return_suppliers_brute(ray_session, tmp_path):
+    """Q21 shape vs a brute-force pandas oracle on adversarial data:
+    duplicate (order, supplier) rows with CONFLICTING flags (R + N for the
+    same pair must count once, as R), single-supplier orders (excluded by
+    n_supp > 1), and multi-R orders (excluded by n_r == 1)."""
+    rng = np.random.default_rng(29)
+    n = 4000
+    ok = rng.integers(0, 300, size=n)
+    sk = rng.integers(0, 12, size=n)
+    flags = rng.choice(["R", "N", "A"], size=n, p=[0.3, 0.4, 0.3])
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, type=pa.int64()),
+        "l_suppkey": pa.array(sk, type=pa.int64()),
+        "l_returnflag": pa.array(flags.tolist(), type=pa.string()),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    names = [f"S{i:03d}" for i in range(12)]
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(range(12), type=pa.int64()),
+        "s_name": pa.array(names, type=pa.string()),
+    }), os.path.join(str(tmp_path), "supplier.parquet"))
+
+    import pandas as pd
+
+    df = pd.DataFrame({"o": ok, "s": sk, "r": flags == "R"})
+    pairs = df.groupby(["o", "s"])["r"].max().reset_index()
+    g = pairs.groupby("o").agg(n_supp=("s", "count"), n_r=("r", "sum"),
+                               culprit=("r", lambda x: -1))
+    sole = pairs[pairs["r"]].merge(
+        g[(g["n_supp"] > 1) & (g["n_r"] == 1)], on="o")
+    expect = (sole.groupby("s").size().rename("numwait").reset_index()
+                  .assign(s_name=lambda t: [names[i] for i in t["s"]])
+                  .sort_values(["numwait", "s_name"],
+                               ascending=[False, True])[["s_name", "numwait"]]
+                  .head(20).reset_index(drop=True))
+    got = relational.sole_return_suppliers(str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        expect.astype({"numwait": "int64"}), check_dtype=True)
