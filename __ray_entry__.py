@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": relational.shipping_priority,
         "sole_return_suppliers": relational.sole_return_suppliers,
         "source_cap": text_ops.source_cap,
+        "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "revenue_by_part_type": relational.revenue_by_part_type,
         "returned_revenue_by_cust": relational.returned_revenue_by_cust,
         "small_quantity_revenue": relational.small_quantity_revenue,
@@ -259,7 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 new oracled ops
         "gopher_repetition", "weighted_sample",
         "high_balance_inactive_custs", "band_revenue", "shipping_priority",
-        "sole_return_suppliers", "source_cap",
+        "sole_return_suppliers", "source_cap", "cheapest_supplier_per_part",
     ]
     oracled = set(oracle_sql())
     ordered = {k: q[k] for k in priority if k in q and k in oracled}
@@ -581,6 +582,18 @@ SELECT s.s_name AS s_name, CAST(COUNT(*) AS BIGINT) AS numwait
 FROM ostats o JOIN supplier s ON s.s_suppkey = o.r_supp
 WHERE o.n_supp > 1 AND o.n_r = 1
 GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""",
+        "cheapest_supplier_per_part": """
+WITH c AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 1048576
+           + l_suppkey AS pk
+  FROM lineitem),
+m AS (SELECT l_partkey, MIN(pk) AS pk FROM c GROUP BY 1)
+SELECT m.l_partkey AS p_partkey, p.p_brand, s.s_name,
+       (m.pk // 1048576) / 100.0 AS min_price
+FROM m JOIN part p ON p.p_partkey = m.l_partkey
+JOIN supplier s ON s.s_suppkey = m.pk % 1048576
+ORDER BY p_partkey""",
         "source_cap": """
 WITH ranked AS (
   SELECT source, doc_id, n_chars,

@@ -1569,3 +1569,68 @@ def sole_return_suppliers(sf_dir: str, n: int = 20) -> ray.data.Dataset:
     return ray.data.from_arrow(pa.table({
         "s_name": pa.array(nm[top].tolist(), type=pa.string()),
         "numwait": pa.array(cn[top], type=pa.int64())}))
+
+
+def cheapest_supplier_per_part(sf_dir: str) -> ray.data.Dataset:
+    """(p_partkey, p_brand, s_name, min_price) — for every part, the
+    supplier offering its cheapest lineitem (ties: lowest suppkey): the
+    TPC-H Q2 shape (argmin-per-group with a join back to the winner),
+    re-expressed as ONE exchange.
+
+    Plan: prices are exact 2dp decimals, so the argmin rides a single
+    native Min groupby over the PACKED int64 (price_cents << 20 | suppkey)
+    — the integer order equals the (price, suppkey) lexicographic order,
+    which makes the min row carry its own tie-break; per-batch combiners
+    pre-reduce each block to one candidate per part before the exchange.
+    part/supplier names are dimension LUT broadcasts (never a shuffle
+    join).  Packing assumes price < ~$90T in cents (2^43) and suppkey <
+    2^20 — beyond that the same plan runs on a two-column Min."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        cents = np.floor(batch.column("l_extendedprice").to_numpy()
+                         * 100 + 0.5).astype(np.int64)
+        packed = (cents << 20) | sk
+        order = np.lexsort((packed, pk))
+        pks, vs = pk[order], packed[order]
+        first = np.r_[True, np.diff(pks) != 0]
+        return pa.table({"p_partkey": pa.array(pks[first], type=pa.int64()),
+                         "packed": pa.array(vs[first], type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("p_partkey").aggregate(Min("packed")))
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    pkeys = part.column("p_partkey").to_numpy().astype(np.int64)
+    brands = np.asarray(part.column("p_brand").to_pylist(), dtype=object)
+    brand_lut = np.full(int(pkeys.max()) + 1, "", dtype=object)
+    brand_lut[pkeys] = brands
+    skeys = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    names = np.asarray(supp.column("s_name").to_pylist(), dtype=object)
+    name_lut = np.full(int(skeys.max()) + 1, "", dtype=object)
+    name_lut[skeys] = names
+    luts = ray.put((brand_lut, name_lut))
+
+    def finish(batch: pa.Table, ref) -> pa.Table:
+        b_lut, n_lut = ray.get(ref)
+        pk = batch.column("p_partkey").to_numpy().astype(np.int64)
+        v = batch.column("min(packed)").to_numpy()
+        sk = v & ((1 << 20) - 1)
+        price = (v >> 20) / 100.0
+        return pa.table({
+            "p_partkey": pa.array(pk, type=pa.int64()),
+            "p_brand": pa.array(b_lut[pk].tolist(), type=pa.string()),
+            "s_name": pa.array(n_lut[sk].tolist(), type=pa.string()),
+            "min_price": pa.array(price, type=pa.float64()),
+        })
+
+    return (agg.map_batches(finish, batch_format="pyarrow", fn_args=(luts,))
+               .sort("p_partkey"))

@@ -623,3 +623,39 @@ def test_sole_return_suppliers_brute(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True),
         expect.astype({"numwait": "int64"}), check_dtype=True)
+
+
+def test_cheapest_supplier_per_part_ties(ray_session, tmp_path):
+    """Argmin-per-group: two suppliers tied on the minimum price must
+    resolve to the LOWEST suppkey (the packed-key order carries the
+    tie-break through the Min exchange)."""
+    rng = np.random.default_rng(37)
+    n = 2500
+    pk = rng.integers(0, 80, size=n)
+    sk = rng.integers(0, 15, size=n)
+    # coarse price grid -> many exact ties within a part
+    price = rng.integers(1, 6, size=n) * 10.0 + 0.25
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(pk, type=pa.int64()),
+        "l_suppkey": pa.array(sk, type=pa.int64()),
+        "l_extendedprice": pa.array(price, type=pa.float64()),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(80), type=pa.int64()),
+        "p_brand": pa.array([f"B{i % 5}" for i in range(80)], type=pa.string()),
+    }), os.path.join(str(tmp_path), "part.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(range(15), type=pa.int64()),
+        "s_name": pa.array([f"S{i:02d}" for i in range(15)], type=pa.string()),
+    }), os.path.join(str(tmp_path), "supplier.parquet"))
+
+    got = relational.cheapest_supplier_per_part(str(tmp_path)).to_pandas()
+    import pandas as pd
+
+    df = pd.DataFrame({"p": pk, "s": sk, "v": price})
+    win = (df.sort_values(["p", "v", "s"]).groupby("p").first())
+    assert got["p_partkey"].tolist() == sorted(win.index.tolist())
+    for _, row in got.iterrows():
+        w = win.loc[row["p_partkey"]]
+        assert row["s_name"] == f"S{int(w['s']):02d}"
+        assert row["min_price"] == w["v"]
