@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_positions": text_ops.shuffle_positions,
         "pack_sequences": text_ops.pack_sequences,
         "unigram_logprob": text_ops.unigram_logprob,  # libm ln, rows-only
+        "bpe_token_stats": text_ops.bpe_token_stats,  # iterative train, rows-only
         "tfidf_top_terms": text_ops.tfidf_top_terms,
         "decontaminate": decontam.decontaminate,
         "bloom_decontaminate": decontam.bloom_decontaminate,  # sketch, rows-only

@@ -957,3 +957,133 @@ def source_cap(sf_dir: str, cap: int = 64) -> ray.data.Dataset:
     return (ds.map_batches(block_candidates, batch_format="pyarrow")
               .groupby("source").map_groups(heal, batch_format="pyarrow")
               .sort("source"))
+
+
+def _bpe_train(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Word-level BPE training (Sennrich et al. 2016): repeatedly merge the
+    most frequent adjacent symbol pair (ties: lexicographic pair, so the
+    result is deterministic across platforms).  Words carry an end-of-word
+    marker so merges cannot cross word boundaries."""
+    vocab = {tuple(w) + ("</w>",): f for w, f in word_freqs.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Number of BPE tokens for one word under the trained merge ranks."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return len(syms)
+
+
+def bpe_token_stats(sf_dir: str, n_merges: int = 48,
+                    sample_k: int = 512) -> ray.data.Dataset:
+    """(source, n_docs, total_tokens) — train a BPE tokenizer on a
+    deterministic corpus sample, then tokenize the WHOLE corpus with it
+    (the standard train-tokenizer-then-count pipeline stage).
+
+    Plan: the training sample is the ``sample_docs`` bottom-k-by-md5 sketch
+    (k texts land on the driver — k-bounded, never corpus-bounded); training
+    is driver-side over word FREQUENCIES (vocabulary-sized, not
+    corpus-sized).  The merge table broadcasts once via ``ray.put``; encode
+    batches tokenize only each block's UNIQUE words (the word-cache trick
+    real BPE implementations use — per-block cost is vocabulary-, not
+    token-, bounded) and the per-source rollup is one native Sum exchange.
+    Not SQL-expressible (iterative merge training) -> rows-only entry."""
+    import hashlib
+
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read_documents(sf_dir, columns=("doc_id", "text", "source"))
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keyed = sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i, t)
+            for i, t in zip(ids, texts))[:sample_k]
+        return pa.table({
+            "h": pa.array([h for h, _, _ in keyed], type=pa.string()),
+            "text": pa.array([t for _, _, t in keyed], type=pa.string()),
+        })
+
+    sample = pa.concat_tables(
+        [ray.get(r) for r in docs.map_batches(
+            bottomk, batch_format="pyarrow").to_arrow_refs()])
+    order = sorted(range(sample.num_rows),
+                   key=lambda i: sample.column("h")[i].as_py())[:sample_k]
+    word_freqs: dict[str, int] = {}
+    for i in order:
+        for w in sample.column("text")[i].as_py().split():
+            word_freqs[w] = word_freqs.get(w, 0) + 1
+    merges = _bpe_train(word_freqs, n_merges)
+    ranks_ref = ray.put({p: r for r, p in enumerate(merges)})
+
+    def encode_counts(batch: pa.Table, ref) -> pa.Table:
+        ranks = ray.get(ref)
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        cache: dict[str, int] = {}
+        per_src: dict[str, list[int]] = {}
+        for t, s in zip(texts, srcs):
+            tok = 0
+            for w in t.split():
+                c = cache.get(w)
+                if c is None:
+                    c = cache[w] = _bpe_encode_word(w, ranks)
+                tok += c
+            agg = per_src.setdefault(s, [0, 0])
+            agg[0] += 1
+            agg[1] += tok
+        keys = sorted(per_src)
+        return pa.table({
+            "source": pa.array(keys, type=pa.string()),
+            "d": pa.array([per_src[k][0] for k in keys], type=pa.int64()),
+            "t": pa.array([per_src[k][1] for k in keys], type=pa.int64()),
+        })
+
+    agg = (docs.map_batches(encode_counts, batch_format="pyarrow",
+                            fn_args=(ranks_ref,))
+               .groupby("source").aggregate(Sum("d"), Sum("t")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b.column("source"),
+            "n_docs": b.column("sum(d)").cast(pa.int64()),
+            "total_tokens": b.column("sum(t)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("source")

@@ -386,3 +386,60 @@ def test_pq_adc_matches_exhaustive_decode(ray_session, emb_dir):
         adc = tab[np.arange(m)[:, None], codes.T].sum(axis=0)
         exact = ((qn[qi][None, :] - decoded) ** 2).sum(axis=1)
         np.testing.assert_allclose(adc, exact, rtol=1e-10, atol=1e-12)
+
+
+def test_bpe_trainer_textbook_example():
+    """Sennrich et al.'s canonical corpus: merges must come out (e,s),
+    (es,t), (est,</w>), (l,o) with the deterministic lexicographic
+    tie-break, and encoding follows the merge ranks."""
+    from paddleocr_json_ray.ops.text_ops import _bpe_encode_word, _bpe_train
+
+    merges = _bpe_train({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 4)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")]
+    ranks = {p: r for r, p in enumerate(merges)}
+    assert _bpe_encode_word("newest", ranks) == 4   # n e w est</w>
+    assert _bpe_encode_word("lowest", ranks) == 3   # lo w est</w>
+    assert _bpe_encode_word("low", ranks) == 3      # lo w </w>
+
+
+def test_bpe_token_stats_matches_driver_brute(ray_session, tmp_path):
+    """Distributed sample-train + encode equals a single-process rerun of
+    the same algorithm (sample covers the whole tiny corpus, so training
+    is deterministic and identical)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from paddleocr_json_ray.ops.text_ops import (
+        _bpe_encode_word,
+        _bpe_train,
+        bpe_token_stats,
+    )
+
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "alphabet", "beta", "betatron", "gamma", "gam"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+             for _ in range(120)]
+    srcs = rng.choice(["a", "b", "c"], size=120).tolist()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(120), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "source": pa.array(srcs, type=pa.string()),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+
+    got = bpe_token_stats(str(tmp_path), n_merges=16, sample_k=512).to_pandas()
+
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    ranks = {p: r for r, p in
+             enumerate(_bpe_train(freqs, 16))}
+    expect: dict[str, list[int]] = {}
+    for t, s in zip(texts, srcs):
+        agg = expect.setdefault(s, [0, 0])
+        agg[0] += 1
+        agg[1] += sum(_bpe_encode_word(w, ranks) for w in t.split())
+    for _, row in got.iterrows():
+        assert expect[row["source"]] == [row["n_docs"], row["total_tokens"]]
+    assert set(got["source"]) == set(expect)
