@@ -122,7 +122,10 @@ def run_suite() -> dict:
                 # round-4 additions
                 "gopher_repetition", "knn_pq", "user_funnel",
                 "cohort_retention", "high_balance_inactive_custs",
-                "band_revenue", "shipping_priority"]
+                "band_revenue", "shipping_priority",
+                # round-4 final-session additions
+                "sole_return_suppliers", "source_cap",
+                "cheapest_supplier_per_part", "bpe_token_stats"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:
