@@ -1041,8 +1041,9 @@ def bpe_token_stats(sf_dir: str, n_merges: int = 48,
         })
 
     sample = pa.concat_tables(
-        [ray.get(r) for r in docs.map_batches(
-            bottomk, batch_format="pyarrow").to_arrow_refs()])
+        [t for t in (ray.get(r) for r in docs.map_batches(
+            bottomk, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows])
     order = sorted(range(sample.num_rows),
                    key=lambda i: sample.column("h")[i].as_py())[:sample_k]
     word_freqs: dict[str, int] = {}
