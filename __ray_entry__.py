@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": relational.shipping_priority,
         "sole_return_suppliers": relational.sole_return_suppliers,
         "source_cap": text_ops.source_cap,
+        "source_cap_filter": text_ops.source_cap_filter,
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "revenue_by_part_type": relational.revenue_by_part_type,
         "returned_revenue_by_cust": relational.returned_revenue_by_cust,
@@ -261,7 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 new oracled ops
         "gopher_repetition", "weighted_sample",
         "high_balance_inactive_custs", "band_revenue", "shipping_priority",
-        "sole_return_suppliers", "source_cap", "cheapest_supplier_per_part",
+        "sole_return_suppliers", "source_cap", "source_cap_filter",
+        "cheapest_supplier_per_part",
     ]
     oracled = set(oracle_sql())
     ordered = {k: q[k] for k in priority if k in q and k in oracled}
@@ -604,6 +606,12 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(n_chars) AS BIGINT) AS kept_chars,
        MAX(doc_id) AS max_kept_doc
 FROM ranked WHERE rn <= 64 GROUP BY source ORDER BY source""",
+        "source_cap_filter": """
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source FROM ranked WHERE rn <= 64 ORDER BY doc_id""",
         "pii_scrub": """
 SELECT doc_id,
        regexp_replace(

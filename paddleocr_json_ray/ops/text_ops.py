@@ -1088,3 +1088,65 @@ def bpe_token_stats(sf_dir: str, n_merges: int = 48,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
+def source_cap_filter(sf_dir: str, cap: int = 64) -> ray.data.Dataset:
+    """(doc_id, source) — the actual capped corpus: every document that
+    survives the per-source ``cap`` (lowest-doc_id keep rule), sorted by
+    doc_id.  The materializing companion to ``source_cap``: this is the
+    stage a curation pipeline composes downstream of.
+
+    Plan: the per-source keep rule "doc_id among the cap smallest" is
+    equivalent to "doc_id <= the source's cap-th smallest doc_id", so the
+    op reduces to a THRESHOLD BROADCAST — block-local smallest-cap
+    candidates (sufficient statistics, cap*B rows per source) heal to one
+    threshold row per source, and the corpus then streams once through a
+    searchsorted filter.  Driver state is |sources| thresholds, never rows;
+    a hot source costs candidate rows, not its corpus."""
+    import numpy as np
+
+    ds = _read_documents(sf_dir, columns=("doc_id", "source"))
+
+    def block_candidates(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        s = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        order = np.lexsort((d, s))
+        ds_, ss = d[order], s[order]
+        first = np.r_[True, ss[1:] != ss[:-1]]
+        grp = np.cumsum(first) - 1
+        rank = np.arange(len(ds_)) - np.flatnonzero(first)[grp]
+        keep = rank < cap
+        return pa.table({"source": pa.array(ss[keep].tolist(), type=pa.string()),
+                         "doc_id": pa.array(ds_[keep], type=pa.int64())})
+
+    def heal(group: pa.Table) -> pa.Table:
+        d = np.unique(group.column("doc_id").to_numpy().astype(np.int64))
+        thr = int(d[:cap][-1])  # cap-th smallest (or max when size < cap)
+        return pa.table({"source": group.column("source").slice(0, 1),
+                         "thr": pa.array([thr], type=pa.int64())})
+
+    thr_tab = pa.concat_tables(
+        [t for t in
+         (ray.get(r) for r in
+          ds.map_batches(block_candidates, batch_format="pyarrow")
+            .groupby("source").map_groups(heal, batch_format="pyarrow")
+            .to_arrow_refs())
+         if t.num_rows])
+    srcs = np.asarray(thr_tab.column("source").to_pylist(), dtype=object)
+    thrs = thr_tab.column("thr").to_numpy().astype(np.int64)
+    order = np.argsort(srcs)
+    thr_ref = ray.put((srcs[order], thrs[order]))
+
+    def keep_rows(batch: pa.Table, ref) -> pa.Table:
+        ks, ts = ray.get(ref)
+        s = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        pos = np.searchsorted(ks, s)
+        m = d <= ts[np.minimum(pos, len(ts) - 1)]
+        t = batch.filter(pa.array(m))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "source": t.column("source")})
+
+    return (ds.map_batches(keep_rows, batch_format="pyarrow",
+                           fn_args=(thr_ref,))
+              .sort("doc_id"))

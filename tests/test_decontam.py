@@ -364,3 +364,29 @@ def test_source_cap_hot_source_and_small_strata(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), expect,
                                   check_dtype=True)
     assert int(got[got["source"] == "tiny"]["n_kept"].iloc[0]) == len(tiny_ids)
+
+
+def test_source_cap_filter_threshold_equivalence(ray_session, tmp_path):
+    """The threshold-broadcast filter keeps EXACTLY the per-source smallest-
+    cap doc_ids (rule equivalence: member-of-smallest-k == id <= k-th
+    smallest), incl. a source smaller than the cap (threshold = its max)."""
+    rng = np.random.default_rng(23)
+    n = 1200
+    srcs = np.where(rng.random(n) < 0.85, "web", "rare")
+    rare_ids = np.flatnonzero(srcs == "rare")
+    srcs[rare_ids[30:]] = "web"  # keep 'rare' at 30 docs (< cap)
+    doc_ids = rng.permutation(10_000)[:n]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "source": pa.array(srcs.tolist(), type=pa.string()),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    cap = 64
+    got = text_ops.source_cap_filter(str(tmp_path), cap=cap).to_pandas()
+    import pandas as pd
+
+    df = pd.DataFrame({"source": srcs, "doc_id": doc_ids})
+    kept = (df.sort_values(["source", "doc_id"]).groupby("source").head(cap)
+              .sort_values("doc_id").reset_index(drop=True)[["doc_id", "source"]])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), kept,
+                                  check_dtype=True)
+    assert (got["source"] == "rare").sum() == 30  # below-cap stratum whole
