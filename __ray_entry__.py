@@ -77,6 +77,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              concurrency=2, fn_constructor_args=(cfg,))
                 .select_columns(["blob_id", "region_type", "html", "text"]))
 
+    def _dedup_incremental(sf_dir: str):
+        # fresh throwaway index per call so repeated driver invocations are
+        # deterministic (the op is stateful by design: incremental ingestion)
+        import tempfile
+
+        from paddleocr_json_ray.ops.dedup import dedup_exact_incremental
+
+        return dedup_exact_incremental(
+            sf_dir, tempfile.mkdtemp(prefix="pjr_dedup_idx_"))
+
     def _export_summary(sf_dir: str):
         # full export chain into a throwaway dir; the deterministic summary
         # row is the checked result (partition layout is asserted in pytest)
@@ -131,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate": decontam.fuzzy_decontaminate,  # LSH, rows-only
         # ---- dedup family ----
         "dedup_exact": dedup.dedup_exact,
+        "dedup_exact_incremental": _dedup_incremental,  # stateful index, rows-only
         "cross_source_dups": dedup.cross_source_dups,
         "dedup_minhash": dedup.dedup_minhash,     # rows-only (LSH)
         "dedup_simhash": dedup.dedup_simhash,     # rows-only

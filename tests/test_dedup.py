@@ -194,3 +194,40 @@ def test_cross_source_dups(ray_session, tmp_path):
            .set_index(["source_a", "source_b"])["n_pairs"].sort_index())
     assert got.to_dict() == {("books", "books"): 1, ("books", "web"): 6,
                              ("web", "web"): 3 + 1}
+
+
+def test_dedup_exact_incremental_two_phase_equals_oneshot(ray_session, tmp_path):
+    """Increments A then B against a persisted hash index == one-shot
+    dedup_exact over A+B (time-ordered ids), and a re-run of an already-
+    indexed increment survives nothing (idempotent ingestion).  Index
+    growth is append-only: phase files accumulate, none are rewritten."""
+    import glob
+    import os
+
+    from paddleocr_json_ray.ops.dedup import dedup_exact, dedup_exact_incremental
+
+    rng = np.random.default_rng(5)
+    texts = [f"text-{i}" for i in range(120)]
+    ta = [texts[rng.integers(0, 120)] for _ in range(200)]
+    tb = [texts[rng.integers(0, 120)] if rng.random() < .5 else f"new-{i}"
+          for i in range(150)]
+    dirs = {}
+    for name, ids, tt in (("A", range(200), ta),
+                          ("B", range(200, 350), tb),
+                          ("AB", range(350), ta + tb)):
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                                 "text": pa.array(tt)}),
+                       os.path.join(d, "documents.parquet"))
+        dirs[name] = d
+    idx = str(tmp_path / "idx")
+    sa = dedup_exact_incremental(dirs["A"], idx).to_pandas()["doc_id"].tolist()
+    n_files_a = len(glob.glob(os.path.join(idx, "*.parquet")))
+    sb = dedup_exact_incremental(dirs["B"], idx).to_pandas()["doc_id"].tolist()
+    n_files_b = len(glob.glob(os.path.join(idx, "*.parquet")))
+    assert n_files_b > n_files_a  # append-only growth, no rewrite
+    oneshot = sorted(dedup_exact(dirs["AB"]).to_pandas()["doc_id"].tolist())
+    assert sorted(sa + sb) == oneshot
+    rerun = dedup_exact_incremental(dirs["B"], idx).to_pandas()
+    assert len(rerun) == 0  # all of B already indexed
