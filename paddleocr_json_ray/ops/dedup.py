@@ -1015,7 +1015,9 @@ def _exact_hash_batch(batch: pa.Table) -> pa.Table:
 
 
 def dedup_exact_incremental(sf_dir: str, index_dir: str,
-                            update_index: bool = True) -> ray.data.Dataset:
+                            update_index: bool = True,
+                            broadcast_max_rows: int | None = None
+                            ) -> ray.data.Dataset:
     """Exact dedup of a NEW corpus increment against a PERSISTED hash index
     (the daily-crawl pattern: at 100 TB/day you dedup each increment against
     history, never re-shuffle the history).  Output: surviving doc_ids —
@@ -1030,54 +1032,72 @@ def dedup_exact_incremental(sf_dir: str, index_dir: str,
 
     Scale plan: the increment reduces to 24-byte (hash, min doc_id) rows
     via the same per-batch combiner + native Min groupby as ``dedup_exact``;
-    the history probe broadcasts the index as ONE sorted packed array read
-    zero-copy from the object store per node (index rows are 16 bytes — 1B
-    historical docs ~ 16 GB, within object-store reach; beyond that the
-    probe becomes a sorted-bucket semi-join against the hive-bucketed index,
-    same tier note as ``custs_without_orders``)."""
+    the history probe is SIZE-TIERED (house rule, env override
+    ``PJR_DEDUP_IDX_BROADCAST_MAX``): up to the cap the index broadcasts as
+    ONE sorted packed array read zero-copy from the object store per node
+    (16-byte rows — 1B historical docs ~ 16 GB); beyond it the probe runs
+    as a partitioned hash ANTI-join against the index dataset, bytes-scaled
+    partitions, nothing index-sized on any single node.  Tier equality is
+    pinned in pytest with ``broadcast_max_rows=0``."""
     import glob
 
     from ray.data.aggregate import Min
 
+    if broadcast_max_rows is None:
+        broadcast_max_rows = int(os.environ.get(
+            "PJR_DEDUP_IDX_BROADCAST_MAX", 5_000_000))
+
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     winners = (ds.map_batches(_exact_hash_batch, batch_format="pyarrow")
-                 .groupby(["text_hash", "h2"]).aggregate(Min("doc_id")))
+                 .groupby(["text_hash", "h2"]).aggregate(Min("doc_id"))
+                 .map_batches(
+                     lambda b: pa.table({"text_hash": b.column("text_hash"),
+                                         "h2": b.column("h2"),
+                                         "doc_id": b.column("min(doc_id)")}),
+                     batch_format="pyarrow"))
 
     files = sorted(glob.glob(os.path.join(index_dir, "*.parquet")))
-    if files:
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
-        idx = pq.read_table(files, columns=["text_hash", "h2"])
-        # pack the 128-bit hash into sortable (h1, h2) via lexsort once
-        ih1 = idx.column("text_hash").to_numpy()
-        ih2 = idx.column("h2").to_numpy()
-        order = np.lexsort((ih2, ih1))
-        seen_ref = ray.put((ih1[order], ih2[order]))
+    idx_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    if files and idx_rows > broadcast_max_rows:
+        # beyond-broadcast tier: partitioned hash anti-join vs the index
+        from .relational import _join_partitions
+
+        idx_ds = ray.data.read_parquet(files, columns=["text_hash", "h2"])
+        fresh = winners.join(
+            idx_ds, "left_anti", on=("text_hash", "h2"),
+            num_partitions=_join_partitions(winners, idx_ds))
     else:
-        seen_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+        if files:
+            idx = pq.read_table(files, columns=["text_hash", "h2"])
+            ih1 = idx.column("text_hash").to_numpy()
+            ih2 = idx.column("h2").to_numpy()
+            order = np.lexsort((ih2, ih1))
+            seen_ref = ray.put((ih1[order], ih2[order]))
+        else:
+            seen_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
 
-    def unseen(batch: pa.Table, ref) -> pa.Table:
-        s1, s2 = ray.get(ref)
-        h1 = batch.column("text_hash").to_numpy()
-        h2 = batch.column("h2").to_numpy()
-        if len(s1):
-            # two-key membership: searchsorted on h1 runs, verify h2 inside
-            lo = np.searchsorted(s1, h1, side="left")
-            hit = np.zeros(len(h1), dtype=bool)
-            for i in range(len(h1)):  # runs are tiny: h1 collisions ~0
-                j = lo[i]
-                while j < len(s1) and s1[j] == h1[i]:
-                    if s2[j] == h2[i]:
-                        hit[i] = True
-                        break
-                    j += 1
-            batch = batch.filter(pa.array(~hit))
-        return pa.table({"text_hash": batch.column("text_hash"),
-                         "h2": batch.column("h2"),
-                         "doc_id": batch.column("min(doc_id)")})
+        def unseen(batch: pa.Table, ref) -> pa.Table:
+            s1, s2 = ray.get(ref)
+            h1 = batch.column("text_hash").to_numpy()
+            h2 = batch.column("h2").to_numpy()
+            if len(s1):
+                # two-key membership: searchsorted h1 runs, verify h2 inside
+                lo = np.searchsorted(s1, h1, side="left")
+                hit = np.zeros(len(h1), dtype=bool)
+                for i in range(len(h1)):  # runs are tiny: h1 collisions ~0
+                    j = lo[i]
+                    while j < len(s1) and s1[j] == h1[i]:
+                        if s2[j] == h2[i]:
+                            hit[i] = True
+                            break
+                        j += 1
+                batch = batch.filter(pa.array(~hit))
+            return batch
 
-    fresh = winners.map_batches(unseen, batch_format="pyarrow",
-                                fn_args=(seen_ref,))
+        fresh = winners.map_batches(unseen, batch_format="pyarrow",
+                                    fn_args=(seen_ref,))
     if update_index:
         os.makedirs(index_dir, exist_ok=True)
         fresh = fresh.materialize()

@@ -231,3 +231,31 @@ def test_dedup_exact_incremental_two_phase_equals_oneshot(ray_session, tmp_path)
     assert sorted(sa + sb) == oneshot
     rerun = dedup_exact_incremental(dirs["B"], idx).to_pandas()
     assert len(rerun) == 0  # all of B already indexed
+
+
+def test_dedup_exact_incremental_join_tier_equality(ray_session, tmp_path):
+    """broadcast_max_rows=0 forces the partitioned anti-join tier; its
+    survivors must equal the broadcast tier's on the same increment."""
+    import os
+
+    from paddleocr_json_ray.ops.dedup import dedup_exact_incremental
+
+    rng = np.random.default_rng(7)
+    texts = [f"t-{i}" for i in range(60)]
+    for name, ids in (("A", range(100)), ("B", range(100, 180))):
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([texts[rng.integers(0, 60)] for _ in ids]),
+        }), os.path.join(d, "documents.parquet"))
+    idx1, idx2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    a1 = dedup_exact_incremental(str(tmp_path / "A"), idx1).to_pandas()
+    a2 = dedup_exact_incremental(str(tmp_path / "A"), idx2,
+                                 broadcast_max_rows=0).to_pandas()
+    assert a1["doc_id"].tolist() == a2["doc_id"].tolist()
+    b1 = dedup_exact_incremental(str(tmp_path / "B"), idx1).to_pandas()
+    b2 = dedup_exact_incremental(str(tmp_path / "B"), idx2,
+                                 broadcast_max_rows=0).to_pandas()
+    assert b1["doc_id"].tolist() == b2["doc_id"].tolist()
+    assert len(b1) < 80  # cross-increment dups actually dropped
