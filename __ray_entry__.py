@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": text_ops.source_cap,
         "source_cap_filter": text_ops.source_cap_filter,
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
+        "profile_events": relational.profile_events,
+        "k_anonymity_audit": text_ops.k_anonymity_audit,
         "revenue_by_part_type": relational.revenue_by_part_type,
         "returned_revenue_by_cust": relational.returned_revenue_by_cust,
         "small_quantity_revenue": relational.small_quantity_revenue,
@@ -274,7 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition", "weighted_sample",
         "high_balance_inactive_custs", "band_revenue", "shipping_priority",
         "sole_return_suppliers", "source_cap", "source_cap_filter",
-        "cheapest_supplier_per_part",
+        "cheapest_supplier_per_part", "profile_events", "k_anonymity_audit",
     ]
     oracled = set(oracle_sql())
     ordered = {k: q[k] for k in priority if k in q and k in oracled}
@@ -617,6 +619,29 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(n_chars) AS BIGINT) AS kept_chars,
        MAX(doc_id) AS max_kept_doc
 FROM ranked WHERE rn <= 64 GROUP BY source ORDER BY source""",
+        "profile_events": """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (value IS NULL) AS BIGINT) AS null_value,
+       CAST(count(*) FILTER (props IS NULL) AS BIGINT) AS null_props,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us,
+       CAST(sum(CASE WHEN value >= 0 THEN floor(value * 100 + 0.5)
+                     ELSE -floor(-value * 100 + 0.5) END) AS BIGINT)
+         AS sum_value_cents,
+       CAST(count(*) FILTER (
+         CASE WHEN value >= 0 THEN floor(value * 100 + 0.5)
+              ELSE -floor(-value * 100 + 0.5) END < 0) AS BIGINT)
+         AS n_negative,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM events""",
+        "k_anonymity_audit": """
+WITH cells AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(min(n) AS BIGINT) AS min_cell,
+       CAST(count(*) FILTER (n < 50) AS BIGINT) AS cells_below_k,
+       CAST(coalesce(sum(n) FILTER (n < 50), 0) AS BIGINT) AS rows_below_k
+FROM cells""",
         "source_cap_filter": """
 WITH ranked AS (
   SELECT source, doc_id,

@@ -1699,3 +1699,73 @@ def cheapest_supplier_per_part(sf_dir: str) -> ray.data.Dataset:
 
     return (agg.map_batches(finish, batch_format="pyarrow", fn_args=(luts,))
                .sort("p_partkey"))
+
+
+def profile_events(sf_dir: str) -> ray.data.Dataset:
+    """One-row data-profile of the events table — the standard ingest-audit
+    pass (row count, per-column null counts, value range/sum, type
+    cardinality, timestamp span) computed in ONE streaming scan.
+
+    Plan: each block emits a single fixed-width partial row (counts, nulls,
+    min/max, integer-cent sums, plus its block-local distinct event-type
+    set — vocabulary-bounded); the driver merges O(blocks) partials.  Sums
+    run in integer cents so the result is order-independent and hash-exact
+    against SQL (float sums would differ by summation order)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events",
+               columns=["ts", "event_type", "value", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value")
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        null_value = int(v.null_count)
+        null_props = int(batch.column("props").null_count)
+        vv = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(vv)
+        cents = np.where(vv[ok] >= 0, np.floor(vv[ok] * 100 + 0.5),
+                         -np.floor(-vv[ok] * 100 + 0.5)).astype(np.int64)
+        types = ",".join(sorted(set(
+            batch.column("event_type").to_pylist())))
+        return pa.table({
+            "n_rows": pa.array([batch.num_rows], type=pa.int64()),
+            "null_value": pa.array([null_value], type=pa.int64()),
+            "null_props": pa.array([null_props], type=pa.int64()),
+            "min_ts_us": pa.array([int(ts.min())], type=pa.int64()),
+            "max_ts_us": pa.array([int(ts.max())], type=pa.int64()),
+            "sum_value_cents": pa.array([int(cents.sum())], type=pa.int64()),
+            "n_negative": pa.array([int((cents < 0).sum())], type=pa.int64()),
+            "types": pa.array([types], type=pa.string()),
+        })
+
+    parts = pa.concat_tables(
+        [t for t in (ray.get(r) for r in
+                     ds.map_batches(partial, batch_format="pyarrow")
+                       .to_arrow_refs()) if t.num_rows])
+    tset = sorted({t for s in parts.column("types").to_pylist()
+                   for t in s.split(",") if t})
+    import numpy as np
+
+    return ray.data.from_arrow(pa.table({
+        "n_rows": pa.array([int(np.sum(parts.column("n_rows").to_numpy()))],
+                           type=pa.int64()),
+        "null_value": pa.array(
+            [int(np.sum(parts.column("null_value").to_numpy()))],
+            type=pa.int64()),
+        "null_props": pa.array(
+            [int(np.sum(parts.column("null_props").to_numpy()))],
+            type=pa.int64()),
+        "min_ts_us": pa.array(
+            [int(np.min(parts.column("min_ts_us").to_numpy()))],
+            type=pa.int64()),
+        "max_ts_us": pa.array(
+            [int(np.max(parts.column("max_ts_us").to_numpy()))],
+            type=pa.int64()),
+        "sum_value_cents": pa.array(
+            [int(np.sum(parts.column("sum_value_cents").to_numpy()))],
+            type=pa.int64()),
+        "n_negative": pa.array(
+            [int(np.sum(parts.column("n_negative").to_numpy()))],
+            type=pa.int64()),
+        "n_event_types": pa.array([len(tset)], type=pa.int64()),
+    }))

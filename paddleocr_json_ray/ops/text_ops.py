@@ -1150,3 +1150,40 @@ def source_cap_filter(sf_dir: str, cap: int = 64) -> ray.data.Dataset:
     return (ds.map_batches(keep_rows, batch_format="pyarrow",
                            fn_args=(thr_ref,))
               .sort("doc_id"))
+
+
+def k_anonymity_audit(sf_dir: str, k: int = 50) -> ray.data.Dataset:
+    """One-row privacy audit over the (lang, source) quasi-identifier pair:
+    how many documents sit in cells smaller than ``k`` (re-identification
+    exposure under k-anonymity), plus cell-count statistics.
+
+    Plan: per-batch (lang, source, count) combiner rows -> one native Sum
+    groupby over the CELL table (|langs| x |sources| — dimension-bounded,
+    never corpus-bounded) -> single-row driver finish."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir, columns=("lang", "source"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        key = np.char.add(np.char.add(lang.astype(str), "\x1f"),
+                          src.astype(str))
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"cell": pa.array(uk.tolist(), type=pa.string()),
+                         "n": pa.array(cnt, type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("cell").aggregate(Sum("n")))
+    parts = pa.concat_tables(
+        [t for t in (ray.get(r) for r in agg.to_arrow_refs()) if t.num_rows])
+    n = parts.column("sum(n)").to_numpy()
+    below = n < k
+    return ray.data.from_arrow(pa.table({
+        "n_cells": pa.array([len(n)], type=pa.int64()),
+        "min_cell": pa.array([int(n.min())], type=pa.int64()),
+        "cells_below_k": pa.array([int(below.sum())], type=pa.int64()),
+        "rows_below_k": pa.array([int(n[below].sum())], type=pa.int64()),
+    }))

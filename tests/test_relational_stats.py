@@ -659,3 +659,33 @@ def test_cheapest_supplier_per_part_ties(ray_session, tmp_path):
         w = win.loc[row["p_partkey"]]
         assert row["s_name"] == f"S{int(w['s']):02d}"
         assert row["min_price"] == w["v"]
+
+
+def test_profile_events_with_nulls(ray_session, tmp_path):
+    """The generated tables carry no nulls, so pin the null-count paths on
+    a synthetic events table with value/props nulls and negative values."""
+    n = 400
+    rng = np.random.default_rng(41)
+    base = 1_600_000_000_000_000
+    vals = rng.uniform(-5, 20, size=n).round(2)
+    vals_arr = pa.array([None if i % 7 == 0 else float(v)
+                         for i, v in enumerate(vals)], type=pa.float64())
+    props = pa.array([None if i % 11 == 0 else "{}" for i in range(n)],
+                     type=pa.string())
+    pq.write_table(pa.table({
+        "ts": pa.array((base + rng.integers(0, 10**10, size=n)).tolist(),
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(rng.choice(["a", "b"], size=n).tolist()),
+        "value": vals_arr,
+        "props": props,
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    got = relational.profile_events(str(tmp_path)).to_pandas().iloc[0]
+    keep = [i for i in range(n) if i % 7 != 0]
+    cents = np.array([round(vals[i] * 100) if vals[i] >= 0
+                      else -round(-vals[i] * 100) for i in keep], dtype=np.int64)
+    assert got["n_rows"] == n
+    assert got["null_value"] == len(range(0, n, 7))
+    assert got["null_props"] == len(range(0, n, 11))
+    assert got["n_event_types"] == 2
+    assert got["n_negative"] == int((cents < 0).sum())
+    assert got["sum_value_cents"] == int(cents.sum())
