@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier_per_part": relational.cheapest_supplier_per_part,
         "profile_events": relational.profile_events,
         "k_anonymity_audit": text_ops.k_anonymity_audit,
+        "fk_integrity_audit": relational.fk_integrity_audit,
+        "max_event_gap": windows.max_event_gap,
         "revenue_by_part_type": relational.revenue_by_part_type,
         "returned_revenue_by_cust": relational.returned_revenue_by_cust,
         "small_quantity_revenue": relational.small_quantity_revenue,
@@ -277,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_balance_inactive_custs", "band_revenue", "shipping_priority",
         "sole_return_suppliers", "source_cap", "source_cap_filter",
         "cheapest_supplier_per_part", "profile_events", "k_anonymity_audit",
+        "fk_integrity_audit", "max_event_gap",
     ]
     oracled = set(oracle_sql())
     ordered = {k: q[k] for k in priority if k in q and k in oracled}
@@ -634,6 +637,24 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
          AS n_negative,
        CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
 FROM events""",
+        "fk_integrity_audit": """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         AS orphan_orderkeys,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+         AS orphan_partkeys,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+         AS orphan_suppkeys,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+         AS orphan_custkeys""",
+        "max_event_gap": """
+WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS gap
+           FROM events)
+SELECT CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us,
+       CAST(count(*) AS BIGINT) AS n_events FROM g""",
         "k_anonymity_audit": """
 WITH cells AS (
   SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)

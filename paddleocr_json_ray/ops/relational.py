@@ -1769,3 +1769,80 @@ def profile_events(sf_dir: str) -> ray.data.Dataset:
             type=pa.int64()),
         "n_event_types": pa.array([len(tset)], type=pa.int64()),
     }))
+
+
+def fk_integrity_audit(sf_dir: str) -> ray.data.Dataset:
+    """One-row referential-integrity audit across the star schema: orphan
+    counts for lineitem.l_orderkey -> orders, lineitem.l_partkey -> part,
+    lineitem.l_suppkey -> supplier, orders.o_custkey -> customer (the
+    ingest-validation pass every warehouse load runs).
+
+    Plan: each referenced key set is a distinct int64 array broadcast once
+    (orders is the largest — |orders| x 8 B; the documented object-store
+    tier: beyond it each probe becomes the partitioned hash anti-join, as
+    in ``dedup_exact_incremental``); the two fact tables stream once each
+    with a per-batch searchsorted membership probe and O(blocks) count
+    partials merge on the driver."""
+    import numpy as np
+
+    def _keys(table: str, col: str) -> np.ndarray:
+        t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                          columns=[col])
+        return np.unique(t.column(col).to_numpy().astype(np.int64))
+
+    refs = ray.put({
+        "orders": _keys("orders", "o_orderkey"),
+        "part": _keys("part", "p_partkey"),
+        "supplier": _keys("supplier", "s_suppkey"),
+        "customer": _keys("customer", "c_custkey"),
+    })
+
+    def _orphans(vals: np.ndarray, keys: np.ndarray) -> int:
+        if not len(keys):
+            return len(vals)
+        pos = np.minimum(np.searchsorted(keys, vals), len(keys) - 1)
+        return int((keys[pos] != vals).sum())
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def li_partial(batch: pa.Table, ref) -> pa.Table:
+        k = ray.get(ref)
+        return pa.table({
+            "orphan_orderkeys": pa.array([_orphans(
+                batch.column("l_orderkey").to_numpy().astype(np.int64),
+                k["orders"])], type=pa.int64()),
+            "orphan_partkeys": pa.array([_orphans(
+                batch.column("l_partkey").to_numpy().astype(np.int64),
+                k["part"])], type=pa.int64()),
+            "orphan_suppkeys": pa.array([_orphans(
+                batch.column("l_suppkey").to_numpy().astype(np.int64),
+                k["supplier"])], type=pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def o_partial(batch: pa.Table, ref) -> pa.Table:
+        k = ray.get(ref)
+        return pa.table({"orphan_custkeys": pa.array([_orphans(
+            batch.column("o_custkey").to_numpy().astype(np.int64),
+            k["customer"])], type=pa.int64())})
+
+    import numpy as np
+
+    def _merge(ds: ray.data.Dataset) -> pa.Table:
+        return pa.concat_tables(
+            [t for t in (ray.get(r) for r in ds.to_arrow_refs())
+             if t.num_rows])
+
+    li_parts = _merge(li.map_batches(li_partial, batch_format="pyarrow",
+                                     fn_args=(refs,)))
+    o_parts = _merge(orders.map_batches(o_partial, batch_format="pyarrow",
+                                        fn_args=(refs,)))
+    return ray.data.from_arrow(pa.table({
+        c: pa.array([int(np.sum(li_parts.column(c).to_numpy()))],
+                    type=pa.int64())
+        for c in ("orphan_orderkeys", "orphan_partkeys", "orphan_suppkeys")
+    } | {"orphan_custkeys": pa.array(
+        [int(np.sum(o_parts.column("orphan_custkeys").to_numpy()))],
+        type=pa.int64())}))

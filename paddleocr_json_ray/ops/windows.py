@@ -2055,3 +2055,52 @@ def event_transitions(sf_dir: str) -> ray.data.Dataset:
                             "next_type": b.column("next_type"),
                             "n": b.column("sum(n)")}),
         batch_format="pyarrow")
+
+
+def max_event_gap(sf_dir: str) -> ray.data.Dataset:
+    """One-row ingestion-freshness monitor: the largest gap (microseconds)
+    between consecutive events in global time order, plus the event count.
+
+    Plan: ONE sort exchange by ts, then each (range-partitioned, internally
+    sorted) block reports its local max gap and its first/last timestamps —
+    a fixed-width sufficient statistic, because the only gaps a block
+    cannot see are the B-1 seam gaps (next block's first ts minus this
+    block's last), reconstructed on the driver from the O(blocks) stat rows
+    ordered by first ts."""
+    import numpy as np
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["ts"]).sort("ts")
+
+    def block_stat(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        if len(ts) == 0:
+            return pa.table({"first_ts": pa.array([], type=pa.int64()),
+                             "last_ts": pa.array([], type=pa.int64()),
+                             "max_gap": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        gap = int(np.diff(ts).max()) if len(ts) > 1 else 0
+        return pa.table({"first_ts": pa.array([int(ts[0])], type=pa.int64()),
+                         "last_ts": pa.array([int(ts[-1])], type=pa.int64()),
+                         "max_gap": pa.array([gap], type=pa.int64()),
+                         "n": pa.array([len(ts)], type=pa.int64())})
+
+    parts = pa.concat_tables(
+        [t for t in (ray.get(r) for r in
+                     ds.map_batches(block_stat, batch_format="pyarrow",
+                                    batch_size=None).to_arrow_refs())
+         if t.num_rows])
+    f = parts.column("first_ts").to_numpy()
+    l = parts.column("last_ts").to_numpy()
+    g = parts.column("max_gap").to_numpy()
+    n = int(np.sum(parts.column("n").to_numpy()))
+    order = np.argsort(f, kind="stable")
+    f, l, g = f[order], l[order], g[order]
+    best = int(g.max()) if len(g) else 0
+    if len(f) > 1:
+        seams = f[1:] - l[:-1]  # the cross-block gaps no block can see
+        best = max(best, int(seams.max()))
+    return ray.data.from_arrow(pa.table({
+        "max_gap_us": pa.array([best], type=pa.int64()),
+        "n_events": pa.array([n], type=pa.int64())}))

@@ -689,3 +689,54 @@ def test_profile_events_with_nulls(ray_session, tmp_path):
     assert got["n_event_types"] == 2
     assert got["n_negative"] == int((cents < 0).sum())
     assert got["sum_value_cents"] == int(cents.sum())
+
+
+def test_fk_integrity_audit_with_planted_orphans(ray_session, tmp_path):
+    """The generated schema is referentially clean, so plant orphans: 7
+    lineitems with unknown orderkeys, 3 with unknown partkeys, and 2 orders
+    with unknown custkeys must be counted exactly."""
+    rng = np.random.default_rng(43)
+    n = 500
+    ok = rng.integers(0, 50, size=n)
+    ok[:7] = 999_000 + np.arange(7)  # orphan orderkeys
+    pk = rng.integers(0, 30, size=n)
+    pk[10:13] = 888_000 + np.arange(3)  # orphan partkeys
+    sk = rng.integers(0, 10, size=n)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, type=pa.int64()),
+        "l_partkey": pa.array(pk, type=pa.int64()),
+        "l_suppkey": pa.array(sk, type=pa.int64()),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    ck = rng.integers(0, 20, size=60)
+    ck[:2] = 777_000 + np.arange(2)  # orphan custkeys
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(50), type=pa.int64()),
+        "o_custkey": pa.array(ck[:50] * 0 + ck[:50], type=pa.int64()),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    pq.write_table(pa.table({"p_partkey": pa.array(range(30), type=pa.int64())}),
+                   os.path.join(str(tmp_path), "part.parquet"))
+    pq.write_table(pa.table({"s_suppkey": pa.array(range(10), type=pa.int64())}),
+                   os.path.join(str(tmp_path), "supplier.parquet"))
+    pq.write_table(pa.table({"c_custkey": pa.array(range(20), type=pa.int64())}),
+                   os.path.join(str(tmp_path), "customer.parquet"))
+    got = relational.fk_integrity_audit(str(tmp_path)).to_pandas().iloc[0]
+    assert got["orphan_orderkeys"] == 7
+    assert got["orphan_partkeys"] == 3
+    assert got["orphan_suppkeys"] == 0
+    assert got["orphan_custkeys"] == 2
+
+
+def test_max_event_gap_seam_and_ties(ray_session, tmp_path):
+    """The largest gap planted BETWEEN two dense clusters must be found even
+    though it necessarily spans a sorted-block seam at some block count;
+    duplicate timestamps (gap 0) must not break the scan."""
+    base = 1_700_000_000_000_000
+    ts = np.r_[base + np.repeat(np.arange(500), 2) * 1000,      # dup-heavy
+               base + 10**12 + np.arange(400) * 1000]           # far cluster
+    pq.write_table(pa.table({"ts": pa.array(ts.tolist(),
+                                            type=pa.timestamp("us"))}),
+                   os.path.join(str(tmp_path), "events.parquet"))
+    got = windows.max_event_gap(str(tmp_path)).to_pandas().iloc[0]
+    expect = int(np.diff(np.sort(ts)).max())
+    assert got["max_gap_us"] == expect
+    assert got["n_events"] == len(ts)
