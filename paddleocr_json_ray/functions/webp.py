@@ -612,16 +612,31 @@ def _write_code(bw: _BitWriter, freqs: list[int]) -> list[tuple[int, int]]:
     lengths = _code_lengths(freqs, 15)
     codes = _canonical_codes(lengths)
     bw.write(0, 1)  # normal code
+    last_nz = max(s for s, ln in enumerate(lengths) if ln)
+    n_tokens = max(last_nz + 1, 2)
+    use_escape = len(lengths) - n_tokens >= 8  # worth the 3+nbits header
+    written = lengths[:n_tokens] if use_escape else lengths
     cl_freq = [0] * 19
-    for ln in lengths:
+    for ln in written:
         cl_freq[ln] += 1
     cl_lengths = _code_lengths(cl_freq, 7)
     bw.write(19 - 4, 4)
     for sym in _CL_ORDER:
         bw.write(cl_lengths[sym], 3)
-    bw.write(0, 1)  # no max_symbol escape
+    if use_escape:
+        # max_symbol escape: transmit only the leading n_tokens lengths;
+        # the decoder zero-fills the trailing alphabet (and our writer is
+        # literal-only, so token count == symbol count in both readings)
+        bw.write(1, 1)
+        nbits = 2
+        while n_tokens - 2 >= (1 << nbits):
+            nbits += 2
+        bw.write((nbits - 2) // 2, 3)
+        bw.write(n_tokens - 2, nbits)
+    else:
+        bw.write(0, 1)
     cl_codes = _canonical_codes(cl_lengths)
-    for ln in lengths:
+    for ln in written:
         bw.write(_rev(cl_codes[ln], cl_lengths[ln]), cl_lengths[ln])
     return [(codes[s], lengths[s]) for s in range(len(lengths))]
 
