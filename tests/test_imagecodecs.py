@@ -624,3 +624,30 @@ def test_webp_through_envelope_byte_exact():
     assert code_a == code_b == errors.CODE_OK
     assert text_a == text_b
     assert [b["box"] for b in blocks_a] == [b["box"] for b in blocks_b]
+
+
+def test_webp_decode_never_raises_on_garbage():
+    """Malformed payloads — random bytes behind a valid RIFF/VP8L preamble,
+    and a valid stream truncated at every 7th byte — must return None (or a
+    valid decode for pure-padding truncations), never raise."""
+    from paddleocr_json_ray.functions.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    good = encode_webp(img)
+    for cut in range(12, len(good), 7):
+        out = decode_webp(good[:cut])
+        assert out is None or np.array_equal(out, img)
+    for seed in range(40):
+        r = np.random.default_rng(seed)
+        body = bytes(r.integers(0, 256, size=200, dtype=np.uint8))
+        payload = (b"RIFF" + struct.pack("<I", len(body) + 12) + b"WEBP"
+                   + b"VP8L" + struct.pack("<I", len(body)) + b"\x2f" + body)
+        out = decode_webp(payload)
+        assert out is None or isinstance(out, np.ndarray)
+    # bit flips inside a valid stream
+    for pos in range(21, min(len(good), 120), 3):
+        bad = bytearray(good)
+        bad[pos] ^= 0x55
+        out = decode_webp(bytes(bad))
+        assert out is None or isinstance(out, np.ndarray)
