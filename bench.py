@@ -124,8 +124,10 @@ def run_suite() -> dict:
                 "cohort_retention", "high_balance_inactive_custs",
                 "band_revenue", "shipping_priority",
                 # round-4 final-session additions
-                "sole_return_suppliers", "source_cap",
-                "cheapest_supplier_per_part", "bpe_token_stats"]
+                "sole_return_suppliers", "source_cap", "source_cap_filter",
+                "cheapest_supplier_per_part", "bpe_token_stats",
+                "dedup_exact_incremental", "profile_events",
+                "k_anonymity_audit", "fk_integrity_audit", "max_event_gap"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:
