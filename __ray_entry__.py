@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_audit": text_ops.k_anonymity_audit,
         "fk_integrity_audit": relational.fk_integrity_audit,
         "max_event_gap": windows.max_event_gap,
+        "event_disorder_audit": windows.event_disorder_audit,
         "revenue_by_part_type": relational.revenue_by_part_type,
         "returned_revenue_by_cust": relational.returned_revenue_by_cust,
         "small_quantity_revenue": relational.small_quantity_revenue,
@@ -279,7 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_balance_inactive_custs", "band_revenue", "shipping_priority",
         "sole_return_suppliers", "source_cap", "source_cap_filter",
         "cheapest_supplier_per_part", "profile_events", "k_anonymity_audit",
-        "fk_integrity_audit", "max_event_gap",
+        "fk_integrity_audit", "max_event_gap", "event_disorder_audit",
     ]
     oracled = set(oracle_sql())
     ordered = {k: q[k] for k in priority if k in q and k in oracled}
@@ -655,6 +656,15 @@ WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS gap
            FROM events)
 SELECT CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us,
        CAST(count(*) AS BIGINT) AS n_events FROM g""",
+        "event_disorder_audit": """
+WITH w AS (SELECT ts, max(ts) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (ts < pm) AS BIGINT) AS n_late,
+       CAST(coalesce(max(epoch_us(pm) - epoch_us(ts)) FILTER (ts < pm), 0)
+            AS BIGINT) AS max_lateness_us
+FROM w""",
         "k_anonymity_audit": """
 WITH cells AS (
   SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)

@@ -2104,3 +2104,88 @@ def max_event_gap(sf_dir: str) -> ray.data.Dataset:
     return ray.data.from_arrow(pa.table({
         "max_gap_us": pa.array([best], type=pa.int64()),
         "n_events": pa.array([n], type=pa.int64())}))
+
+
+def event_disorder_audit(sf_dir: str) -> ray.data.Dataset:
+    """One-row out-of-order-ingestion audit in arrival order (event_id):
+    how many events arrive with a timestamp BELOW the running maximum of
+    all strictly-earlier events, and the worst such lateness — the
+    watermark-sizing statistic for streaming ingestion.
+
+    Plan: ONE sort by event_id, materialized and passed twice (the
+    user_value_median pattern): pass 1 ships a fixed-width (first_id,
+    max_ts) stat per block; the driver computes each block's EXCLUSIVE
+    prefix max (O(blocks)); pass 2 re-reads the same sorted blocks with
+    the prefix broadcast and counts late events against
+    max(prefix, local running max excluding self) — exact because
+    max(a_i, b_i) composes per event.  Nothing event-sized leaves any
+    block."""
+    import numpy as np
+
+    from ..sources.readers import read_table
+
+    srt = read_table(sf_dir, "events", ["event_id", "ts"]) \
+        .sort("event_id").materialize()
+
+    def block_stat(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first_id": pa.array([], type=pa.int64()),
+                             "max_ts": pa.array([], type=pa.int64())})
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy()
+        return pa.table({"first_id": pa.array([int(eid[0])], type=pa.int64()),
+                         "max_ts": pa.array([int(ts.max())], type=pa.int64())})
+
+    stats = pa.concat_tables(
+        [t for t in (ray.get(r) for r in
+                     srt.map_batches(block_stat, batch_format="pyarrow",
+                                     batch_size=None).to_arrow_refs())
+         if t.num_rows])
+    fid = stats.column("first_id").to_numpy()
+    bmax = stats.column("max_ts").to_numpy()
+    order = np.argsort(fid)
+    fid, bmax = fid[order], bmax[order]
+    # exclusive prefix max per block, keyed by the block's first event_id
+    prefix = np.empty(len(bmax), dtype=np.int64)
+    lo = np.iinfo(np.int64).min
+    run = lo
+    for i, m in enumerate(bmax.tolist()):
+        prefix[i] = run
+        run = max(run, m)
+    pm_ref = ray.put((fid, prefix))
+
+    def late_partial(batch: pa.Table, ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "n_late": pa.array([], type=pa.int64()),
+                             "max_late": pa.array([], type=pa.int64())})
+        f, p = ray.get(ref)
+        eid = batch.column("event_id").to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        pm = int(p[np.searchsorted(f, int(eid[0]))])
+        lrm = np.empty_like(ts)
+        lrm[0] = np.iinfo(np.int64).min  # exclusive: first row has no prior
+        if len(ts) > 1:
+            np.maximum.accumulate(ts[:-1], out=lrm[1:])
+        eff = np.maximum(lrm, pm)
+        late = ts < eff
+        max_late = int((eff[late] - ts[late]).max()) if late.any() else 0
+        return pa.table({"n": pa.array([len(ts)], type=pa.int64()),
+                         "n_late": pa.array([int(late.sum())], type=pa.int64()),
+                         "max_late": pa.array([max_late], type=pa.int64())})
+
+    parts = pa.concat_tables(
+        [t for t in (ray.get(r) for r in
+                     srt.map_batches(late_partial, batch_format="pyarrow",
+                                     batch_size=None, fn_args=(pm_ref,))
+                       .to_arrow_refs())
+         if t.num_rows])
+    return ray.data.from_arrow(pa.table({
+        "n_events": pa.array([int(np.sum(parts.column("n").to_numpy()))],
+                             type=pa.int64()),
+        "n_late": pa.array([int(np.sum(parts.column("n_late").to_numpy()))],
+                           type=pa.int64()),
+        "max_lateness_us": pa.array(
+            [int(np.max(parts.column("max_late").to_numpy()))]
+            if parts.num_rows else [0], type=pa.int64()),
+    }))

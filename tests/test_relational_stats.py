@@ -740,3 +740,26 @@ def test_max_event_gap_seam_and_ties(ray_session, tmp_path):
     expect = int(np.diff(np.sort(ts)).max())
     assert got["max_gap_us"] == expect
     assert got["n_events"] == len(ts)
+
+
+def test_event_disorder_audit_planted_lateness(ray_session, tmp_path):
+    """Plant out-of-order arrivals (ids assign arrival order; timestamps
+    jump back) and verify count + worst lateness against a brute prefix
+    scan — incl. late events whose running max lives in an EARLIER block."""
+    rng = np.random.default_rng(53)
+    n = 3000
+    base = 1_700_000_000_000_000
+    ts = base + np.arange(n, dtype=np.int64) * 1_000_000
+    late_idx = rng.choice(np.arange(1, n), size=150, replace=False)
+    ts[late_idx] -= rng.integers(1, 10**9, size=150)  # pull 150 events back
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    got = windows.event_disorder_audit(str(tmp_path)).to_pandas().iloc[0]
+    run = np.maximum.accumulate(ts)
+    prev = np.r_[np.int64(-2**62), run[:-1]]
+    late = ts < prev
+    assert got["n_events"] == n
+    assert got["n_late"] == int(late.sum())
+    assert got["max_lateness_us"] == int((prev[late] - ts[late]).max())
