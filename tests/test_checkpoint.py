@@ -73,3 +73,38 @@ def test_memwatch():
     assert wd.maybe_trim() is True and wd.trims == 1
     wd2 = MemoryWatchdog(limit_mb=10**6)  # absurdly high -> never trims
     assert wd2.maybe_trim() is False and wd2.peak_mb > 0
+
+
+def test_compact_parquet_preserves_content(ray_session, tmp_path):
+    """Compaction of 40 tiny files into ~1 target file: identical rows
+    (sorted compare), fewer files, and a refusal to append into a non-empty
+    output dir (the write_parquet append footgun)."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from paddleocr_json_ray.state.compact import compact_parquet
+
+    src = tmp_path / "tiny"
+    src.mkdir()
+    rng = np.random.default_rng(3)
+    all_ids = []
+    for i in range(40):
+        ids = (np.arange(25) + i * 25).tolist()
+        all_ids += ids
+        pq.write_table(pa.table({
+            "id": pa.array(ids, type=pa.int64()),
+            "v": pa.array(rng.integers(0, 1000, 25), type=pa.int64()),
+        }), str(src / f"part-{i:03d}.parquet"))
+    out = tmp_path / "compacted"
+    s = compact_parquet(str(src), str(out), target_mb=64)
+    assert s["files_in"] == 40 and s["n_rows"] == 1000
+    assert s["files_out"] < 40
+    a = pq.read_table(str(src)).sort_by("id")
+    b = pq.read_table(str(out)).sort_by("id")
+    assert a.equals(b)
+    with pytest.raises(ValueError, match="append"):
+        compact_parquet(str(src), str(out))
