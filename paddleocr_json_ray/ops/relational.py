@@ -1550,6 +1550,16 @@ def sole_return_suppliers(sf_dir: str, n: int = 20) -> ray.data.Dataset:
         io, ic = ok[interior], contrib[interior]
         if len(io):
             of = np.flatnonzero(np.r_[True, np.diff(io) != 0])
+            # bit-field capacity check BEFORE summing: the R-supplier
+            # id-sum field holds 23 bits, so the worst per-order sum
+            # (run length x max suppkey) must stay below 2^23 — fail
+            # loudly on pathological orders instead of corrupting fields
+            run_len = np.diff(np.r_[of, len(io)])
+            max_sk = int((pks & ((1 << 20) - 1)).max())
+            if int(run_len.max()) * max(max_sk, 1) >= (1 << 23):
+                raise ValueError(
+                    "order's worst-case R-supplier id-sum would overflow "
+                    "the 23-bit packed field; use the two-column plan")
             i_orders, i_sums = io[of], np.add.reduceat(ic, of)
         else:
             i_orders = i_sums = np.empty(0, dtype=np.int64)
@@ -1589,6 +1599,10 @@ def sole_return_suppliers(sf_dir: str, n: int = 20) -> ray.data.Dataset:
         first = np.r_[True, np.diff(ks) != 0]
         sk = ks[first] & ((1 << 20) - 1)
         r = rs[first]
+        if len(sk) * max(int(sk.max()), 1) >= (1 << 23):
+            raise ValueError(
+                "boundary order's R-supplier id-sum would overflow the "
+                "23-bit packed field; use the two-column plan")
         contrib = int(np.sum(1 + (r << 20) + ((sk * r) << 40)))
         return pa.table({"l_orderkey": group.column("l_orderkey").slice(0, 1),
                          "contrib": pa.array([contrib], type=pa.int64())})
