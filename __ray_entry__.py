@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": similarity.knn_pq,              # PQ/ADC ANN, rows-only by design
         "kmeans_embeddings": similarity.kmeans_embeddings,  # iterative, rows-only
         "label_centroids": similarity.label_centroids,
+        "label_confusion": similarity.label_confusion,
         "embedding_covariance": similarity.embedding_covariance,
         "embedding_pca_projection": similarity.embedding_pca_projection,  # rows-only
         # ---- relational surface ----
@@ -281,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_return_suppliers", "source_cap", "source_cap_filter",
         "cheapest_supplier_per_part", "profile_events", "k_anonymity_audit",
         "fk_integrity_audit", "max_event_gap", "event_disorder_audit",
+        "label_confusion",
     ]
     oracled = set(oracle_sql())
     ordered = {k: q[k] for k in priority if k in q and k in oracled}
@@ -385,6 +387,24 @@ SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
          unnest(embedding::DOUBLE[]) AS x
   FROM embeddings)
 GROUP BY label, dim""",
+        "label_confusion": """
+WITH e AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim,
+                  unnest(embedding::DOUBLE[]) AS v
+           FROM embeddings),
+c AS (SELECT label AS clabel, dim, round(avg(v), 3) + 0.0 AS cv
+      FROM e GROUP BY 1, 2),
+cn AS (SELECT clabel, sqrt(sum(cv * cv)) AS nrm FROM c GROUP BY 1),
+s AS (SELECT e.vec_id, e.label, c.clabel,
+             sum(e.v * c.cv) / any_value(cn.nrm) AS sim
+      FROM e JOIN c ON c.dim = e.dim JOIN cn ON cn.clabel = c.clabel
+      GROUP BY e.vec_id, e.label, c.clabel),
+r AS (SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, clabel) AS rn
+      FROM s)
+SELECT CAST(label AS BIGINT) AS label, CAST(clabel AS BIGINT) AS nearest,
+       CAST(count(*) AS BIGINT) AS n
+FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, nearest""",
         "knn_brute": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
 sims AS (

@@ -127,7 +127,8 @@ def run_suite() -> dict:
                 "sole_return_suppliers", "source_cap", "source_cap_filter",
                 "cheapest_supplier_per_part", "bpe_token_stats",
                 "dedup_exact_incremental", "profile_events",
-                "k_anonymity_audit", "fk_integrity_audit", "max_event_gap", "event_disorder_audit"]
+                "k_anonymity_audit", "fk_integrity_audit", "max_event_gap",
+                "event_disorder_audit", "label_confusion"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

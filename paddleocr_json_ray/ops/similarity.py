@@ -641,3 +641,61 @@ def embedding_pca_projection(sf_dir: str, n_components: int = 4) -> ray.data.Dat
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow", fn_args=(model_ref,))
+
+
+def label_confusion(sf_dir: str) -> ray.data.Dataset:
+    """(label, nearest, n) — nearest-centroid confusion matrix: every
+    embedding assigned to its most-cosine-similar class prototype (the
+    cluster-purity / label-noise eval every embedding pipeline runs).
+
+    Plan: prototypes come from ``label_centroids``' own OUTPUT (rounded
+    3dp, -0.0-normalized) so both engines score against bit-identical
+    centroid values; the [k, D] matrix broadcasts in the task closure and
+    every batch is one matmul + argmax (ties: lowest label, mirrored by
+    the oracle's ORDER BY sim DESC, label); counts merge as a k^2-bounded
+    driver np.add.at.  Raw vectors never shuffle."""
+    cent = pa.concat_tables(
+        [t for t in (ray.get(r) for r in
+                     label_centroids(sf_dir).to_arrow_refs())
+         if t.num_rows])
+    labels = cent.column("label").to_numpy().astype(np.int64)
+    dims = cent.column("dim").to_numpy().astype(np.int64)
+    vals = cent.column("avg_val").to_numpy()
+    uniq = np.unique(labels)
+    d = int(dims.max()) + 1
+    C = np.zeros((len(uniq), d))
+    lut = {int(l): i for i, l in enumerate(uniq)}
+    for l, dd, v in zip(labels, dims, vals):
+        C[lut[int(l)], dd] = v
+    norms = np.sqrt((C * C).sum(axis=1))
+    norms[norms == 0] = 1.0
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _mat(batch.column("embedding"))
+        # dot first, divide after — the oracle's sum(v*cv)/nrm op order
+        sims = (mat @ C.T) / norms[None, :]
+        nearest = uniq[np.argmax(sims, axis=1)]  # first max = lowest label
+        lab = batch.column("label").to_numpy().astype(np.int64)
+        key = lab * (int(uniq.max()) + 1) + nearest
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk, type=pa.int64()),
+                         "c": pa.array(cnt, type=pa.int64())})
+
+    parts = pa.concat_tables(
+        [t for t in (ray.get(r) for r in
+                     ds.map_batches(partial, batch_format="pyarrow")
+                       .to_arrow_refs()) if t.num_rows])
+    acc: dict[int, int] = {}
+    for k, c in zip(parts.column("k").to_pylist(), parts.column("c").to_pylist()):
+        acc[k] = acc.get(k, 0) + c
+    base = int(uniq.max()) + 1
+    keys = sorted(acc)
+    return ray.data.from_arrow(pa.table({
+        "label": pa.array([k // base for k in keys], type=pa.int64()),
+        "nearest": pa.array([k % base for k in keys], type=pa.int64()),
+        "n": pa.array([acc[k] for k in keys], type=pa.int64()),
+    }))

@@ -443,3 +443,25 @@ def test_bpe_token_stats_matches_driver_brute(ray_session, tmp_path):
     for _, row in got.iterrows():
         assert expect[row["source"]] == [row["n_docs"], row["total_tokens"]]
     assert set(got["source"]) == set(expect)
+
+
+def test_label_confusion_tie_breaks_to_lowest_label(ray_session, tmp_path):
+    """Two labels with IDENTICAL centroids: every member of both classes
+    must resolve to the LOWER label (the argmax-first/ORDER BY clabel
+    tie-break); a third, orthogonal class stays on its own diagonal."""
+    rows = []
+    for vid in range(40):
+        rows.append((vid, [1.0, 0.0], 0 if vid % 2 == 0 else 1))
+    for vid in range(40, 60):
+        rows.append((vid, [0.0, 1.0], 2))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              type=pa.list_(pa.float64())),
+        "label": pa.array([r[2] for r in rows], type=pa.int64()),
+    }), os.path.join(str(tmp_path), "embeddings.parquet"))
+    got = (similarity.label_confusion(str(tmp_path)).to_pandas()
+           .set_index(["label", "nearest"])["n"])
+    assert got.loc[(0, 0)] == 20 and got.loc[(1, 0)] == 20  # tie -> label 0
+    assert got.loc[(2, 2)] == 20
+    assert (1, 1) not in got.index
