@@ -21,11 +21,18 @@ exercise the deinterlace path, GIF89a with a graphic-control block.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
 
 GIF_MAGIC = b"GIF8"
+
+# decode-bomb guard: untrusted uint16 header dims allow 65535x65535x3
+# (~12 GB) per frame; reject anything past this pixel budget before
+# allocating.  Env-overridable for legitimate giant scans.
+_MAX_PIXELS = int(os.environ.get("PJR_DECODE_MAX_PIXELS",
+                                 str(64 * 1024 * 1024)))
 
 
 # ------------------------------------------------------------------ decode
@@ -110,6 +117,8 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray | None:
     if len(payload) < 13:
         return None
     sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if sw * sh > _MAX_PIXELS:
+        return None
     pos = 13
     gct = None
     if packed & 0x80:
@@ -136,6 +145,8 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray | None:
             pos = skip_subblocks(pos + 1)
         elif b == 0x2C:  # image descriptor — first frame wins
             left, top, w, h, ipack = struct.unpack_from("<HHHHB", payload, pos)
+            if w * h > _MAX_PIXELS:
+                return None
             pos += 9
             pal = gct
             if ipack & 0x80:
@@ -287,6 +298,8 @@ def _decode_gif_frames_inner(payload, max_frames):
     if not payload.startswith(b"GIF87a") and not payload.startswith(b"GIF89a"):
         return None
     sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if sw * sh > _MAX_PIXELS:
+        return None
     pos = 13
     gct = None
     if packed & 0x80:
@@ -318,6 +331,8 @@ def _decode_gif_frames_inner(payload, max_frames):
                 pos += sz
         elif b == 0x2C:
             left, top, w, h, ipack = struct.unpack_from("<HHHHB", payload, pos)
+            if w * h > _MAX_PIXELS:
+                return None
             pos += 9
             pal = gct
             if ipack & 0x80:

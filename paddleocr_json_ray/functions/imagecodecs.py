@@ -192,24 +192,22 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         body = ctype + data
         return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
 
-    lines = []
-    prev = np.zeros((w, 3), dtype=np.int32)
-    for y in range(h):
-        row = img[y].astype(np.int32)
-        if filter_type == 0:
-            filt = row
-        elif filter_type == 1:  # Sub
-            filt = row.copy()
-            filt[1:] = (row[1:] - row[:-1]) & 0xFF
-        elif filter_type == 2:  # Up
-            filt = (row - prev) & 0xFF
-        else:
-            raise ValueError("encoder supports filters 0/1/2")
-        prev = row
-        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+    if filter_type == 0:
+        filt = img
+    elif filter_type == 1:  # Sub — uint8 subtraction wraps mod 256
+        filt = img.copy()
+        filt[:, 1:] = img[:, 1:] - img[:, :-1]
+    elif filter_type == 2:  # Up
+        filt = img.copy()
+        filt[1:] = img[1:] - img[:-1]
+    else:
+        raise ValueError("encoder supports filters 0/1/2")
+    scan = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    scan[:, 0] = filter_type
+    scan[:, 1:] = filt.reshape(h, w * 3)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (PNG_MAGIC + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+            + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
             + chunk(b"IEND", b""))
 
 

@@ -20,11 +20,17 @@ codecs: little-endian, chunky RGB, strip-based, compression selectable
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
 
 TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+# decode-bomb guard (see functions/gif.py): cap pixels before allocating
+# a canvas from untrusted header dims.
+_MAX_PIXELS = int(os.environ.get("PJR_DECODE_MAX_PIXELS",
+                                 str(64 * 1024 * 1024)))
 
 
 # --------------------------------------------------------------- LZW (TIFF)
@@ -216,6 +222,8 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray | None:
     w = val(256, [0])[0]
     h = val(257, [0])[0]
     if not (0 < w and 0 < h):
+        return None
+    if w * h > _MAX_PIXELS:
         return None
     bps = val(258, [8])
     if any(b != 8 for b in bps):

@@ -1069,30 +1069,35 @@ def dedup_exact_incremental(sf_dir: str, index_dir: str,
             idx_ds, "left_anti", on=("text_hash", "h2"),
             num_partitions=_join_partitions(winners, idx_ds))
     else:
+        pair_dt = np.dtype([("h1", np.int64), ("h2", np.int64)])
+
+        def _pack2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            out = np.empty(len(a), dtype=pair_dt)
+            out["h1"] = a
+            out["h2"] = b
+            return out
+
         if files:
             idx = pq.read_table(files, columns=["text_hash", "h2"])
-            ih1 = idx.column("text_hash").to_numpy()
-            ih2 = idx.column("h2").to_numpy()
-            order = np.lexsort((ih2, ih1))
-            seen_ref = ray.put((ih1[order], ih2[order]))
+            key = _pack2(idx.column("text_hash").to_numpy(),
+                         idx.column("h2").to_numpy())
+            key.sort()  # structured sort == lexicographic (h1, h2)
+            seen_ref = ray.put(key)
         else:
-            seen_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+            seen_ref = ray.put(np.empty(0, dtype=pair_dt))
 
         def unseen(batch: pa.Table, ref) -> pa.Table:
-            s1, s2 = ray.get(ref)
-            h1 = batch.column("text_hash").to_numpy()
-            h2 = batch.column("h2").to_numpy()
-            if len(s1):
-                # two-key membership: searchsorted h1 runs, verify h2 inside
-                lo = np.searchsorted(s1, h1, side="left")
-                hit = np.zeros(len(h1), dtype=bool)
-                for i in range(len(h1)):  # runs are tiny: h1 collisions ~0
-                    j = lo[i]
-                    while j < len(s1) and s1[j] == h1[i]:
-                        if s2[j] == h2[i]:
-                            hit[i] = True
-                            break
-                        j += 1
+            seen = ray.get(ref)
+            if len(seen):
+                # one vectorized two-key membership probe: structured
+                # (h1, h2) keys compare lexicographically, so a single
+                # searchsorted + equality check replaces per-row run scans
+                q = _pack2(batch.column("text_hash").to_numpy(),
+                           batch.column("h2").to_numpy())
+                pos = np.searchsorted(seen, q, side="left")
+                inb = pos < len(seen)
+                hit = np.zeros(len(q), dtype=bool)
+                hit[inb] = seen[pos[inb]] == q[inb]
                 batch = batch.filter(pa.array(~hit))
             return batch
 

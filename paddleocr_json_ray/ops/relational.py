@@ -1299,7 +1299,11 @@ def high_balance_inactive_custs(sf_dir: str,
         [ray.get(r) for r in
          cust.map_batches(bal_partial, batch_format="pyarrow").to_arrow_refs()])
     sum_cents = int(np.sum(parts.column("s").to_numpy()))
-    cnt = max(int(np.sum(parts.column("n").to_numpy())), 1)
+    cnt = int(np.sum(parts.column("n").to_numpy()))
+    # cnt == 0 means the SQL oracle's AVG is NULL and 'cents * n > s'
+    # keeps nothing — mirror that instead of clamping to 1, which would
+    # pass every positive-balance customer on a degenerate corpus.
+    no_positive_balances = cnt == 0
 
     import pyarrow.dataset as pads
 
@@ -1312,6 +1316,9 @@ def high_balance_inactive_custs(sf_dir: str,
 
     def survivors(batch: pa.Table, ref) -> pa.Table:
         h = ray.get(ref)
+        if no_positive_balances:
+            return pa.table({"c_mktsegment": batch.column("c_mktsegment")[:0],
+                             "bal": batch.column("c_acctbal")[:0]})
         v = batch.column("c_acctbal").to_numpy()
         cents = np.floor(v * 100 + 0.5).astype(np.int64)
         t = batch.filter(pa.array(cents * cnt > sum_cents))
@@ -1731,6 +1738,20 @@ def profile_events(sf_dir: str) -> ray.data.Dataset:
                columns=["ts", "event_type", "value", "props"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty blocks occur when override_num_blocks > row count;
+            # np.min on an empty array raises.  Driver merge drops 0-row
+            # partials before concat.
+            return pa.table({
+                "n_rows": pa.array([], type=pa.int64()),
+                "null_value": pa.array([], type=pa.int64()),
+                "null_props": pa.array([], type=pa.int64()),
+                "min_ts_us": pa.array([], type=pa.int64()),
+                "max_ts_us": pa.array([], type=pa.int64()),
+                "sum_value_cents": pa.array([], type=pa.int64()),
+                "n_negative": pa.array([], type=pa.int64()),
+                "types": pa.array([], type=pa.string()),
+            })
         v = batch.column("value")
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
         null_value = int(v.null_count)

@@ -79,8 +79,10 @@ def test_bloom_never_undercounts(ray_session, docs_dir):
     count >= the exact count, and equals it in aggregate within a small
     false-positive budget."""
     d, texts = docs_dir
-    exact = decontam.decontaminate(d).to_pandas().set_index("doc_id")
-    approx = decontam.bloom_decontaminate(d).to_pandas().set_index("doc_id")
+    # sort_index: Ray block order is nondeterministic between the two runs,
+    # and comparing differently-ordered Series raises ValueError.
+    exact = decontam.decontaminate(d).to_pandas().set_index("doc_id").sort_index()
+    approx = decontam.bloom_decontaminate(d).to_pandas().set_index("doc_id").sort_index()
     assert (approx["n_hit"] >= exact["n_hit"]).all()
     extra = int((approx["n_hit"] - exact["n_hit"]).sum())
     total = int(exact["n_grams"].sum())

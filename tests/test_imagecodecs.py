@@ -359,6 +359,30 @@ def test_gif_malformed_and_limits():
         encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
 
 
+def test_gif_tiff_decode_bomb_rejected():
+    """Untrusted uint16 header dims (up to 65535x65535x3 ~ 12 GB) must be
+    rejected BEFORE canvas allocation — both formats, both the static and
+    the animated GIF path."""
+    import struct
+
+    from paddleocr_json_ray.functions.gif import decode_gif, decode_gif_frames
+    from paddleocr_json_ray.functions.tiff import decode_tiff
+
+    # GIF header claiming a 65535x65535 logical screen
+    bomb_gif = (b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+                + b"\x3b")
+    assert decode_gif(bomb_gif) is None
+    assert decode_gif_frames(bomb_gif) is None
+
+    # TIFF IFD claiming 65535x65535 (little-endian, tags 256/257)
+    ifd = struct.pack("<H", 2)
+    ifd += struct.pack("<HHI4s", 256, 3, 1, struct.pack("<HH", 65535, 0))
+    ifd += struct.pack("<HHI4s", 257, 3, 1, struct.pack("<HH", 65535, 0))
+    ifd += struct.pack("<I", 0)
+    bomb_tiff = b"II*\x00" + struct.pack("<I", 8) + ifd
+    assert decode_tiff(bomb_tiff) is None
+
+
 def test_gif_through_envelope_byte_exact():
     """The OCR raster has <= 256 distinct colors, so GIF carries it
     LOSSLESSLY — byte-exact spans like PNG/BMP, unlike JPEG's
