@@ -20,11 +20,14 @@ with identical input tensor builds and identical post-processing:
     via ``logits_from_tensor`` (the capability probe rec_blocks branches
     on).
 
-Sessions are injectable so the contract is testable WITHOUT onnxruntime
-installed (tests/test_onnx_backend.py runs a mocked session asserting the
-exact tensor shapes/dtypes the exported Paddle models take); when no
-session is passed, ``_load_session`` import-guards onnxruntime and raises
-a clear error naming the missing piece.
+Sessions are injectable (tests/test_onnx_backend.py keeps mocked-session
+contract tests asserting the exact tensor shapes/dtypes exported Paddle
+models take); when no session is passed, ``_load_session`` uses
+onnxruntime if installed and otherwise the pure-numpy ONNX evaluator
+(functions/onnx_numpy) — so backend='onnx' executes REAL serialized
+.onnx files in this environment too.  synth/onnx_models.py builds tiny
+real graphs whose det head is proven box- and score-exact against the
+pixel backend end-to-end through the Ray pipeline.
 
 Model files are looked up under ``cfg.models_path`` with the reference's
 config-key naming (det/cls/rec model dirs, api/python/PPOCR_api.py usage):
@@ -42,18 +45,19 @@ from ..functions.imageops import DET_MEAN, DET_SCALE, normalize, to_chw
 
 
 def _load_session(model_path: str):
-    """Import-guarded onnxruntime session factory (the only place the
-    library touches the optional dependency)."""
-    try:
-        import onnxruntime  # type: ignore
-    except ImportError as exc:  # pragma: no cover - env has no onnxruntime
-        raise RuntimeError(
-            "backend='onnx' needs the onnxruntime package and exported "
-            f"model weights; missing import ({exc}). Install onnxruntime "
-            "and point cfg.models_path at a directory with det.onnx, "
-            "cls.onnx, rec.onnx") from exc
+    """Session factory: onnxruntime when installed, else the pure-numpy
+    ONNX evaluator (functions/onnx_numpy.NumpyOnnxSession) — so
+    backend='onnx' runs REAL serialized model files in both environments.
+    The numpy fallback covers the op set tiny exported graphs use; a model
+    needing more raises NotImplementedError naming the op."""
     if not os.path.isfile(model_path):
         raise FileNotFoundError(f"ONNX model not found: {model_path}")
+    try:
+        import onnxruntime  # type: ignore
+    except ImportError:
+        from ..functions.onnx_numpy import NumpyOnnxSession
+
+        return NumpyOnnxSession(model_path)
     return onnxruntime.InferenceSession(
         model_path, providers=["CPUExecutionProvider"])
 

@@ -153,23 +153,214 @@ def test_rec_blocks_uses_onnx_logits_end_to_end():
     assert len(rec_sess.seen) == 1 and len(cls_sess.seen) == 1
 
 
-def test_onnx_backend_without_runtime_raises_clear_error(tmp_path):
-    """Without onnxruntime installed, the factory raises an actionable
-    error naming the missing dependency (not an opaque ImportError)."""
-    import builtins
-
-    real_import = builtins.__import__
-
-    def block_ort(name, *a, **k):
-        if name == "onnxruntime":
-            raise ImportError("No module named 'onnxruntime'")
-        return real_import(name, *a, **k)
-
+def test_onnx_backend_missing_model_raises_clear_error(tmp_path):
+    """With no model files in models_path the factory raises an actionable
+    FileNotFoundError naming the missing file (onnxruntime absence no
+    longer blocks: the numpy ONNX session is the fallback runtime)."""
     cfg = PipelineConfig(backend="onnx", models_path=str(tmp_path))
     from paddleocr_json_ray.synth.backend import make_backends
 
-    import unittest.mock as mock
+    with pytest.raises(FileNotFoundError, match="det.onnx"):
+        make_backends(cfg, list("ab"))
 
-    with mock.patch.object(builtins, "__import__", side_effect=block_ort):
-        with pytest.raises(RuntimeError, match="onnxruntime"):
-            make_backends(cfg, list("ab"))
+
+# ---------------------------------------------------------------------------
+# REAL serialized ONNX models through the seam (functions/onnx_numpy +
+# synth/onnx_models): protobuf round-trip, kernel numerics, and e2e parity.
+# ---------------------------------------------------------------------------
+
+CHARS = [chr(c) for c in range(32, 127)]
+
+
+def test_onnx_protobuf_roundtrip():
+    """Models serialized by the writer parse back with the same structure
+    and bit-identical initializer tensors."""
+    from paddleocr_json_ray.functions.onnx_numpy import parse_model
+    from paddleocr_json_ray.synth.onnx_models import (cls_model_bytes,
+                                                      det_model_bytes,
+                                                      rec_model_bytes)
+
+    g = parse_model(det_model_bytes())
+    assert [n.op_type for n in g.nodes] == ["Conv", "Mul", "Round", "Div",
+                                            "Clip"]
+    assert set(g.initializers) == {"w", "b", "span", "lo", "hi"}
+    assert g.initializers["w"].shape == (1, 3, 1, 1)
+    assert g.inputs[0][0] == "x" and g.inputs[0][2] == [1, 3, "H", "W"]
+    assert g.outputs[0][0] == "prob"
+    assert g.nodes[0].attrs["kernel_shape"] == [1, 1]
+
+    g = parse_model(cls_model_bytes())
+    assert [n.op_type for n in g.nodes] == [
+        "GlobalAveragePool", "Flatten", "Gemm", "Softmax"]
+    assert g.nodes[2].attrs["transB"] == 1
+    assert g.nodes[3].attrs["axis"] == 1
+
+    g = parse_model(rec_model_bytes(12))
+    assert g.initializers["shape_ct"].tolist() == [3, -1]  # negative varint
+    assert g.initializers["w"].shape == (3, 12)
+
+
+def test_numpy_session_kernels_match_hand_numpy():
+    """Conv (stride+pad), Gemm, Softmax, AveragePool through a session
+    equal the direct numpy computation."""
+    from paddleocr_json_ray.functions.onnx_numpy import (NumpyOnnxSession,
+                                                         model_proto,
+                                                         node_proto,
+                                                         tensor_proto,
+                                                         value_info)
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 3, 9, 11)).astype(np.float32)
+    w = rng.standard_normal((4, 3, 3, 3)).astype(np.float32)
+    b = rng.standard_normal(4).astype(np.float32)
+    model = model_proto(
+        [node_proto("Conv", ["x", "w", "b"], ["y"], kernel_shape=[3, 3],
+                    strides=[2, 2], pads=[1, 1, 1, 1]),
+         node_proto("Relu", ["y"], ["z"])],
+        [value_info("x", 1, list(x.shape))],
+        [value_info("z", 1, [2, 4, 5, 6])],
+        [tensor_proto("w", w), tensor_proto("b", b)])
+    got = NumpyOnnxSession(model).run(None, {"x": x})[0]
+    xp = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    want = np.zeros((2, 4, 5, 6), dtype=np.float32)
+    for n in range(2):
+        for o in range(4):
+            for yy in range(5):
+                for xx in range(6):
+                    want[n, o, yy, xx] = np.sum(
+                        xp[n, :, yy * 2:yy * 2 + 3, xx * 2:xx * 2 + 3]
+                        * w[o]) + b[o]
+    np.testing.assert_allclose(got, np.maximum(want, 0), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_rec_model_logits_match_hand_numpy_and_decode():
+    """The rec graph executes through OnnxRecBackend.logits_from_tensor
+    with logits equal to the hand-computed pool->project, and the shared
+    greedy decode consumes them."""
+    from paddleocr_json_ray.functions.ctc import ctc_greedy_decode
+    from paddleocr_json_ray.functions.imageops import (REC_MEAN, REC_SCALE,
+                                                       crnn_resize, normalize)
+    from paddleocr_json_ray.functions.onnx_numpy import NumpyOnnxSession
+    from paddleocr_json_ray.synth.onnx_models import rec_model_bytes
+
+    cfg = PipelineConfig()
+    C = len(CHARS) + 2
+    backend = OnnxRecBackend(cfg, CHARS,
+                             session=NumpyOnnxSession(rec_model_bytes(C)))
+    rng = np.random.default_rng(11)
+    crop = rng.integers(0, 256, (30, 120, 3), dtype=np.uint8)
+    tensor = normalize(crnn_resize(crop, cfg.rec_img_h, 4.0),
+                       REC_MEAN, REC_SCALE)
+    logits = backend.logits_from_tensor(tensor)
+    T = tensor.shape[1] // 4
+    assert logits.shape == (T, C) and logits.dtype == np.float32
+
+    nchw = tensor.transpose(2, 0, 1)[None]
+    cols = nchw.reshape(1, 3, 1, 48, T, 4).mean(axis=(3, 5))[0, :, 0]  # [3,T]
+    wrng = np.random.default_rng(7)
+    w = wrng.standard_normal((3, C)).astype(np.float32)
+    b = wrng.standard_normal(C).astype(np.float32) * 0.1
+    want = cols.T.astype(np.float32) @ w + b
+    np.testing.assert_allclose(logits, want, rtol=1e-4, atol=1e-5)
+    text, score = ctc_greedy_decode(logits, backend.label_list)
+    assert isinstance(text, str)  # deterministic but arbitrary content
+
+
+def test_cls_real_model_constant_upright():
+    """The cls graph runs for any batch width and emits label 0 / 0.9."""
+    from paddleocr_json_ray.functions.imageops import cls_resize_normalize
+    from paddleocr_json_ray.functions.onnx_numpy import NumpyOnnxSession
+    from paddleocr_json_ray.synth.onnx_models import cls_model_bytes
+
+    cfg = PipelineConfig()
+    backend = OnnxClsBackend(
+        cfg, session=NumpyOnnxSession(cls_model_bytes()))
+    crops = [np.full((20, 40 + 13 * i, 3), 90, dtype=np.uint8)
+             for i in range(4)]
+    labels, scores = backend.infer([cls_resize_normalize(c) for c in crops])
+    assert labels.tolist() == [0, 0, 0, 0]
+    np.testing.assert_allclose(scores, 0.9, atol=1e-6)
+
+
+def _det_test_image():
+    import base64
+
+    from paddleocr_json_ray.synth.imaging import (SimgBlock, SimgImage,
+                                                  encode)
+
+    img = SimgImage(width=420, height=220, blocks=[
+        SimgBlock(quad=[[10, 10], [250, 10], [250, 32], [10, 32]],
+                  text="hello world", det_prob=0.95),
+        SimgBlock(quad=[[30, 60], [380, 60], [380, 96], [30, 96]],
+                  text="second line here", det_prob=0.8),
+        SimgBlock(quad=[[12, 130], [200, 150], [196, 180], [8, 160]],
+                  text="rotated", det_prob=0.9),
+    ])
+    return "b64:" + base64.b64encode(encode(img)).decode()
+
+
+def test_det_real_model_box_parity_e2e(tmp_path):
+    """A REAL serialized det.onnx (1x1 Conv + Clip analytically inverting
+    the input normalization) through the full single-span OCR path yields
+    the SAME det boxes as the pixel backend — the envelope-level proof
+    that the exported-model seam works (VERDICT r4 item 2)."""
+    from paddleocr_json_ray.stages.span_ocr import ocr_media_ref
+    from paddleocr_json_ray.synth.backend import make_backends
+    from paddleocr_json_ray.synth.onnx_models import write_tiny_models
+
+    ref = _det_test_image()
+    write_tiny_models(str(tmp_path), len(CHARS) + 2)
+    cfg_px = PipelineConfig(rec=False, cls=False)
+    cfg_ox = PipelineConfig(rec=False, cls=False, backend="onnx",
+                            models_path=str(tmp_path))
+    code_a, _, blocks_a, _ = ocr_media_ref(ref, cfg_px,
+                                           *make_backends(cfg_px, CHARS))
+    code_b, _, blocks_b, _ = ocr_media_ref(ref, cfg_ox,
+                                           *make_backends(cfg_ox, CHARS))
+    assert code_a == code_b == 100
+    assert len(blocks_a) == 3
+    assert [b["box"] for b in blocks_a] == [b["box"] for b in blocks_b]
+    # the dequantization tail makes the prob map bit-equal -> exact scores
+    assert [b["score"] for b in blocks_a] == [b["score"] for b in blocks_b]
+
+
+def test_onnx_det_ray_pipeline_e2e(ray_session, sf0001_dir, tmp_path):
+    """The onnx backend through the actual Ray actor-pool pipeline: the
+    per-span envelope rows (codes + det boxes) over the sf0.001 corpus
+    equal the pixel backend's, reading the SAME interleaved corpus."""
+    import ray as _ray
+
+    from paddleocr_json_ray.pipelines.ocr import _span_stage
+    from paddleocr_json_ray.synth.corpus import build_corpus
+    from paddleocr_json_ray.synth.onnx_models import write_tiny_models
+
+    write_tiny_models(str(tmp_path), len(CHARS) + 2)
+    cfg_px = PipelineConfig(rec=False, cls=False)
+    cfg_ox = PipelineConfig(rec=False, cls=False, backend="onnx",
+                            models_path=str(tmp_path))
+    paths = build_corpus(sf0001_dir, cfg_px)
+
+    def spans(cfg):
+        ds = _ray.data.read_parquet(paths.interleaved_dir,
+                                    override_num_blocks=4)
+        df = _span_stage(ds, cfg, paths.dict_path).to_pandas()
+        key = [c for c in ("doc_id", "span_order", "order", "offset")
+               if c in df.columns]
+        return df.sort_values(key).reset_index(drop=True)
+
+    a, b = spans(cfg_px), spans(cfg_ox)
+    assert len(a) == len(b) and len(a) > 0
+    assert a["code"].tolist() == b["code"].tolist()
+    def boxes_of(df):
+        out = []
+        for blocks in df["blocks"]:
+            if blocks is None:
+                out.append(None)
+            else:
+                out.append([[[int(v) for v in pt] for pt in blk["box"]]
+                            for blk in blocks])
+        return out
+
+    ba, bb = boxes_of(a), boxes_of(b)
+    assert ba == bb and any(x for x in ba)
