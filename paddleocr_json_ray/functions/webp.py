@@ -12,8 +12,12 @@ rasters (same contract as PNG/GIF/TIFF):
     2D distance map, simple and normal Huffman codes (code-length codes with
     16/17/18 repeats and the max_symbol escape).  Handles plain VP8L files
     and VP8L inside a VP8X extended container.
-  * Lossy "VP8 " payloads return ``None`` (a boolean-arithmetic DCT decoder
-    is a real codec library's job; this is the one clearly-marked seam left).
+  * Lossy "VP8 " payloads delegate to the system libwebp via ctypes
+    (functions/webp_native) — the same delegation the reference makes
+    through cv::imdecode — and return ``None`` only where that library is
+    absent.  webp_native doubles as the interop oracle for this module:
+    tests round-trip our VP8L encoder output through libwebp's decoder and
+    libwebp's lossless output through our decoder, both byte-exact.
   * Encoder: real histogram-derived canonical Huffman codes (length-limited,
     complete), optional single transform (palette / predictor mode /
     cross-color / subtract-green), optional color cache and RLE backward
@@ -532,8 +536,12 @@ def decode_vp8l(data: bytes) -> np.ndarray | None:
 
 
 def decode_webp(payload: bytes) -> np.ndarray | None:
-    """RIFF container walk: plain VP8L or VP8L inside VP8X.  Lossy "VP8 "
-    payloads return None (documented seam — needs a VP8 entropy decoder)."""
+    """RIFF container walk: VP8L (plain or inside VP8X) decodes through the
+    pure-Python decoder above; lossy "VP8 " delegates to the system libwebp
+    via ctypes (functions/webp_native) — the same delegation the reference
+    makes through cv::imdecode (cpp/src/task_linux.cpp:67-122).  Returns
+    None when the payload is malformed or (lossy only) no libwebp is
+    present on the machine."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         return None
     pos = 12
@@ -546,7 +554,9 @@ def decode_webp(payload: bytes) -> np.ndarray | None:
         if fourcc == b"VP8L":
             return decode_vp8l(body)
         if fourcc == b"VP8 ":
-            return None  # lossy VP8: real codec lib's job
+            from .webp_native import decode_rgb
+
+            return decode_rgb(payload)
         pos += 8 + size + (size & 1)
     return None
 

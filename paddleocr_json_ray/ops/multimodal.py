@@ -3,9 +3,10 @@ by actor-pool ``map_batches`` stages.
 
 Image formats decode via the in-repo PNG/BMP/JPEG codecs (cv2 slots in when
 present); audio decodes via the in-repo RIFF/WAV PCM parser
-(``functions/audiocodecs``), with compressed codecs (MP3/lossy VP8/...)
-raising NotImplementedError at the same clearly-marked seams a codec lib
-would fill.
+(``functions/audiocodecs``); lossy WebP delegates to the system libwebp
+(``functions/webp_native``); remaining compressed codecs (MP3/...) raise
+NotImplementedError at the same clearly-marked seams a codec lib would
+fill.
 All Ray-side plumbing — binary schema, actor signature, batch sizing,
 output layout — is real and tested.
 """
@@ -24,9 +25,9 @@ from ..synth.corpus import build_corpus
 def decode_real_image(payload: bytes) -> "np.ndarray":
     """Real-image decode seam: cv2 when present; otherwise the
     dependency-free PNG/BMP/JPEG (baseline + progressive)/GIF/TIFF/lossless-
-    WebP codecs (functions/imagecodecs).  Only formats neither path can read
-    (lossy VP8 — needs a boolean-arithmetic DCT decoder — and exotica)
-    raise."""
+    WebP codecs (functions/imagecodecs), with lossy WebP delegated to the
+    system libwebp (functions/webp_native).  Only formats no path can read
+    (exotica, or lossy WebP on a machine without libwebp) raise."""
     try:
         import cv2  # type: ignore
 

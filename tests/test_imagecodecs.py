@@ -600,8 +600,8 @@ def test_webp_edge_sizes_and_gray():
 
 
 def test_webp_malformed_lossy_and_container():
-    """Truncation/garbage -> None; lossy VP8 -> None (documented seam);
-    VP8L inside a VP8X extended container decodes."""
+    """Truncation/garbage -> None; a malformed lossy "VP8 " body -> None
+    (libwebp rejects it); VP8L inside a VP8X extended container decodes."""
     from paddleocr_json_ray.functions.webp import decode_webp, encode_webp
 
     img = _rand_img(12, 17, seed=41)
@@ -675,3 +675,100 @@ def test_webp_decode_never_raises_on_garbage():
         bad[pos] ^= 0x55
         out = decode_webp(bytes(bad))
         assert out is None or isinstance(out, np.ndarray)
+
+
+# ---------------------------------------------------------------------------
+# libwebp interop (functions/webp_native) — lossy "VP8 " decode + the
+# interop oracle for the pure-Python VP8L codec.  The reference decodes
+# lossy .webp by DELEGATING to a codec library (cv::imdecode -> bundled
+# libwebp, cpp/src/task_linux.cpp:67-122); webp_native is the same
+# delegation via ctypes, import/load-guarded so machines without the
+# shared library keep the documented seam (decode_webp -> None).
+
+from paddleocr_json_ray.functions import webp_native
+
+needs_libwebp = pytest.mark.skipif(
+    not webp_native.available(), reason="system libwebp not present")
+
+
+@needs_libwebp
+def test_webp_native_interop_lossless_both_directions():
+    """Pin the hand-written VP8L bitstream against the REAL library: our
+    encoder's output decodes byte-exactly through libwebp, and libwebp's
+    lossless encoder output decodes byte-exactly through our pure-Python
+    decoder — across transform modes and image shapes."""
+    from paddleocr_json_ray.functions.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(33)
+    images = [
+        rng.integers(0, 256, (37, 53, 3), dtype=np.uint8),          # noise
+        np.repeat(np.repeat(rng.integers(0, 5, (6, 8)), 7, axis=0),
+                  9, axis=1).astype(np.uint8)[..., None].repeat(3, 2) * 50,
+        (np.add.outer(np.arange(24) * 3, np.arange(40) * 2)[..., None]
+         % 256 + np.array([0, 10, 20])).astype(np.uint8),           # smooth
+        np.full((1, 1, 3), 200, np.uint8),                          # 1x1
+    ]
+    for img in images:
+        # ours -> libwebp
+        for kwargs in ({}, {"transform": "predictor"},
+                       {"transform": "palette"}, {"backrefs": True}):
+            if kwargs.get("transform") == "palette" and len(
+                    np.unique(img.reshape(-1, 3), axis=0)) > 256:
+                continue
+            dec = webp_native.decode_rgb(encode_webp(img, **kwargs))
+            np.testing.assert_array_equal(dec, img)
+        # libwebp -> ours
+        np.testing.assert_array_equal(
+            decode_webp(webp_native.encode_lossless_rgb(img)), img)
+
+
+@needs_libwebp
+def test_webp_lossy_decode_roundtrip_and_dispatch():
+    """Lossy "VP8 " payloads decode through the decode_webp dispatcher with
+    small error on smooth content; malformed lossy bodies return None."""
+    from paddleocr_json_ray.functions.webp import decode_webp
+
+    smooth = (np.minimum(np.add.outer(np.arange(48) * 2,
+                                      np.arange(64) * 1.5), 255)[..., None]
+              + np.array([0, 20, 40])).clip(0, 255).astype(np.uint8)
+    payload = webp_native.encode_lossy_rgb(smooth, quality=92)
+    assert payload[:4] == b"RIFF" and payload[12:16] == b"VP8 "
+    dec = decode_webp(payload)
+    assert dec.shape == smooth.shape
+    assert np.abs(dec.astype(int) - smooth.astype(int)).mean() < 4.0
+    # matches the raw binding (dispatcher adds nothing)
+    np.testing.assert_array_equal(dec, webp_native.decode_rgb(payload))
+    # truncation / garbage never raise
+    for cut in (16, 24, len(payload) // 2):
+        assert decode_webp(payload[:cut]) is None
+    bad = bytearray(payload)
+    bad[25] ^= 0xFF
+    out = decode_webp(bytes(bad))
+    assert out is None or isinstance(out, np.ndarray)
+
+
+@needs_libwebp
+def test_lossy_webp_through_envelope():
+    """A lossy-WebP media span flows through the OCR envelope: code 100 and
+    detection fires.  Unlike JPEG q100 (4:4:4, near-lossless), VP8 ALWAYS
+    subsamples chroma 4:2:0, which halves the synthetic pixelcode's G/B
+    glyph-cell resolution — so box/text parity with the SIMG payload is a
+    property the synthetic channel cannot offer here (a weights-backed CRNN
+    at the backend seam is robust to 4:2:0 like the reference's).  The
+    contract is integration: the lossy path decodes and produces spans."""
+    cfg = PipelineConfig()
+    backends = make_backends(cfg, CHARS)
+    simg_payload = _simg_payload()
+    from paddleocr_json_ray.synth.imaging import decode as simg_decode, raster_seed
+
+    raster = render_raster(simg_decode(simg_payload), raster_seed(simg_payload))
+    ref = "b64:" + base64.b64encode(
+        webp_native.encode_lossy_rgb(raster, quality=100)).decode()
+    code, _, blocks, _ = ocr_media_ref(ref, cfg, *backends)
+    assert code == errors.CODE_OK
+    assert len(blocks) >= 1
+    # corrupt payload -> the reference's imdecode error code
+    bad = webp_native.encode_lossy_rgb(raster, quality=100)[:40]
+    code, _, _, _ = ocr_media_ref(
+        "b64:" + base64.b64encode(bad).decode(), cfg, *backends)
+    assert code == errors.CODE_ERR_BASE64_IM_DECODE
