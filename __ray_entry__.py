@@ -141,6 +141,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate": decontam.fuzzy_decontaminate,  # LSH, rows-only
         # ---- dedup family ----
         "dedup_exact": dedup.dedup_exact,
+        # line-granularity keep-first (RefinedWeb-style); the corpus has no
+        # newlines, so the oracled entry splits on ' ' — the '\n' path is
+        # pinned in tests/test_dedup.py on newline-bearing synthetic docs
+        "dedup_lines": lambda sf: dedup.dedup_lines(sf, delimiter=" "),
         "dedup_exact_incremental": _dedup_incremental,  # stateful index, rows-only
         "cross_source_dups": dedup.cross_source_dups,
         "dedup_minhash": dedup.dedup_minhash,     # rows-only (LSH)
@@ -369,6 +373,18 @@ SELECT doc_id FROM (
   SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
   FROM documents) t
 WHERE rn = 1""",
+        "dedup_lines": """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS line,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS idx
+  FROM documents
+), ranked AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+  FROM lines)
+SELECT doc_id, string_agg(line, ' ' ORDER BY idx) AS text,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM ranked WHERE rn = 1 GROUP BY doc_id""",
         "embedding_dup_pairs": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

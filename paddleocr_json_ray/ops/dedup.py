@@ -1108,3 +1108,141 @@ def dedup_exact_incremental(sf_dir: str, index_dir: str,
         fresh = fresh.materialize()
         fresh.select_columns(["text_hash", "h2"]).write_parquet(index_dir)
     return fresh.select_columns(["doc_id"]).sort("doc_id")
+
+
+# --------------------------------------------------------------- line-level
+_LINE_IDX_BITS = 22  # lines-per-doc bound (4M); doc_id then fits 41 bits
+
+
+def dedup_lines(sf_dir: str, delimiter: str = "\n") -> ray.data.Dataset:
+    """RefinedWeb-style exact LINE dedup: split every document into lines,
+    keep only the globally FIRST occurrence of each distinct line (order =
+    (doc_id, line index)), rebuild documents from their surviving lines and
+    drop documents left empty.  Output: (doc_id, text, n_lines).
+
+    The shipped corpus has no newlines (round-3 note), so the oracled query
+    registers with delimiter=' ' — the exchange plan is delimiter-blind and
+    the '\\n' path is pinned by pytest on newline-bearing synthetic docs.
+
+    Scale plan (100 TB shape): two sort exchanges, ZERO joins / broadcasts /
+    hashes.  The line TEXT itself is the sort key (it must travel for the
+    rebuild anyway, so keying by it adds no volume and removes hash-collision
+    risk entirely):
+      1. explode — vectorized ``split_pattern`` per batch, one row per line
+         carrying pos = doc_id << 22 | idx;
+      2. sort (line, pos) — the first row of each line run is the keep-first
+         winner; interior runs resolve block-locally, the <= 2 boundary runs
+         per block emit ONE candidate row each, healed by a grouped min-pos
+         pick (a hot line spanning B blocks costs B one-row candidates,
+         never its copy count);
+      3. sort survivors by pos — block-local per-doc joins, the <= 2
+         boundary doc runs per block emit partials healed by a grouped
+         concat in pos order (same partial-sessions shape as sessionize).
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch.column("text"), delimiter)
+        flat = lists.combine_chunks() if isinstance(
+            lists, pa.ChunkedArray) else lists
+        if isinstance(flat, pa.ChunkedArray):  # 0-chunk edge
+            flat = pa.concat_arrays(flat.chunks) if flat.num_chunks else \
+                pa.array([], type=pa.list_(pa.string()))
+        offs = flat.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        doc = batch.column("doc_id").to_numpy().astype(np.int64)
+        if counts.size and counts.max() >= (1 << _LINE_IDX_BITS):
+            raise ValueError("document exceeds the 4M lines/doc bound")
+        idx = np.arange(int(offs[-1]) if len(offs) else 0,
+                        dtype=np.int64) - np.repeat(offs[:-1], counts)
+        pos = (np.repeat(doc, counts) << _LINE_IDX_BITS) | idx
+        return pa.table({"line": flat.values, "pos": pa.array(pos)})
+
+    srt = ds.map_batches(explode, batch_format="pyarrow").sort(
+        ["line", "pos"])
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                          "line": pa.array([], type=pa.string()),
+                          "pos": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        lines = batch.column("line")
+        neq = pc.not_equal(lines.slice(1), lines.slice(0, n - 1))
+        bnd = np.flatnonzero(neq.combine_chunks().to_numpy(
+            zero_copy_only=False)) + 1
+        starts = np.r_[0, bnd]
+        kind = np.zeros(len(starts), dtype=np.int8)
+        kind[0] = kind[-1] = 1  # runs touching a block edge -> candidates
+        take = pa.array(starts)
+        return pa.table({"kind": pa.array(kind),
+                         "line": lines.take(take),
+                         "pos": batch.column("pos").take(take)})
+
+    marked = srt.map_batches(firsts, batch_format="pyarrow",
+                             batch_size=None).materialize()
+    finals = marked.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)).select(
+            ["line", "pos"]), batch_format="pyarrow")
+    edges = marked.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1)).select(
+            ["line", "pos"]), batch_format="pyarrow")
+
+    def heal_min(group: pa.Table) -> pa.Table:
+        win = int(np.argmin(group.column("pos").to_numpy()))
+        return group.slice(win, 1).select(["line", "pos"])
+
+    survivors = finals.union(
+        edges.groupby("line").map_groups(heal_min, batch_format="pyarrow"))
+
+    rebuilt = survivors.sort("pos")
+
+    def join_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"kind": pa.array([], type=pa.int8()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string()),
+                             "n_lines": pa.array([], type=pa.int64()),
+                             "min_pos": pa.array([], type=pa.int64())})
+        pos = batch.column("pos").to_numpy().astype(np.int64)
+        doc = pos >> _LINE_IDX_BITS
+        lines = batch.column("line").to_pylist()
+        bnd = np.flatnonzero(np.diff(doc) != 0) + 1
+        starts = np.r_[0, bnd]
+        ends = np.r_[bnd, n]
+        kind = np.zeros(len(starts), dtype=np.int8)
+        kind[0] = kind[-1] = 1  # doc runs touching a block edge -> partials
+        return pa.table({
+            "kind": pa.array(kind),
+            "doc_id": pa.array(doc[starts]),
+            "text": pa.array([delimiter.join(lines[s:e])
+                              for s, e in zip(starts, ends)]),
+            "n_lines": pa.array((ends - starts).astype(np.int64)),
+            "min_pos": pa.array(pos[starts]),
+        })
+
+    parts = rebuilt.map_batches(join_docs, batch_format="pyarrow",
+                                batch_size=None).materialize()
+    out_cols = ["doc_id", "text", "n_lines"]
+    doc_finals = parts.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 0)).select(out_cols),
+        batch_format="pyarrow")
+    doc_edges = parts.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), 1)),
+        batch_format="pyarrow")
+
+    def heal_concat(group: pa.Table) -> pa.Table:
+        order = np.argsort(group.column("min_pos").to_numpy())
+        texts = group.column("text").to_pylist()
+        n = group.column("n_lines").to_numpy()
+        return pa.table({
+            "doc_id": group.column("doc_id").slice(0, 1),
+            "text": pa.array([delimiter.join(texts[i] for i in order)]),
+            "n_lines": pa.array([int(n.sum())], type=pa.int64()),
+        })
+
+    healed = doc_edges.groupby("doc_id").map_groups(
+        heal_concat, batch_format="pyarrow")
+    return doc_finals.union(healed)

@@ -259,3 +259,62 @@ def test_dedup_exact_incremental_join_tier_equality(ray_session, tmp_path):
                                  broadcast_max_rows=0).to_pandas()
     assert b1["doc_id"].tolist() == b2["doc_id"].tolist()
     assert len(b1) < 80  # cross-increment dups actually dropped
+
+
+# --------------------------------------------------------------- line-level
+def _brute_line_dedup(texts, delimiter):
+    """Keep-first global line dedup, pure Python."""
+    seen = set()
+    out = {}
+    for doc_id, t in enumerate(texts):
+        kept = []
+        for line in t.split(delimiter):
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            out[doc_id] = (delimiter.join(kept), len(kept))
+    return out
+
+
+@pytest.mark.parametrize("delimiter", ["\n", " "])
+def test_dedup_lines_vs_bruteforce(ray_session, tmp_path, delimiter):
+    """RefinedWeb-style exact line dedup on newline-bearing docs: within-doc
+    repeats collapse, cross-doc repeats keep only the (doc_id, idx)-first
+    copy, fully-duplicated docs vanish, empty lines dedup like any other."""
+    rng = np.random.default_rng(13)
+    lines_pool = [" ".join(rng.choice(WORDS, size=4)) for _ in range(25)]
+    texts = []
+    for i in range(30):
+        k = int(rng.integers(2, 9))
+        texts.append(delimiter.join(rng.choice(lines_pool, size=k)))
+    texts.append(texts[0])              # fully-duplicated doc -> vanishes
+    texts.append(delimiter.join([lines_pool[0], "", lines_pool[1], ""]))
+    texts.append("")                    # single empty line
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    got = dedup.dedup_lines(d, delimiter=delimiter).to_pandas()
+    got = {int(r.doc_id): (r.text, int(r.n_lines)) for r in got.itertuples()}
+    assert got == _brute_line_dedup(texts, delimiter)
+
+
+def test_dedup_lines_hot_key_runs(ray_session, tmp_path):
+    """Adversarial skew: a 2-word vocabulary makes every sorted line run
+    span many blocks, so nearly every run resolves through the grouped
+    boundary heal — survivors must still be exactly the global firsts."""
+    texts = ["hot " * 50 + "cold", "cold " + "hot " * 49 + "hot"]
+    texts = [t.strip() for t in texts] * 20
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    got = dedup.dedup_lines(d, delimiter=" ").to_pandas()
+    got = {int(r.doc_id): (r.text, int(r.n_lines)) for r in got.itertuples()}
+    assert got == _brute_line_dedup(texts, " ")
+    # every distinct line appears exactly once across the whole output
+    all_lines = [w for t, _ in got.values() for w in t.split(" ")]
+    assert sorted(all_lines) == sorted(set(all_lines))
