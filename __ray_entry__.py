@@ -274,19 +274,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # oracled block, queries whose correctness changed this round lead, so
     # the ~50-slot window always covers them; the rest keep their grouping.
     priority = [
-        # round-3 driver failures, fixed round 4
-        "pack_sequences", "props_k_stats", "label_centroids",
-        "embedding_covariance",
+        # round-5 new / behavior-touched oracled ops
+        "dedup_lines", "high_balance_inactive_custs", "profile_events",
         # round-4 reworked / tiered ops
         "user_funnel", "cohort_retention", "small_quantity_revenue",
         "custs_without_orders",
         # round-4 new oracled ops
         "gopher_repetition", "weighted_sample",
-        "high_balance_inactive_custs", "band_revenue", "shipping_priority",
+        "band_revenue", "shipping_priority",
         "sole_return_suppliers", "source_cap", "source_cap_filter",
-        "cheapest_supplier_per_part", "profile_events", "k_anonymity_audit",
+        "cheapest_supplier_per_part", "k_anonymity_audit",
         "fk_integrity_audit", "max_event_gap", "event_disorder_audit",
         "label_confusion",
+        # round-3 driver failures, fixed round 4
+        "pack_sequences", "props_k_stats", "label_centroids",
+        "embedding_covariance",
     ]
     oracled = set(oracle_sql())
     ordered = {k: q[k] for k in priority if k in q and k in oracled}

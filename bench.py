@@ -70,6 +70,110 @@ def run_flagship(num_cpus: int) -> dict:
             "corpus": paths.root}
 
 
+def _dedup_scaling_input(mult: int = 40) -> str:
+    """A ``mult``x-scaled documents table under /tmp/pjr_scale for the
+    exchange-heavy dedup regime.  Replica texts are word-salted (every word
+    gets a per-replica suffix, so neither shingles nor long substrings
+    survive) EXCEPT where ``(doc_id + r) % 8 == 0``, which stay exact
+    copies — dup rate ~12.5% with dup-group size ~1 + mult/8, independent
+    of corpus scale.  Naive full replication is pathological: group size
+    (and so candidate edges, quadratically) grows with mult and the work
+    collapses into a few giant LSH buckets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = os.path.basename(os.path.normpath(SF_DIR))
+    d = os.path.join("/tmp/pjr_scale", f"{base}_docs_salted_x{mult}")
+    dst = os.path.join(d, "documents.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+        n = t.num_rows
+        ids0 = t.column("doc_id").to_numpy()
+        texts0 = t.column("text").to_pylist()
+        idx_id = t.schema.get_field_index("doc_id")
+        idx_tx = t.schema.get_field_index("text")
+        reps = [t]
+        for r in range(1, mult):
+            keep = (ids0 + r) % 8 == 0
+            salt = f"w{r}"
+            texts = [tx if k else " ".join(w + salt for w in tx.split(" "))
+                     for tx, k in zip(texts0, keep)]
+            rep = t.set_column(idx_id, "doc_id", pa.array(ids0 + r * n))
+            rep = rep.set_column(idx_tx, "text", pa.array(texts))
+            reps.append(rep)
+        pq.write_table(pa.concat_tables(reps), dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+    return d
+
+
+def run_dedup(num_cpus: int, sf_dir: str) -> dict:
+    """Dedup scaling leg: MinHash-LSH + exact-substring dedup end-to-end
+    over ``sf_dir`` (the exchange-heavy ops, vs the flagship's actor-pool
+    compute)."""
+    _init_ray(num_cpus)
+    from paddleocr_json_ray.ops.dedup import dedup_minhash
+    from paddleocr_json_ray.ops.substring import dedup_substrings
+
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    timings = {}
+    t0 = time.time()
+    n_kept = dedup_minhash(sf_dir).count()
+    timings["dedup_minhash"] = time.time() - t0
+    t1 = time.time()
+    dedup_substrings(sf_dir).count()
+    timings["dedup_substrings"] = time.time() - t1
+    dt = time.time() - t0
+    return {"elapsed_s": dt, "n_docs_in": n_docs, "n_kept_minhash": n_kept,
+            "timings": timings, "docs_per_sec": n_docs / dt}
+
+
+def run_dedup_scaling() -> dict:
+    """Fresh-process N vs 4N scaling sample for the dedup suite over the
+    salted-replica scaled corpus (VERDICT r4 item 6) — evidences that the
+    exchange-heavy ops, not just the flagship's actor pools, hold >=0.8."""
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    mult = int(os.environ.get("GRAFT_DEDUP_SCALING_MULT", "40"))
+    sf = _dedup_scaling_input(mult)
+    results = {}
+    for cpus in (hi, lo):
+        _settle()
+        code = (
+            "import json,sys;"
+            "sys.path.insert(0, '" + os.path.dirname(os.path.abspath(__file__)) + "');"
+            "from bench import run_dedup;"
+            f"print('RESULT'+json.dumps(run_dedup({cpus}, {sf!r})))"
+        )
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=3600, check=False)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT")]
+        if not line:
+            raise RuntimeError(
+                f"dedup scaling run cpus={cpus} failed:\n"
+                f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+        results[cpus] = json.loads(line[-1][6:])
+    thr_lo = results[lo]["docs_per_sec"]
+    thr_hi = results[hi]["docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": (f"dedup-suite scaling efficiency (num_cpus {lo} -> {hi},"
+                   f" fresh processes, salted x{mult} corpus)"),
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "sf": sf,
+        "thr_docs_per_sec": {str(lo): round(thr_lo, 2),
+                             str(hi): round(thr_hi, 2)},
+        "elapsed_s": {str(lo): round(results[lo]["elapsed_s"], 2),
+                      str(hi): round(results[hi]["elapsed_s"], 2)},
+        "timings": {str(lo): results[lo]["timings"],
+                    str(hi): results[hi]["timings"]},
+    }
+
+
 def run_suite() -> dict:
     _init_ray(NUM_CPUS)
     import __ray_entry__ as entrymod
@@ -262,7 +366,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-dedup" in sys.argv:
+        print(json.dumps(run_dedup_scaling()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_suite()))

@@ -277,6 +277,61 @@ def _sig_matrix(col) -> np.ndarray:
     return np.frombuffer(joined, dtype=np.uint64).reshape(len(col), _N_PERM)
 
 
+def _forest_reduce(ia: np.ndarray, jb: np.ndarray):
+    """Component-preserving spanning star of a SMALL verified pair set:
+    (root, member) edges, root = component min, at most one edge per
+    non-root node instead of the run's O(k^2) clique pairs.
+
+    Sound because connected components of a union of subgraphs are
+    invariant under replacing each subgraph by any forest with the same
+    LOCAL components — so every sorted-run verifier may emit its run's
+    star instead of all pairs and the global ``resolve_clusters`` answer
+    is unchanged.  Giant near-dup cliques are the scale hazard this
+    removes: a 500-doc family is 124,750 pairs per band but 499 star
+    edges (measured on the x40 salted corpus: 8.36M pair rows -> 0.25M)."""
+    ids = np.unique(np.concatenate([ia, jb]))
+    a = np.searchsorted(ids, ia)
+    b = np.searchsorted(ids, jb)
+    parent = np.arange(len(ids))
+    while True:
+        pa_, pb_ = parent[a], parent[b]
+        changed = pa_ != pb_
+        if not changed.any():
+            break
+        np.minimum.at(parent, a[changed], pb_[changed])
+        np.minimum.at(parent, b[changed], pa_[changed])
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+    member = parent != np.arange(len(ids))
+    return ids[parent[member]], ids[member]
+
+
+def _forest_blocks(pairs: ray.data.Dataset, col_a: str = "id_a",
+                   col_b: str = "id_b") -> ray.data.Dataset:
+    """Block-local ``_forest_reduce`` over an already-VERIFIED pair
+    Dataset: each block's pair set is a subgraph of the global dup graph,
+    so replacing it with its spanning star preserves global components.
+    Used by the survivors paths whose verification happens at the end of
+    the pair pipeline (ngram co-counts, embedding cosine), where the
+    source-side run reduction can't apply."""
+    empty = pa.table({col_a: pa.array([], type=pa.int64()),
+                      col_b: pa.array([], type=pa.int64())})
+
+    def reduce_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        r, m = _forest_reduce(
+            batch.column(col_a).to_numpy().astype(np.int64),
+            batch.column(col_b).to_numpy().astype(np.int64))
+        return pa.table({col_a: pa.array(r, type=pa.int64()),
+                         col_b: pa.array(m, type=pa.int64())})
+
+    return pairs.map_batches(reduce_block, batch_format="pyarrow")
+
+
 def _verify_sig_run(docs: np.ndarray, sigs: np.ndarray, cap: int,
                     threshold: float):
     """One complete bucket run: unique docs (first sig per doc — identical
@@ -293,10 +348,14 @@ def _verify_sig_run(docs: np.ndarray, sigs: np.ndarray, cap: int,
     return uniq[iu[hit]], uniq[ju[hit]], est[hit]
 
 
-def _minhash_run_rows(batch: pa.Table, cap: int, threshold: float) -> pa.Table:
+def _minhash_run_rows(batch: pa.Table, cap: int, threshold: float,
+                      forest: bool = False) -> pa.Table:
     """Per sorted block: VERIFIED pairs from complete interior band-hash
     runs (signatures travel with the rows — no second corpus pass);
-    first/last runs pass through as edge rows for the distributed heal."""
+    first/last runs pass through as edge rows for the distributed heal.
+    ``forest=True`` (the dedup/components path) collapses the block's
+    verified pairs to a component-preserving star — see
+    ``_forest_reduce`` — so giant near-dup cliques stay O(k) rows."""
     h = batch.column("band_hash").to_numpy()
     d = batch.column("doc_id").to_numpy().astype(np.int64)
     sigs = _sig_matrix(batch.column("sig"))
@@ -322,6 +381,9 @@ def _minhash_run_rows(batch: pa.Table, cap: int, threshold: float) -> pa.Table:
     a_ = np.concatenate(p_a) if p_a else z
     b_ = np.concatenate(p_b) if p_b else z
     e_ = np.concatenate(p_e) if p_e else np.empty(0, dtype=np.float64)
+    if forest and len(a_):
+        a_, b_ = _forest_reduce(a_, b_)
+        e_ = np.zeros(len(a_), dtype=np.float64)  # est not meaningful
     ei = np.concatenate(edge_idx) if edge_idx else z
     n_p, n_e = len(a_), len(ei)
     sig_col = pa.concat_arrays([
@@ -341,7 +403,8 @@ def _minhash_run_rows(batch: pa.Table, cap: int, threshold: float) -> pa.Table:
 
 
 def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.8,
-                            distinct: bool = True) -> ray.data.Dataset:
+                            distinct: bool = True,
+                            forest: bool = False) -> ray.data.Dataset:
     """(id_a, id_b, est_jaccard) for LSH-candidate pairs whose signature
     agreement >= threshold.
 
@@ -369,7 +432,7 @@ def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.8,
     sorted_rows = (ds.map_batches(band_rows, batch_format="pyarrow")
                      .sort("band_hash"))
     out = sorted_rows.map_batches(
-        lambda b: _minhash_run_rows(b, _BUCKET_CAP, threshold),
+        lambda b: _minhash_run_rows(b, _BUCKET_CAP, threshold, forest),
         batch_format="pyarrow", batch_size=None)
     interior, edges = _split_kinds(out, ["id_a", "id_b", "est_jaccard"],
                                    ["key", "id_a", "sig"])
@@ -383,9 +446,13 @@ def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.8,
                               _BUCKET_CAP, threshold)
         if got is None:
             return empty
-        return pa.table({"id_a": pa.array(got[0], type=pa.int64()),
-                         "id_b": pa.array(got[1], type=pa.int64()),
-                         "est_jaccard": pa.array(got[2], type=pa.float64())})
+        ga, gb, ge = got
+        if forest and len(ga):
+            ga, gb = _forest_reduce(ga, gb)
+            ge = np.zeros(len(ga), dtype=np.float64)
+        return pa.table({"id_a": pa.array(ga, type=pa.int64()),
+                         "id_b": pa.array(gb, type=pa.int64()),
+                         "est_jaccard": pa.array(ge, type=pa.float64())})
 
     healed = edges.groupby("key").map_groups(heal, batch_format="pyarrow")
     both = interior.union(healed)
@@ -395,8 +462,11 @@ def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.8,
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> ray.data.Dataset:
+    # forest=True: survivors only need components, so runs emit stars —
+    # edge volume stays linear in docs even for giant near-dup families
     return _survivors(sf_dir, minhash_candidate_pairs(sf_dir, threshold,
-                                                      distinct=False))
+                                                      distinct=False,
+                                                      forest=True))
 
 
 # ------------------------------------------------------------------- simhash
@@ -416,7 +486,8 @@ def _verify_simhash_run(docs: np.ndarray, sigs: np.ndarray, cap: int,
 
 
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3,
-                      distinct: bool = True) -> ray.data.Dataset:
+                      distinct: bool = True,
+                      forest: bool = False) -> ray.data.Dataset:
     """SimHash near-dup pairs: 4x16-bit chunk banding (pigeonhole guarantees
     any pair within hamming<=3 shares at least one chunk).  The 8-byte
     signature travels with each chunk row through the keyed sort; exact
@@ -461,6 +532,8 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3,
         z = np.empty(0, dtype=np.int64)
         a_ = np.concatenate(p_a) if p_a else z
         b_ = np.concatenate(p_b) if p_b else z
+        if forest and len(a_):
+            a_, b_ = _forest_reduce(a_, b_)
         ei = np.concatenate(edge_idx) if edge_idx else z
         n_p, n_e = len(a_), len(ei)
         return pa.table({
@@ -484,8 +557,11 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3,
         got = _verify_simhash_run(docs, sigs, cap, max_hamming)
         if got is None:
             return _EMPTY_PAIRS
-        return pa.table({"id_a": pa.array(got[0], type=pa.int64()),
-                         "id_b": pa.array(got[1], type=pa.int64())})
+        ga, gb = got
+        if forest and len(ga):
+            ga, gb = _forest_reduce(ga, gb)
+        return pa.table({"id_a": pa.array(ga, type=pa.int64()),
+                         "id_b": pa.array(gb, type=pa.int64())})
 
     healed = edges.groupby("key").map_groups(heal, batch_format="pyarrow")
     both = interior.union(healed)
@@ -496,7 +572,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """Survivors after SimHash near-dup removal (keep min doc_id per
     cluster); cluster resolution dedupes the pair rows itself."""
     return _survivors(sf_dir, simhash_dup_pairs(sf_dir, max_hamming,
-                                                distinct=False))
+                                                distinct=False, forest=True))
 
 
 # ------------------------------------------------------------ n-gram jaccard
@@ -682,7 +758,8 @@ def ngram_dup_pairs(sf_dir: str, n: int = 3, threshold: float = 0.8,
 
 
 def dedup_ngram(sf_dir: str, n: int = 3, threshold: float = 0.8) -> ray.data.Dataset:
-    return _survivors(sf_dir, ngram_dup_pairs(sf_dir, n, threshold))
+    return _survivors(sf_dir,
+                      _forest_blocks(ngram_dup_pairs(sf_dir, n, threshold)))
 
 
 # ------------------------------------------------------- embedding near-dup
@@ -800,7 +877,8 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:
     """Survivors after removing cosine-near-dup embeddings (keep min vec_id
     per cluster).  Candidate generation is the bucketed LSH path — the
     O(N^2) ``embedding_dup_pairs`` scan stays exact-baseline only."""
-    return _survivors(sf_dir, embedding_bucket_pairs(sf_dir, threshold),
+    return _survivors(sf_dir,
+                      _forest_blocks(embedding_bucket_pairs(sf_dir, threshold)),
                       table="embeddings", id_col="vec_id")
 
 
@@ -872,7 +950,7 @@ def semdedup_pairs(sf_dir: str, threshold: float = 0.35,
 def semdedup(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:
     """Survivors after SemDeDup semantic dedup (keep min vec_id per
     near-dup cluster) — see ``semdedup_pairs`` for the plan."""
-    return _survivors(sf_dir, semdedup_pairs(sf_dir, threshold),
+    return _survivors(sf_dir, _forest_blocks(semdedup_pairs(sf_dir, threshold)),
                       table="embeddings", id_col="vec_id")
 
 

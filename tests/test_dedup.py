@@ -318,3 +318,57 @@ def test_dedup_lines_hot_key_runs(ray_session, tmp_path):
     # every distinct line appears exactly once across the whole output
     all_lines = [w for t, _ in got.values() for w in t.split(" ")]
     assert sorted(all_lines) == sorted(set(all_lines))
+
+
+def test_forest_reduce_preserves_components():
+    """_forest_reduce on random graphs: (root, member) stars must induce
+    exactly the same components as the full pair set, with <= one edge per
+    non-root node."""
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(2, 120))
+        m = int(rng.integers(1, 300))
+        ia = rng.integers(0, n, size=m).astype(np.int64)
+        jb = rng.integers(0, n, size=m).astype(np.int64)
+        keep = ia != jb
+        ia, jb = ia[keep], jb[keep]
+        if not len(ia):
+            continue
+        roots, members = dedup._forest_reduce(ia, jb)
+        assert len(roots) == len(members)
+        assert len(np.unique(members)) == len(members)  # one edge per member
+        want = dedup._union_find(list(zip(ia.tolist(), jb.tolist())))
+        got = dedup._union_find(list(zip(roots.tolist(), members.tolist())))
+        # same loser set and same root for every loser
+        assert {m_ for m_, r in got.items() if r != m_} == \
+               {m_ for m_, r in want.items() if r != m_}
+        assert all(got[k] == want[k] for k in got)
+
+
+def test_minhash_forest_equals_allpairs_on_cliques(ray_session, tmp_path):
+    """A clique-heavy corpus (3 exact-dup families of 25 + distinct docs):
+    survivors under forest reduction == survivors from the all-pairs path,
+    and the forest pair volume is linear in docs, not quadratic."""
+    rng = np.random.default_rng(5)
+    texts = []
+    for fam in range(3):
+        base = " ".join(rng.choice(WORDS, size=40))
+        texts.extend([base] * 25)
+    for i in range(30):
+        texts.append(" ".join(rng.choice(WORDS, size=40)))
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    allpairs = dedup.minhash_candidate_pairs(d, 0.8, distinct=False,
+                                             forest=False)
+    forest = dedup.minhash_candidate_pairs(d, 0.8, distinct=False,
+                                           forest=True)
+    s_all = sorted(dedup._survivors(d, allpairs).to_pandas()["doc_id"])
+    s_for = sorted(dedup._survivors(d, forest).to_pandas()["doc_id"])
+    assert s_all == s_for
+    n_forest = dedup.minhash_candidate_pairs(d, 0.8, distinct=False,
+                                             forest=True).count()
+    # 16 bands x (k-1) stars max vs 16 x C(25,2)=4800 per family all-pairs
+    assert n_forest <= 16 * len(texts)
