@@ -176,6 +176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_per_region": relational.suppliers_per_region,
         "revenue_by_priority": relational.revenue_by_priority,
         "high_balance_inactive_custs": relational.high_balance_inactive_custs,
+        "order_price_audit": relational.order_price_audit,
+        "doc_length_outliers": text_ops.doc_length_outliers,
+        "user_rfm_segments": sketches.user_rfm_segments,
         "band_revenue": relational.band_revenue,
         "shipping_priority": relational.shipping_priority,
         "sole_return_suppliers": relational.sole_return_suppliers,
@@ -275,6 +278,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the ~50-slot window always covers them; the rest keep their grouping.
     priority = [
         # round-5 new / behavior-touched oracled ops
+        "order_price_audit", "doc_length_outliers", "user_rfm_segments",
+        "quantity_percentiles", "quantity_percentiles_by_flag",
+        "price_percentiles_exact", "trimmed_mean_price_by_flag",
+        "quantity_mad_by_flag", "user_value_median", "user_activity_skew",
+        "adaptive_quality_filter",
         "dedup_lines", "high_balance_inactive_custs", "profile_events",
         # round-4 reworked / tiered ops
         "user_funnel", "cohort_retention", "small_quantity_revenue",
@@ -375,6 +383,64 @@ SELECT doc_id FROM (
   SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
   FROM documents) t
 WHERE rn = 1""",
+        "order_price_audit": """
+WITH l AS (
+  SELECT l_orderkey AS k,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS rec
+  FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN abs(COALESCE(l.rec, 0)
+                   - CAST(round(o.o_totalprice * 100) AS BIGINT)) > 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST(max(abs(COALESCE(l.rec, 0)
+                - CAST(round(o.o_totalprice * 100) AS BIGINT))) AS BIGINT)
+           AS max_diff_cents
+FROM orders o LEFT JOIN l ON o.o_orderkey = l.k""",
+        "doc_length_outliers": """
+WITH q AS (
+  SELECT source,
+         percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS p05,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95
+  FROM documents GROUP BY source)
+SELECT d.source AS source, q.p05 AS p05, q.p95 AS p95,
+       CAST(sum(CASE WHEN d.n_chars >= q.p05 AND d.n_chars <= q.p95
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN d.n_chars < q.p05 OR d.n_chars > q.p95
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed
+FROM documents d JOIN q ON d.source = q.source
+GROUP BY d.source, q.p05, q.p95
+ORDER BY d.source""",
+        "user_rfm_segments": """
+WITH agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m,
+         epoch_us(max(ts)) // 1000000 AS r
+  FROM events GROUP BY user_id),
+q AS (SELECT
+  percentile_cont(0.25) WITHIN GROUP (ORDER BY r) AS r1,
+  percentile_cont(0.50) WITHIN GROUP (ORDER BY r) AS r2,
+  percentile_cont(0.75) WITHIN GROUP (ORDER BY r) AS r3,
+  percentile_cont(0.25) WITHIN GROUP (ORDER BY f) AS f1,
+  percentile_cont(0.50) WITHIN GROUP (ORDER BY f) AS f2,
+  percentile_cont(0.75) WITHIN GROUP (ORDER BY f) AS f3,
+  percentile_cont(0.25) WITHIN GROUP (ORDER BY m) AS m1,
+  percentile_cont(0.50) WITHIN GROUP (ORDER BY m) AS m2,
+  percentile_cont(0.75) WITHIN GROUP (ORDER BY m) AS m3
+  FROM agg)
+SELECT CAST(1 + CASE WHEN a.r > q.r1 THEN 1 ELSE 0 END
+              + CASE WHEN a.r > q.r2 THEN 1 ELSE 0 END
+              + CASE WHEN a.r > q.r3 THEN 1 ELSE 0 END AS BIGINT) AS r_seg,
+       CAST(1 + CASE WHEN a.f > q.f1 THEN 1 ELSE 0 END
+              + CASE WHEN a.f > q.f2 THEN 1 ELSE 0 END
+              + CASE WHEN a.f > q.f3 THEN 1 ELSE 0 END AS BIGINT) AS f_seg,
+       CAST(1 + CASE WHEN a.m > q.m1 THEN 1 ELSE 0 END
+              + CASE WHEN a.m > q.m2 THEN 1 ELSE 0 END
+              + CASE WHEN a.m > q.m3 THEN 1 ELSE 0 END AS BIGINT) AS m_seg,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM agg a, q
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
         "dedup_lines": """
 WITH lines AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS line,

@@ -1881,3 +1881,90 @@ def fk_integrity_audit(sf_dir: str) -> ray.data.Dataset:
     } | {"orphan_custkeys": pa.array(
         [int(np.sum(o_parts.column("orphan_custkeys").to_numpy()))],
         type=pa.int64())}))
+
+
+def order_price_audit(sf_dir: str, tol_cents: int = 1) -> ray.data.Dataset:
+    """One-row header/detail consistency audit: recompute each order's
+    total from its lineitems as sum(round(extprice*(1-disc)*(1+tax)*100))
+    CENTS and compare against round(o_totalprice*100) — the warehouse-load
+    invariant check ("does the rollup column still equal its detail?").
+    Output: (n_orders, n_mismatch, max_diff_cents), all BIGINT — integer
+    cents end-to-end, so there is no float-summation-order seam between
+    engines (per-line rounding is part of the audit's contract).
+
+    Plan: ONE single-agg exchange.  Both tables map to (k, v) rows —
+    lineitems contribute +2*line_cents (block-local ``np.add.at``
+    combiner first), the order header contributes -2*total_cents + 1 —
+    and a native Sum groupby reduces per order key.  Because o_orderkey
+    is the primary key, S mod 2 == 1 iff the header row exists, so
+    detail rows for unknown keys drop out exactly like the oracle's
+    orders-side LEFT JOIN, and diff_cents = (S - 1) // 2 (floor division
+    is sign-correct).  Block summaries then ship (count, mismatch, max)
+    scalars; the driver merges O(blocks) rows.  Rounding emulates DuckDB
+    ROUND (half-away-from-zero) on the bit-identical left-associated
+    double product."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def _half_away(x: np.ndarray) -> np.ndarray:
+        return np.where(x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        k = b.column("l_orderkey").to_numpy().astype(np.int64)
+        x = (b.column("l_extendedprice").to_numpy()
+             * (1 - b.column("l_discount").to_numpy())
+             * (1 + b.column("l_tax").to_numpy()) * 100)
+        cents = _half_away(x).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"k": pa.array(uk), "v": pa.array(2 * s)})
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy().astype(np.int64)
+        cents = _half_away(
+            b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table({"k": pa.array(k), "v": pa.array(-2 * cents + 1)})
+
+    per_key = (li.map_batches(li_rows, batch_format="pyarrow")
+               .union(orders.map_batches(o_rows, batch_format="pyarrow"))
+               .groupby("k").aggregate(Sum("v")))
+
+    def summarize(b: pa.Table) -> pa.Table:
+        s = b.column("sum(v)").to_numpy().astype(np.int64)
+        s = s[s % 2 == 1]  # header present (o_orderkey is the PK)
+        if not len(s):
+            return pa.table({"n_orders": pa.array([], type=pa.int64()),
+                             "n_mismatch": pa.array([], type=pa.int64()),
+                             "max_diff_cents": pa.array([], type=pa.int64())})
+        diff = np.abs((s - 1) // 2)
+        return pa.table({
+            "n_orders": pa.array([len(s)], type=pa.int64()),
+            "n_mismatch": pa.array([int((diff > tol_cents).sum())],
+                                   type=pa.int64()),
+            "max_diff_cents": pa.array([int(diff.max())], type=pa.int64())})
+
+    tabs = [t for t in (ray.get(r) for r in
+                        per_key.map_batches(summarize, batch_format="pyarrow")
+                        .to_arrow_refs()) if t.num_rows]
+    if not tabs:  # empty orders table; the oracle assumes orders non-empty
+        return ray.data.from_arrow(pa.table({
+            "n_orders": pa.array([0], type=pa.int64()),
+            "n_mismatch": pa.array([0], type=pa.int64()),
+            "max_diff_cents": pa.array([0], type=pa.int64())}))
+    parts = pa.concat_tables(tabs)
+    return ray.data.from_arrow(pa.table({
+        "n_orders": pa.array([int(np.sum(parts.column("n_orders").to_numpy()))],
+                             type=pa.int64()),
+        "n_mismatch": pa.array(
+            [int(np.sum(parts.column("n_mismatch").to_numpy()))],
+            type=pa.int64()),
+        "max_diff_cents": pa.array(
+            [int(np.max(parts.column("max_diff_cents").to_numpy()))],
+            type=pa.int64()),
+    }))

@@ -359,6 +359,21 @@ def _tdigest_compress(means: np.ndarray, weights: np.ndarray,
     return out_m, out_w
 
 
+def _cont_interp(lo: float, hi: float, h: float) -> float:
+    """DuckDB PERCENTILE_CONT interpolation, BIT-faithful: the two-sided
+    ``(CRN-RN)*lo + (RN-FRN)*hi`` form of DuckDB's Interpolator
+    (src/core_functions/aggregate/holistic/quantile.cpp), with the
+    CRN==FRN exact-index branch.  The algebraically-equal one-sided
+    ``lo + frac*(hi-lo)`` differs by 1 ulp for some fractions (measured:
+    p95 over 25 rows -> 488.3999999999999 vs DuckDB 488.4), which the
+    driver's byte-level hash treats as a mismatch."""
+    frn = np.floor(h)
+    crn = np.ceil(h)
+    if crn == frn:
+        return float(lo)
+    return float((crn - h) * lo + (h - frn) * hi)
+
+
 def _tdigest_quantile(means: np.ndarray, weights: np.ndarray, p: float) -> float:
     """Interpolate at centroid cumulative midpoints."""
     cum = np.cumsum(weights) - weights / 2
@@ -423,7 +438,7 @@ def quantity_percentiles(sf_dir: str) -> ray.data.Dataset:
         lo_i = int(np.searchsorted(cum, int(np.floor(h)) + 1))
         hi_i = int(np.searchsorted(cum, int(np.floor(h)) + 2))
         lo, hi = float(u[lo_i]), float(u[min(hi_i, len(u) - 1)])
-        return lo + (h - np.floor(h)) * (hi - lo)
+        return _cont_interp(lo, hi, h)
 
     return ray.data.from_arrow(pa.table({
         "p50": pa.array([pct(0.5)], type=pa.float64()),
@@ -464,7 +479,7 @@ def quantity_percentiles_by_flag(sf_dir: str) -> ray.data.Dataset:
             lo_i = int(np.searchsorted(cum, int(np.floor(h)) + 1))
             hi_i = int(np.searchsorted(cum, int(np.floor(h)) + 2))
             lo, hi = float(u[lo_i]), float(u[min(hi_i, len(u) - 1)])
-            rows[name].append(lo + (h - np.floor(h)) * (hi - lo))
+            rows[name].append(_cont_interp(lo, hi, h))
     return ray.data.from_arrow(pa.table({
         "l_returnflag": pa.array(rows["l_returnflag"], type=pa.string()),
         "p50": pa.array(rows["p50"], type=pa.float64()),
@@ -569,7 +584,7 @@ def _exact_percentile_values(ds: ray.data.Dataset, col: str,
             h = (n - 1) * p
             state.append({"key": key, "p": p, "r_lo": int(np.floor(h)),
                           "r_hi": min(int(np.floor(h)) + 1, n - 1),
-                          "frac": float(h - np.floor(h)),
+                          "h": float(h),
                           "lo": lo0, "hi": hi0, "below": 0, "pop": n})
 
     def key_views(batch: pa.Table):
@@ -653,7 +668,7 @@ def _exact_percentile_values(ds: ray.data.Dataset, col: str,
         vals = np.sort(vv[tid == i])
         v_lo = vals[s["r_lo"] - s["below"]]
         v_hi = vals[s["r_hi"] - s["below"]]
-        out[(s["key"], s["p"])] = float(v_lo + s["frac"] * (v_hi - v_lo))
+        out[(s["key"], s["p"])] = _cont_interp(v_lo, v_hi, s["h"])
     return out
 
 
@@ -742,7 +757,7 @@ def _hist_percentile_cont(u: np.ndarray, tot: np.ndarray, p: float) -> float:
     lo_i = int(np.searchsorted(cum, int(np.floor(h)) + 1))
     hi_i = int(np.searchsorted(cum, int(np.floor(h)) + 2))
     lo, hi = float(u[lo_i]), float(u[min(hi_i, len(u) - 1)])
-    return lo + (h - np.floor(h)) * (hi - lo)
+    return _cont_interp(lo, hi, h)
 
 
 def quantity_mad_by_flag(sf_dir: str) -> ray.data.Dataset:
@@ -835,7 +850,7 @@ def user_value_median(sf_dir: str) -> ray.data.Dataset:
         lens = isp - ist
         lo = v[ist + (lens - 1) // 2]
         hi = v[ist + lens // 2]
-        med = lo + 0.5 * (hi - lo)
+        med = 0.5 * lo + 0.5 * hi  # DuckDB two-sided CONT form
         # boundary runs: one stats row each (never their rows)
         er = np.unique(np.r_[0, len(starts) - 1])
         return pa.table({
@@ -925,7 +940,7 @@ def user_value_median(sf_dir: str) -> ray.data.Dataset:
     lo, hi = fv[0::2], fv[1::2]
     healed = pa.table({
         "user_id": pa.array(fu[0::2], type=pa.int64()),
-        "med_value": pa.array(lo + 0.5 * (hi - lo), type=pa.float64())})
+        "med_value": pa.array(0.5 * lo + 0.5 * hi, type=pa.float64())})
     return interior.union(ray.data.from_arrow(healed))
 
 
@@ -1050,3 +1065,123 @@ def user_activity_skew(sf_dir: str) -> ray.data.Dataset:
         "p50": pa.array([_round_nd(vals[(None, 0.5)], 2)]),
         "p99": pa.array([_round_nd(vals[(None, 0.99)], 2)]),
     }))
+
+
+def user_rfm_segments(sf_dir: str) -> ray.data.Dataset:
+    """(r_seg, f_seg, m_seg, n_users) — RFM quartile segmentation, the
+    classic user-value report: per-user Recency (last-event epoch second),
+    Frequency (event count) and Monetary (value summed in CENTS), each cut
+    at its own global quartiles into segments 1..4, then counted per
+    (r, f, m) cell (<= 64 rows out).
+
+    Every metric is an INTEGER (cents via DuckDB-faithful half-away
+    rounding per event, seconds via floor-div — max and // commute, so
+    max(ts)//1e6 == max(ts//1e6)), which kills the float-summation-order
+    seam between engines; quartile thresholds come from the shared
+    percentile core (bit-faithful two-sided interpolation), and
+    value-vs-threshold bucketing (not positional NTILE) keeps ties
+    deterministic.
+
+    Plan: ONE user-sorted exchange; blocks reduce interior user-runs
+    vectorized (reduceat) and ship first/last-run partials as sufficient
+    statistics (f sums, m sums, r maxes) to a grouped heal — O(blocks)
+    heal rows.  The quartile refinement then runs over the per-user
+    Dataset (never the driver), and cell counting is a block-local
+    64-bin bincount with a driver merge of O(blocks) scalar rows."""
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "value"])
+    cols = ["user_id", "f", "m", "r"]
+    empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                      "user_id": pa.array([], type=pa.int64()),
+                      "f": pa.array([], type=pa.int64()),
+                      "m": pa.array([], type=pa.int64()),
+                      "r": pa.array([], type=pa.int64())})
+
+    def block_partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        u = b.column("user_id").to_numpy().astype(np.int64)
+        ts = b.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = b.column("value").to_numpy().astype(np.float64)
+        x = v * 100
+        cents = np.where(x >= 0, np.floor(x + 0.5),
+                         -np.floor(-x + 0.5)).astype(np.int64)
+        sec = ts // 1_000_000
+        bnd = np.flatnonzero(np.diff(u) != 0) + 1
+        starts = np.r_[0, bnd]
+        stops = np.r_[bnd, len(u)]
+        n_runs = len(starts)
+        f = stops - starts
+        m = np.add.reduceat(cents, starts)
+        r = np.maximum.reduceat(sec, starts)
+        interior = np.arange(1, n_runs - 1) if n_runs > 1 else np.empty(
+            0, dtype=np.int64)
+        edge = np.unique(np.r_[0, n_runs - 1])
+        kind = np.r_[np.zeros(len(interior), dtype=np.int8),
+                     np.ones(len(edge), dtype=np.int8)]
+        sel = np.r_[interior, edge]
+        return pa.table({"kind": pa.array(kind),
+                         "user_id": pa.array(u[starts[sel]]),
+                         "f": pa.array(f[sel].astype(np.int64)),
+                         "m": pa.array(m[sel]),
+                         "r": pa.array(r[sel])})
+
+    from .dedup import _split_kinds
+
+    out = (ds.sort("user_id")
+           .map_batches(block_partials, batch_format="pyarrow",
+                        batch_size=None))
+    interior, edges = _split_kinds(out, cols, cols)
+
+    def heal(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "f": pa.array([int(pc.sum(group.column("f")).as_py())],
+                          type=pa.int64()),
+            "m": pa.array([int(pc.sum(group.column("m")).as_py())],
+                          type=pa.int64()),
+            "r": pa.array([int(pc.max(group.column("r")).as_py())],
+                          type=pa.int64())})
+
+    healed = edges.groupby("user_id").map_groups(heal, batch_format="pyarrow")
+    agg = interior.union(healed).materialize()
+    if agg.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "r_seg": pa.array([], type=pa.int64()),
+            "f_seg": pa.array([], type=pa.int64()),
+            "m_seg": pa.array([], type=pa.int64()),
+            "n_users": pa.array([], type=pa.int64())}))
+    thr = {}
+    for c in ("r", "f", "m"):
+        vals = _exact_percentile_values(agg, c, None, (0.25, 0.5, 0.75))
+        thr[c] = np.array([vals[(None, 0.25)], vals[(None, 0.5)],
+                           vals[(None, 0.75)]])
+
+    def cells(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"cell": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        segs = {}
+        for c in ("r", "f", "m"):
+            v = b.column(c).to_numpy().astype(np.float64)
+            segs[c] = ((v[:, None] > thr[c][None, :]).sum(axis=1)
+                       .astype(np.int64))
+        cell = segs["r"] * 16 + segs["f"] * 4 + segs["m"]
+        cnt = np.bincount(cell, minlength=64).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz])})
+
+    parts = pa.concat_tables(
+        [t for t in (ray.get(ref) for ref in
+                     agg.map_batches(cells, batch_format="pyarrow")
+                     .to_arrow_refs()) if t.num_rows])
+    tot = np.zeros(64, dtype=np.int64)
+    np.add.at(tot, parts.column("cell").to_numpy(), parts.column("n").to_numpy())
+    nz = np.flatnonzero(tot)
+    return ray.data.from_arrow(pa.table({
+        "r_seg": pa.array(nz // 16 + 1),
+        "f_seg": pa.array((nz // 4) % 4 + 1),
+        "m_seg": pa.array(nz % 4 + 1),
+        "n_users": pa.array(tot[nz])}))

@@ -1187,3 +1187,75 @@ def k_anonymity_audit(sf_dir: str, k: int = 50) -> ray.data.Dataset:
         "cells_below_k": pa.array([int(below.sum())], type=pa.int64()),
         "rows_below_k": pa.array([int(n[below].sum())], type=pa.int64()),
     }))
+
+
+def doc_length_outliers(sf_dir: str,
+                        p_lo: float = 0.05,
+                        p_hi: float = 0.95) -> ray.data.Dataset:
+    """(source, p05, p95, n_kept, n_trimmed) sorted by source — the
+    per-source quantile length trim (the classic curation step "drop each
+    domain's own length outliers", which a single global threshold cannot
+    express because domains have wildly different length profiles).
+
+    Plan: thresholds come from the shared adaptive-refinement percentile
+    core (``_exact_percentile_values``: one histogram pass per round over
+    ALL (source, pct) targets simultaneously — exact PERCENTILE_CONT with
+    DuckDB's verbatim lo + frac*(hi-lo) interpolation, so int-vs-double
+    boundary compares are seam-free); a second streaming pass counts
+    kept/trimmed per source with block-local bincounts, and the driver
+    merges O(blocks x sources) scalar rows.  Sources are the low-
+    cardinality key the percentile core requires."""
+    import numpy as np
+
+    from ..sources.readers import read_table
+
+    from .sketches import _exact_percentile_values
+
+    ds = read_table(sf_dir, "documents", ["source", "n_chars"])
+    vals = _exact_percentile_values(ds, "n_chars", "source", (p_lo, p_hi))
+    if not vals:
+        return ray.data.from_arrow(pa.table({
+            "source": pa.array([], type=pa.string()),
+            "p05": pa.array([], type=pa.float64()),
+            "p95": pa.array([], type=pa.float64()),
+            "n_kept": pa.array([], type=pa.int64()),
+            "n_trimmed": pa.array([], type=pa.int64())}))
+    sources = sorted({k for k, _ in vals})
+    lo = np.array([vals[(s, p_lo)] for s in sources])
+    hi = np.array([vals[(s, p_hi)] for s in sources])
+    src_arr = np.array(sources)
+    lo_ref = ray.put(lo)
+    hi_ref = ray.put(hi)
+    src_ref = ray.put(src_arr)
+
+    def counts(b: pa.Table, s_ref, l_ref, h_ref) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"si": pa.array([], type=pa.int64()),
+                             "kept": pa.array([], type=pa.int64()),
+                             "trimmed": pa.array([], type=pa.int64())})
+        s_all, l_all, h_all = ray.get(s_ref), ray.get(l_ref), ray.get(h_ref)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        n = b.column("n_chars").to_numpy().astype(np.float64)
+        si = np.searchsorted(s_all, src)
+        keep = (n >= l_all[si]) & (n <= h_all[si])
+        k = np.bincount(si[keep], minlength=len(s_all)).astype(np.int64)
+        t = np.bincount(si[~keep], minlength=len(s_all)).astype(np.int64)
+        nz = np.flatnonzero(k + t)
+        return pa.table({"si": pa.array(nz.astype(np.int64)),
+                         "kept": pa.array(k[nz]), "trimmed": pa.array(t[nz])})
+
+    parts = pa.concat_tables(
+        [t for t in (ray.get(r) for r in
+                     ds.map_batches(counts, batch_format="pyarrow",
+                                    fn_args=(src_ref, lo_ref, hi_ref))
+                     .to_arrow_refs()) if t.num_rows])
+    kept = np.zeros(len(sources), dtype=np.int64)
+    trimmed = np.zeros(len(sources), dtype=np.int64)
+    np.add.at(kept, parts.column("si").to_numpy(), parts.column("kept").to_numpy())
+    np.add.at(trimmed, parts.column("si").to_numpy(),
+              parts.column("trimmed").to_numpy())
+    return ray.data.from_arrow(pa.table({
+        "source": pa.array(sources, type=pa.string()),
+        "p05": pa.array(lo, type=pa.float64()),
+        "p95": pa.array(hi, type=pa.float64()),
+        "n_kept": pa.array(kept), "n_trimmed": pa.array(trimmed)}))

@@ -109,3 +109,55 @@ def test_bigram_degenerate(ray_session, tmp_path, n):
         "text": pa.array(["solo"] * n, type=pa.string()),  # 1 token: no pair
     }), os.path.join(str(tmp_path), "documents.parquet"))
     assert text_ops.bigram_topk(str(tmp_path)).count() == 0
+
+
+def test_order_price_audit_semantics(ray_session, tmp_path):
+    """Hand-built header/detail: a consistent order, a mismatched order,
+    an order with no lineitems, and an orphan lineitem (ignored, like the
+    oracle's orders-side LEFT JOIN)."""
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_totalprice": pa.array([110.0, 50.0, 7.25], type=pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        # order 1: 100 * 1.0 * 1.10 = 110.00 exactly -> consistent
+        # order 2: 30.00 vs header 50.00 -> mismatch of 2000 cents
+        # order 99: orphan detail, must not be counted
+        "l_orderkey": pa.array([1, 2, 99], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 30.0, 5.0], type=pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0], type=pa.float64()),
+        "l_tax": pa.array([0.10, 0.0, 0.0], type=pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = relational.order_price_audit(d).to_pandas()
+    assert got["n_orders"].iloc[0] == 3
+    # order 2 (2000c) and order 3 (725c, no details) mismatch; order 1 not
+    assert got["n_mismatch"].iloc[0] == 2
+    assert got["max_diff_cents"].iloc[0] == 2000
+
+
+@pytest.mark.parametrize("n", [0, 1])
+def test_rfm_and_outliers_degenerate(ray_session, tmp_path, n):
+    _write_events(tmp_path, n)
+    from paddleocr_json_ray.ops import text_ops
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(["short text"] * n, type=pa.string()),
+        "lang": pa.array(["en"] * n, type=pa.string()),
+        "source": pa.array(["s0"] * n, type=pa.string()),
+        "n_chars": pa.array([10] * n, type=pa.int64()),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    d = str(tmp_path)
+    rfm = sketches.user_rfm_segments(d).to_pandas()
+    if n:  # single user lands in segment (1,1,1) with all-equal thresholds
+        assert rfm.to_dict("records") == [
+            {"r_seg": 1, "f_seg": 1, "m_seg": 1, "n_users": 1}]
+    else:
+        assert len(rfm) == 0
+    out = text_ops.doc_length_outliers(d).to_pandas()
+    if n:
+        assert out.to_dict("records") == [
+            {"source": "s0", "p05": 10.0, "p95": 10.0,
+             "n_kept": 1, "n_trimmed": 0}]
+    else:
+        assert len(out) == 0
