@@ -66,9 +66,16 @@ def _batch_grams(texts: list[str], doc_ids: np.ndarray, min_len: int):
 
 def duplicated_gram_owners(sf_dir: str, min_len: int) -> ray.data.Dataset:
     """(gram, owner) for every gram occurring >= 2 times corpus-wide;
-    owner is the packed (doc_id, pos) of the canonical first occurrence."""
-    from ray.data.aggregate import Min, Sum
+    owner is the packed (doc_id, pos) of the canonical first occurrence.
 
+    The reduce is the repo's sorted-run exchange, NOT a native multi-agg
+    groupby: gram cardinality is corpus-sized (measured 6.9M partial rows
+    / 6.0M groups on the x40 scaling corpus, where Min+Sum groupby took
+    54 s vs ~6 s for sort + reduceat runs + grouped boundary heal — the
+    round-2 many-small-groups finding again).  Interior runs are complete
+    (their count is global), so the dup filter applies inside the block;
+    only first/last-run (gram, min owner, partial count) stat rows reach
+    the heal."""
     from ..sources.readers import read_table
 
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -89,18 +96,56 @@ def duplicated_gram_owners(sf_dir: str, min_len: int) -> ray.data.Dataset:
             "cnt": pa.array(np.diff(np.r_[st, len(g)]), type=pa.int64()),
         })
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("gram").aggregate(Min("owner"), Sum("cnt")))
+    empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                      "gram": pa.array([], type=pa.int64()),
+                      "owner": pa.array([], type=pa.int64()),
+                      "cnt": pa.array([], type=pa.int64())})
 
-    def dup_only(batch: pa.Table) -> pa.Table:
+    def runs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        g = b.column("gram").to_numpy()
+        o = b.column("owner").to_numpy().astype(np.int64)
+        c = b.column("cnt").to_numpy().astype(np.int64)
+        bnd = np.flatnonzero(np.diff(g) != 0) + 1
+        starts = np.r_[0, bnd]
+        n_runs = len(starts)
+        own = np.minimum.reduceat(o, starts)
+        tot = np.add.reduceat(c, starts)
+        interior = np.arange(1, n_runs - 1) if n_runs > 1 else np.empty(
+            0, dtype=np.int64)
+        interior = interior[tot[interior] >= 2]  # complete runs: filter now
+        edge = np.unique(np.r_[0, n_runs - 1])
+        sel = np.r_[interior, edge]
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(interior), dtype=np.int8),
+                                   np.ones(len(edge), dtype=np.int8)]),
+            "gram": pa.array(g[starts[sel]].astype(np.int64)),
+            "owner": pa.array(own[sel]),
+            "cnt": pa.array(tot[sel]),
+        })
+
+    from .dedup import _split_kinds
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .sort("gram")
+           .map_batches(runs, batch_format="pyarrow", batch_size=None))
+    interior, edges = _split_kinds(out, ["gram", "owner"],
+                                   ["gram", "owner", "cnt"])
+
+    def heal(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        keep = pc.greater_equal(batch.column("sum(cnt)"), 2)
-        t = batch.filter(keep)
-        return pa.table({"gram": t.column("gram"),
-                         "owner": t.column("min(owner)")})
+        if int(pc.sum(group.column("cnt")).as_py()) < 2:
+            return pa.table({"gram": pa.array([], type=pa.int64()),
+                             "owner": pa.array([], type=pa.int64())})
+        return pa.table({
+            "gram": group.column("gram").slice(0, 1),
+            "owner": pa.array([int(pc.min(group.column("owner")).as_py())],
+                              type=pa.int64())})
 
-    return agg.map_batches(dup_only, batch_format="pyarrow")
+    healed = edges.groupby("gram").map_groups(heal, batch_format="pyarrow")
+    return interior.union(healed)
 
 
 def _cut_rows(ids, lens, tok_lists, drop_by_doc, min_len):
@@ -209,6 +254,8 @@ def dedup_substrings(sf_dir: str, min_len: int = 20,
     bitmap = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
     for t in ray.get(dup_ds.map_batches(bloom_partial, batch_format="pyarrow")
                      .to_arrow_refs()):
+        if t.num_rows == 0:  # union() upstream can emit schema-less blocks
+            continue
         for buf in t.column("bitmap").to_pylist():
             bitmap |= np.frombuffer(buf, dtype=np.uint8)
     bloom_ref = ray.put(bitmap)
