@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate": decontam.fuzzy_decontaminate,  # LSH, rows-only
         # ---- dedup family ----
         "dedup_exact": dedup.dedup_exact,
+        "dup_cluster_histogram": dedup.dup_cluster_histogram,
         # line-granularity keep-first (RefinedWeb-style); the corpus has no
         # newlines, so the oracled entry splits on ' ' — the '\n' path is
         # pinned in tests/test_dedup.py on newline-bearing synthetic docs
@@ -279,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     priority = [
         # round-5 new / behavior-touched oracled ops
         "order_price_audit", "doc_length_outliers", "user_rfm_segments",
+        "dup_cluster_histogram",
         "quantity_percentiles", "quantity_percentiles_by_flag",
         "price_percentiles_exact", "trimmed_mean_price_by_flag",
         "quantity_mad_by_flag", "user_value_median", "user_activity_skew",
@@ -383,6 +385,11 @@ SELECT doc_id FROM (
   SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
   FROM documents) t
 WHERE rn = 1""",
+        "dup_cluster_histogram": """
+SELECT CAST(cnt AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM (SELECT count(*) AS cnt FROM documents GROUP BY text)
+GROUP BY cnt ORDER BY cnt""",
         "order_price_audit": """
 WITH l AS (
   SELECT l_orderkey AS k,

@@ -1324,3 +1324,100 @@ def dedup_lines(sf_dir: str, delimiter: str = "\n") -> ray.data.Dataset:
     healed = doc_edges.groupby("doc_id").map_groups(
         heal_concat, batch_format="pyarrow")
     return doc_finals.union(healed)
+
+
+def dup_cluster_histogram(sf_dir: str) -> ray.data.Dataset:
+    """(cluster_size, n_clusters) sorted by size — the exact-duplicate
+    cluster-size DISTRIBUTION: the one-page audit behind "is my corpus 2x
+    boilerplate or a few mega-mirrors?" that decides which dedup tier to
+    run before paying for it.
+
+    Scale shape: identity is the 24-byte 128-bit content hash (bodies
+    never enter the exchange); per-block distinct (h1, h2, cnt) combiners
+    feed ONE (h1, h2) sort; interior runs are complete so their size is
+    final in-block, boundary runs heal grouped; the final histogram is a
+    per-block (size, n) bincount merged on the driver — O(distinct sizes)
+    rows, never O(texts)."""
+    import hashlib
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def hash_counts(batch: pa.Table) -> pa.Table:
+        h1, h2 = [], []
+        for t in batch.column("text").to_pylist():
+            d = hashlib.blake2b(t.encode("utf-8"), digest_size=16).digest()
+            h1.append(int.from_bytes(d[:8], "little", signed=True))
+            h2.append(int.from_bytes(d[8:], "little", signed=True))
+        a = np.asarray(h1, dtype=np.int64)
+        b = np.asarray(h2, dtype=np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        st = (np.r_[0, np.flatnonzero((np.diff(a) != 0) | (np.diff(b) != 0))
+                    + 1] if len(a) else np.empty(0, dtype=np.int64))
+        return pa.table({"h1": pa.array(a[st]), "h2": pa.array(b[st]),
+                         "cnt": pa.array(np.diff(np.r_[st, len(a)]))})
+
+    empty = pa.table({"kind": pa.array([], type=pa.int8()),
+                      "h1": pa.array([], type=pa.int64()),
+                      "h2": pa.array([], type=pa.int64()),
+                      "cnt": pa.array([], type=pa.int64())})
+
+    def runs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        h1 = b.column("h1").to_numpy()
+        h2 = b.column("h2").to_numpy()
+        c = b.column("cnt").to_numpy().astype(np.int64)
+        bnd = np.flatnonzero((np.diff(h1) != 0) | (np.diff(h2) != 0)) + 1
+        starts = np.r_[0, bnd]
+        n_runs = len(starts)
+        tot = np.add.reduceat(c, starts)
+        interior = np.arange(1, n_runs - 1) if n_runs > 1 else np.empty(
+            0, dtype=np.int64)
+        edge = np.unique(np.r_[0, n_runs - 1])
+        sel = np.r_[interior, edge]
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(interior), dtype=np.int8),
+                                   np.ones(len(edge), dtype=np.int8)]),
+            "h1": pa.array(h1[starts[sel]].astype(np.int64)),
+            "h2": pa.array(h2[starts[sel]].astype(np.int64)),
+            "cnt": pa.array(tot[sel]),
+        })
+
+    out = (ds.map_batches(hash_counts, batch_format="pyarrow")
+           .sort(["h1", "h2"])
+           .map_batches(runs, batch_format="pyarrow", batch_size=None))
+    interior, edges = _split_kinds(out, ["cnt"], ["h1", "h2", "cnt"])
+
+    def heal(group: pa.Table) -> pa.Table:
+        return pa.table({"cnt": pa.array(
+            [int(pc.sum(group.column("cnt")).as_py())], type=pa.int64())})
+
+    healed = edges.groupby(["h1", "h2"]).map_groups(heal,
+                                                    batch_format="pyarrow")
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"size": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        u, c = np.unique(b.column("cnt").to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pa.table({"size": pa.array(u), "n": pa.array(
+            c.astype(np.int64))})
+
+    parts = [t for t in (ray.get(r) for r in
+                         interior.union(healed)
+                         .map_batches(hist_partial, batch_format="pyarrow")
+                         .to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            "cluster_size": pa.array([], type=pa.int64()),
+            "n_clusters": pa.array([], type=pa.int64())}))
+    merged = pa.concat_tables(parts)
+    sizes = merged.column("size").to_numpy().astype(np.int64)
+    ns = merged.column("n").to_numpy().astype(np.int64)
+    u, inv = np.unique(sizes, return_inverse=True)
+    tot = np.zeros(len(u), dtype=np.int64)
+    np.add.at(tot, inv, ns)
+    return ray.data.from_arrow(pa.table({
+        "cluster_size": pa.array(u), "n_clusters": pa.array(tot)}))

@@ -372,3 +372,12 @@ def test_minhash_forest_equals_allpairs_on_cliques(ray_session, tmp_path):
                                              forest=True).count()
     # 16 bands x (k-1) stars max vs 16 x C(25,2)=4800 per family all-pairs
     assert n_forest <= 16 * len(texts)
+
+
+def test_dup_cluster_histogram(ray_session, controlled_docs):
+    d, texts = controlled_docs
+    got = dedup.dup_cluster_histogram(d).to_pandas()
+    from collections import Counter
+    sizes = Counter(Counter(texts).values())
+    want = sorted(sizes.items())
+    assert list(zip(got["cluster_size"], got["n_clusters"])) == want
