@@ -80,6 +80,47 @@ def _dedupe_sorted_cols(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.nd
     return a[keep], b[keep]
 
 
+def _forest_reduce(ia: np.ndarray, jb: np.ndarray):
+    """Component-preserving spanning star of a pair set that fits one
+    task: (root, member) edges, root = component min, at most one edge per
+    non-root node instead of O(k^2) clique pairs.
+
+    Sound because connected components of a union of subgraphs are
+    invariant under replacing any subgraph with a forest that keeps its
+    LOCAL components — so run verifiers may emit their run's star, block
+    passes may re-star their block, and the global ``resolve_clusters``
+    answer is unchanged.  Giant near-dup cliques are the scale hazard this
+    removes: a 500-doc family is 124,750 pairs per band but 499 star
+    edges (measured on the x40 salted corpus: 8.36M pair rows -> 0.25M)."""
+    ids = np.unique(np.concatenate([ia, jb]))
+    a = np.searchsorted(ids, ia)
+    b = np.searchsorted(ids, jb)
+    parent = np.arange(len(ids))
+    while True:
+        pa_, pb_ = parent[a], parent[b]
+        changed = pa_ != pb_
+        if not changed.any():
+            break
+        np.minimum.at(parent, a[changed], pb_[changed])
+        np.minimum.at(parent, b[changed], pa_[changed])
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+    member = parent != np.arange(len(ids))
+    return ids[parent[member]], ids[member]
+
+
+def _forest_edge_block(batch: pa.Table) -> pa.Table:
+    """Block-local spanning star over canonical (lo, hi) edge rows."""
+    if batch.num_rows == 0:
+        return _EMPTY_EDGES
+    lo, hi = _forest_reduce(batch.column("lo").to_numpy().astype(np.int64),
+                            batch.column("hi").to_numpy().astype(np.int64))
+    return _edge_table(lo, hi)
+
+
 def _canon_batch(batch: pa.Table, col_a: str, col_b: str) -> pa.Table:
     """Canonical (lo < hi) edges, self-loops dropped, block-local distinct."""
     a = batch.column(col_a).to_numpy().astype(np.int64)
@@ -284,6 +325,25 @@ def resolve_clusters(pairs: ray.data.Dataset,
                                              "root": pa.array([], type=pa.int64())}))
     if task_max_edges is None:
         task_max_edges = _TASK_MAX_EDGES
+    # Over-tier volume rounds: one skinny-row sort co-locates duplicate
+    # edges (e.g. the ~16 per-band copies of each star edge), then a
+    # block-local spanning star collapses duplicates AND chains in one
+    # vectorized pass — the cheap alternative to a native two-key
+    # distinct (measured 64 s on 8M rows) that usually demotes the edge
+    # set back under the single-task tier.  Component-preserving per
+    # block, so the final answer is unchanged; star contraction stays
+    # the fallback if the rounds stop shrinking.
+    rounds = 0
+    while task_max_edges > 0 and n > task_max_edges and rounds < 3:
+        reduced = _snap(edges.sort(["lo", "hi"])
+                        .map_batches(_forest_edge_block,
+                                     batch_format="pyarrow",
+                                     batch_size=None))
+        n2 = reduced.count()
+        rounds += 1
+        if n2 >= n:
+            break
+        edges, n = reduced, n2
     if n <= task_max_edges:
         refs = edges.to_arrow_refs()
         return ray.data.from_arrow_refs([_solve_components_task.remote(*refs)])

@@ -34,6 +34,10 @@ import ray
 import ray.data
 
 from ..functions.textstats import char_shingles, fnv1a64, simhash64, word_ngrams
+# spanning-star reduction core lives in ops.cluster (resolve_clusters uses
+# it too; importing dedup from cluster would cycle) — re-exported here for
+# the run verifiers and tests
+from .cluster import _forest_reduce
 
 _MERSENNE61 = (1 << 61) - 1
 
@@ -213,7 +217,20 @@ def _split_kinds(out: ray.data.Dataset, pair_cols: list[str],
 _N_PERM = 64
 _BANDS = 16
 _ROWS_PER_BAND = _N_PERM // _BANDS
-_SIG_BYTES = _N_PERM * 8
+# What travels through the band sort is NOT the raw 8-byte lanes but a
+# 1-byte FINGERPRINT per lane: verification only tests lane EQUALITY, and
+# a false 1-byte match (p = 1/256 per disagreeing lane) cannot lift a
+# sub-threshold pair over 0.8*64 = 51 agreeing lanes (a 0.5-jaccard pair
+# would need ~19 simultaneous collisions).  8x less sort payload — the
+# signature column dominated the exchange (512 B x 16 band rows per doc).
+_SIG_BYTES = _N_PERM
+_FP_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _sig_fingerprints(sigs: np.ndarray) -> np.ndarray:
+    """(D, 64) uint8 lane fingerprints of the uint64 signature matrix."""
+    with np.errstate(over="ignore"):
+        return ((sigs * _FP_MULT) >> np.uint64(56)).astype(np.uint8)
 
 
 def _perm_params(seed: int = 42):
@@ -265,48 +282,17 @@ def _band_hashes(sigs: np.ndarray) -> np.ndarray:
 
 
 def _sig_matrix(col) -> np.ndarray:
-    """Zero-copy (N, 64) uint64 view over a fixed_size_binary(512) column."""
+    """Zero-copy (N, 64) uint8 fingerprint view over a
+    fixed_size_binary(64) column."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_fixed_size_binary(col.type):
-        buf = np.frombuffer(col.buffers()[1], dtype=np.uint64)
+        buf = np.frombuffer(col.buffers()[1], dtype=np.uint8)
         off = col.offset * _N_PERM
         return buf[off:off + len(col) * _N_PERM].reshape(len(col), _N_PERM)
     # variable binary (post-groupby edge rows): per-row copies, tiny groups
     joined = b"".join(col.to_pylist())
-    return np.frombuffer(joined, dtype=np.uint64).reshape(len(col), _N_PERM)
-
-
-def _forest_reduce(ia: np.ndarray, jb: np.ndarray):
-    """Component-preserving spanning star of a SMALL verified pair set:
-    (root, member) edges, root = component min, at most one edge per
-    non-root node instead of the run's O(k^2) clique pairs.
-
-    Sound because connected components of a union of subgraphs are
-    invariant under replacing each subgraph by any forest with the same
-    LOCAL components — so every sorted-run verifier may emit its run's
-    star instead of all pairs and the global ``resolve_clusters`` answer
-    is unchanged.  Giant near-dup cliques are the scale hazard this
-    removes: a 500-doc family is 124,750 pairs per band but 499 star
-    edges (measured on the x40 salted corpus: 8.36M pair rows -> 0.25M)."""
-    ids = np.unique(np.concatenate([ia, jb]))
-    a = np.searchsorted(ids, ia)
-    b = np.searchsorted(ids, jb)
-    parent = np.arange(len(ids))
-    while True:
-        pa_, pb_ = parent[a], parent[b]
-        changed = pa_ != pb_
-        if not changed.any():
-            break
-        np.minimum.at(parent, a[changed], pb_[changed])
-        np.minimum.at(parent, b[changed], pa_[changed])
-        while True:
-            nxt = parent[parent]
-            if np.array_equal(nxt, parent):
-                break
-            parent = nxt
-    member = parent != np.arange(len(ids))
-    return ids[parent[member]], ids[member]
+    return np.frombuffer(joined, dtype=np.uint8).reshape(len(col), _N_PERM)
 
 
 def _forest_blocks(pairs: ray.data.Dataset, col_a: str = "id_a",
@@ -420,8 +406,9 @@ def minhash_candidate_pairs(sf_dir: str, threshold: float = 0.8,
         doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
         sigs = _batch_signatures(batch.column("text").to_pylist(), a_ref, b_ref)
         bh = _band_hashes(sigs)
+        fps = _sig_fingerprints(sigs)
         sig_bytes = pa.array(
-            [s.tobytes() for s in np.repeat(sigs, _BANDS, axis=0)],
+            [s.tobytes() for s in np.repeat(fps, _BANDS, axis=0)],
             type=pa.binary(_SIG_BYTES))
         return pa.table({
             "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
