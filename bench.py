@@ -102,7 +102,10 @@ def _dedup_scaling_input(mult: int = 40) -> str:
             rep = t.set_column(idx_id, "doc_id", pa.array(ids0 + r * n))
             rep = rep.set_column(idx_tx, "text", pa.array(texts))
             reps.append(rep)
-        pq.write_table(pa.concat_tables(reps), dst + ".tmp")
+        # bounded row groups: a single 800k-row group cannot split for
+        # parallel read/decode (override_num_blocks is row-group-granular)
+        pq.write_table(pa.concat_tables(reps), dst + ".tmp",
+                       row_group_size=20_000)
         os.replace(dst + ".tmp", dst)
     return d
 

@@ -251,7 +251,18 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
 
 def _batch_signatures(texts: list[str], a_ref: np.ndarray, b_ref: np.ndarray) -> np.ndarray:
     """Vectorized MinHash signatures for a whole batch: shingles laid out
-    CSR-style, all 64 permutations min-reduced in one ``np.minimum.reduceat``."""
+    CSR-style, permutations min-reduced with ``np.minimum.reduceat``
+    (one 1-D reduceat per permutation: 2-D reduceat over axis 0 with
+    short segments is ~75x slower and allocates an (S, 64) intermediate).
+
+    The permutation loop runs over L2-SIZED CHUNKS of the shingle stream,
+    not the whole stream per permutation: streaming all S shingles 64
+    times is memory-bandwidth-bound (measured: the band stage scaled
+    only 1.5-2x from 8->32 cores on one box because 64 full passes over a
+    ~3 GB stream saturate DRAM); with a ~64 K-element chunk resident in
+    cache, DRAM sees the stream roughly once and the stage is CPU-bound
+    again.  Chunk boundaries straddling a document merge via elementwise
+    ``np.minimum`` into the output rows."""
     sh = [char_shingles(t) for t in texts]
     lens = np.array([len(s) for s in sh], dtype=np.int64)
     sigs = np.zeros((len(texts), _N_PERM), dtype=np.uint64)
@@ -259,14 +270,23 @@ def _batch_signatures(texts: list[str], a_ref: np.ndarray, b_ref: np.ndarray) ->
     if nz.size:
         all_sh = np.concatenate([sh[i] for i in nz])
         starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
-        # one 1-D reduceat per permutation: 2-D reduceat over axis 0 with
-        # short segments is ~75x slower (non-contiguous inner reduction)
-        # and allocates an (S, 64) intermediate
-        out = np.empty((nz.size, _N_PERM), dtype=np.uint64)
+        n_seg = nz.size
+        total = len(all_sh)
+        out = np.full((n_seg, _N_PERM), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        chunk_sz = 1 << 16
         with np.errstate(over="ignore"):
-            for p in range(_N_PERM):
-                out[:, p] = np.minimum.reduceat(all_sh * a_ref[p] + b_ref[p],
-                                                starts)
+            for c0 in range(0, total, chunk_sz):
+                c1 = min(c0 + chunk_sz, total)
+                chunk = all_sh[c0:c1]
+                s_first = int(np.searchsorted(starts, c0, "right")) - 1
+                s_last = int(np.searchsorted(starts, c1, "left")) - 1
+                local = np.r_[c0, starts[s_first + 1:s_last + 1]] - c0
+                for p in range(_N_PERM):
+                    mins = np.minimum.reduceat(
+                        chunk * a_ref[p] + b_ref[p], local)
+                    dst = out[s_first:s_last + 1, p]
+                    np.minimum(dst, mins, out=dst)
         sigs[nz] = out
     return sigs
 
