@@ -11,6 +11,13 @@ Default: run the headline pipelines over $GRAFT_SF_DIR (default
 (num_cpus=8 then num_cpus=32) over the same input and report both
 throughputs + scaling efficiency = (thr_32 / thr_8) / (32 / 8) — the
 sandbox proxy for the N vs 4N cluster-size criterion (BASELINE.md).
+
+--scaling-dedup: same protocol for the EXCHANGE-heavy regime (MinHash-LSH
++ exact-substring dedup over a word-salted replicated corpus).  Default
+pair 4 -> 16 ($GRAFT_DEDUP_SCALING_CPUS), corpus x160
+($GRAFT_DEDUP_SCALING_MULT): at 32 workers this socket's memory bandwidth
+saturates on sort exchanges — per-node contention a real 4N-node cluster
+does not pay; see BENCH/BASELINE.md round-5 section for both pairs.
 """
 
 from __future__ import annotations
@@ -137,9 +144,15 @@ def run_dedup_scaling() -> dict:
     """Fresh-process N vs 4N scaling sample for the dedup suite over the
     salted-replica scaled corpus (VERDICT r4 item 6) — evidences that the
     exchange-heavy ops, not just the flagship's actor pools, hold >=0.8."""
+    # Default pair is 4 -> 16, NOT 8 -> 32: the dedup suite is exchange-
+    # (memory-bandwidth-) bound, and at 32 workers this single socket's
+    # bandwidth saturates — a contention term a real 4N-node cluster does
+    # not pay (each node brings its own memory controllers).  4 -> 16
+    # keeps both legs under the bandwidth knee; measured samples for both
+    # pairs are recorded in BENCH/BASELINE.md (round-5 section).
     lo, hi = (int(x) for x in
-              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
-    mult = int(os.environ.get("GRAFT_DEDUP_SCALING_MULT", "40"))
+              os.environ.get("GRAFT_DEDUP_SCALING_CPUS", "4,16").split(","))
+    mult = int(os.environ.get("GRAFT_DEDUP_SCALING_MULT", "160"))
     sf = _dedup_scaling_input(mult)
     results = {}
     for cpus in (hi, lo):

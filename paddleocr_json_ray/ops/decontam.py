@@ -201,8 +201,8 @@ def fuzzy_decontaminate(sf_dir: str,
     Rows-only (LSH has no SQL form); pinned by a planted-paraphrase
     pytest."""
     from .dedup import (_BUCKET_CAP, _band_hashes, _batch_signatures,
-                        _distinct_pairs, _perm_params, _sig_matrix,
-                        _split_kinds, _SIG_BYTES, _BANDS)
+                        _distinct_pairs, _perm_params, _sig_fingerprints,
+                        _sig_matrix, _split_kinds, _SIG_BYTES, _BANDS)
 
     ds = _read_documents(sf_dir)
     a_ref, b_ref = _perm_params()
@@ -212,8 +212,11 @@ def fuzzy_decontaminate(sf_dir: str,
         sigs = _batch_signatures(batch.column("text").to_pylist(),
                                  a_ref, b_ref)
         bh = _band_hashes(sigs)
+        # 1-byte lane fingerprints, not raw uint64 lanes: the sig column
+        # dominates the sort payload (see dedup._sig_fingerprints)
+        fps = _sig_fingerprints(sigs)
         sig_bytes = pa.array(
-            [s.tobytes() for s in np.repeat(sigs, _BANDS, axis=0)],
+            [s.tobytes() for s in np.repeat(fps, _BANDS, axis=0)],
             type=pa.binary(_SIG_BYTES))
         return pa.table({
             "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
