@@ -537,11 +537,13 @@ def decode_vp8l(data: bytes) -> np.ndarray | None:
 
 def decode_webp(payload: bytes) -> np.ndarray | None:
     """RIFF container walk: VP8L (plain or inside VP8X) decodes through the
-    pure-Python decoder above; lossy "VP8 " delegates to the system libwebp
-    via ctypes (functions/webp_native) — the same delegation the reference
-    makes through cv::imdecode (cpp/src/task_linux.cpp:67-122).  Returns
-    None when the payload is malformed or (lossy only) no libwebp is
-    present on the machine."""
+    pure-Python decoder above; lossy "VP8 " prefers delegation to the
+    system libwebp via ctypes (functions/webp_native, fast — the same
+    delegation the reference makes through cv::imdecode,
+    cpp/src/task_linux.cpp:67-122) and falls back to the pure-Python VP8
+    key-frame decoder (functions/vp8, byte-exact-YUV interop-tested
+    against libwebp), so the lossy path needs no system library at all.
+    Returns None when the payload is malformed."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         return None
     pos = 12
@@ -556,7 +558,12 @@ def decode_webp(payload: bytes) -> np.ndarray | None:
         if fourcc == b"VP8 ":
             from .webp_native import decode_rgb
 
-            return decode_rgb(payload)
+            got = decode_rgb(payload)
+            if got is not None:
+                return got
+            from .vp8 import decode_vp8
+
+            return decode_vp8(body)
         pos += 8 + size + (size & 1)
     return None
 

@@ -85,6 +85,52 @@ def decode_rgb(payload: bytes) -> np.ndarray | None:
         lib.WebPFree(ctypes.c_void_p(ptr))
 
 
+def decode_yuv(payload: bytes):
+    """Any-WebP -> (y, u, v) uint8 planes via libwebp's WebPDecodeYUV —
+    the BYTE-EXACT oracle for the pure-Python VP8 decoder (functions/vp8:
+    YUV reconstruction is normative, RGB upsampling is not).  None if the
+    library is absent or rejects the payload."""
+    lib = _lib()
+    if lib is None or not payload:
+        return None
+    try:
+        lib.WebPDecodeYUV.restype = ctypes.c_void_p
+        lib.WebPDecodeYUV.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    except AttributeError:
+        return None
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    up = ctypes.c_void_p()
+    vp = ctypes.c_void_p()
+    stride = ctypes.c_int(0)
+    uv_stride = ctypes.c_int(0)
+    ptr = lib.WebPDecodeYUV(payload, len(payload), ctypes.byref(w),
+                            ctypes.byref(h), ctypes.byref(up),
+                            ctypes.byref(vp), ctypes.byref(stride),
+                            ctypes.byref(uv_stride))
+    if not ptr or w.value <= 0 or h.value <= 0:
+        return None
+    try:
+        W, H, S, US = w.value, h.value, stride.value, uv_stride.value
+        uw, uh = (W + 1) >> 1, (H + 1) >> 1
+        y = np.ctypeslib.as_array(
+            ctypes.cast(ptr, ctypes.POINTER(ctypes.c_ubyte)),
+            shape=(H, S))[:, :W].copy()
+        u = np.ctypeslib.as_array(
+            ctypes.cast(up, ctypes.POINTER(ctypes.c_ubyte)),
+            shape=(uh, US))[:, :uw].copy()
+        v = np.ctypeslib.as_array(
+            ctypes.cast(vp, ctypes.POINTER(ctypes.c_ubyte)),
+            shape=(uh, US))[:, :uw].copy()
+        return y, u, v
+    finally:
+        lib.WebPFree(ctypes.c_void_p(ptr))
+
+
 def _as_rgb(img: np.ndarray) -> np.ndarray:
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=2)
