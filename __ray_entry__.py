@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": similarity.knn_ivf,            # ANN, rows-only by design
         "knn_pq": similarity.knn_pq,              # PQ/ADC ANN, rows-only by design
         "kmeans_embeddings": similarity.kmeans_embeddings,  # iterative, rows-only
+        "kmeans_cluster_sizes": similarity.kmeans_cluster_sizes,
         "label_centroids": similarity.label_centroids,
         "label_confusion": similarity.label_confusion,
         "embedding_covariance": similarity.embedding_covariance,
@@ -286,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_mad_by_flag", "user_value_median", "user_activity_skew",
         "adaptive_quality_filter",
         "dedup_lines", "high_balance_inactive_custs", "profile_events",
+        "kmeans_cluster_sizes",
         # round-4 reworked / tiered ops
         "user_funnel", "cohort_retention", "small_quantity_revenue",
         "custs_without_orders",
@@ -306,6 +308,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    if k in oracled and k not in ordered)
     ordered.update((k, v) for k, v in q.items() if k not in oracled)
     return ordered
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+    """Lloyd k-means unrolled as CTE layers (same reason as PageRank:
+    recursive CTEs cannot aggregate over the recursive reference).
+    Bit-parity contract with ops/similarity.kmeans_cluster_sizes:
+    raw float64-widened init centroids, floor(avg*1e6+0.5)/1e6 quantized
+    recomputes, ties to the lower cluster id, empty clusters drop."""
+    layers = [f"""init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         embedding::DOUBLE[] AS c
+  FROM embeddings WHERE vec_id < {k})"""]
+    prev = "init"
+    for i in range(1, iters + 1):
+        layers.append(f"""a{i} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, m.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], m.c),
+                        m.cid) AS rn
+    FROM embeddings e CROSS JOIN {prev} m) t WHERE rn = 1)""")
+        if i < iters:
+            layers.append(f"""m{i} AS (
+  SELECT cid, list(q ORDER BY dim) AS c FROM (
+    SELECT cid, dim, floor(avg(val) * 1e6 + 0.5) / 1e6 AS q
+    FROM (SELECT cid, unnest(range(len(embedding))) AS dim,
+                 unnest(embedding::DOUBLE[]) AS val FROM a{i}) u
+    GROUP BY cid, dim) g GROUP BY cid)""")
+            prev = f"m{i}"
+    return ("WITH " + ",\n".join(layers) + f"""
+SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM a{iters} GROUP BY cid ORDER BY cluster_id""")
 
 
 def _pagerank_sql(iters: int = 8) -> str:
@@ -591,6 +626,7 @@ r AS (
 )
 SELECT id AS part_id, min(lbl) AS component FROM r GROUP BY id""",
         "copurchase_pagerank": _pagerank_sql(),
+        "kmeans_cluster_sizes": _kmeans_sql(),
         "copurchase_triangles": """
 WITH q AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
            FROM lineitem WHERE l_quantity >= 40),

@@ -582,6 +582,96 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 8) -> ray.data.Datas
     return ds.map_batches(assign_only, batch_format="pyarrow")
 
 
+def kmeans_cluster_sizes(sf_dir: str, k: int = 8,
+                         iters: int = 3) -> ray.data.Dataset:
+    """(cluster_id, n_vecs, min_vec_id) — ORACLED distributed Lloyd
+    k-means: ``iters`` assignment passes with centroid recomputes between
+    them, exactly mirrorable in SQL as unrolled CTE layers (the PageRank
+    precedent for iterative algorithms; a recursive CTE cannot aggregate
+    over its own reference).
+
+    Bit-parity design vs the DuckDB oracle:
+    - init centroids = the k lowest vec_ids' vectors, raw float32 widened
+      to float64 (exact on both sides);
+    - recomputed centroids are QUANTIZED ``floor(mean * 1e6 + 0.5) / 1e6``
+      on both sides — DuckDB's parallel group-avg and the driver merge sum
+      in different orders, and quantization absorbs the ~1e-12 ulp noise
+      that would otherwise flip a discrete assignment;
+    - empty clusters DROP from the next round (the SQL's group-by simply
+      has no row for them), ids keep their original values;
+    - ties break to the lower cluster id (np.argmin first-hit == the
+      SQL's ``ORDER BY dist, cid`` row_number).
+
+    Same scale shape as ``kmeans_embeddings``: centroids broadcast via
+    ``ray.put`` each round, each batch emits k partial-sum rows, the
+    driver reduces O(k x blocks) control-plane rows and never holds
+    vectors."""
+    import pyarrow.parquet as pq
+
+    from ..sources.readers import read_table
+
+    ds = read_table(sf_dir, "embeddings",
+                    ["vec_id", "embedding"]).materialize()
+
+    init = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", k)])
+    order = np.argsort(init.column("vec_id").to_numpy())
+    cents = _mat(init.column("embedding"))[order]
+    cids = np.arange(len(cents), dtype=np.int64)
+
+    def partial(batch: pa.Table, ref) -> pa.Table:
+        c, ids = ray.get(ref)
+        mat = _mat(batch.column("embedding"))
+        vid = batch.column("vec_id").to_numpy().astype(np.int64)
+        # full squared-difference form (matches the oracle's
+        # list_distance term-by-term up to summation order)
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=len(c))
+        minvec = np.full(len(c), np.iinfo(np.int64).max)
+        np.minimum.at(minvec, assign, vid)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "cluster": pa.array(ids[nz]),
+            "count": pa.array(counts[nz].astype(np.int64)),
+            "minvec": pa.array(minvec[nz]),
+            "vecsum": pa.array([sums[i].tobytes() for i in nz],
+                               type=pa.binary()),
+        })
+
+    dim = cents.shape[1]
+    for it in range(iters):
+        ref = ray.put((cents, cids))
+        part = ds.map_batches(partial, batch_format="pyarrow",
+                              fn_args=(ref,)).to_pandas()
+        idx = {int(c): i for i, c in enumerate(cids)}
+        sums = np.zeros((len(cids), dim))
+        counts = np.zeros(len(cids), dtype=np.int64)
+        minvec = np.full(len(cids), np.iinfo(np.int64).max)
+        for cl, n, mv, blob in zip(part["cluster"], part["count"],
+                                   part["minvec"], part["vecsum"]):
+            i = idx[int(cl)]
+            sums[i] += np.frombuffer(blob, dtype=np.float64)
+            counts[i] += n
+            minvec[i] = min(minvec[i], mv)
+        if it == iters - 1:
+            keep = counts > 0
+            return ray.data.from_arrow(pa.table({
+                "cluster_id": pa.array(cids[keep]),
+                "n_vecs": pa.array(counts[keep]),
+                "min_vec_id": pa.array(minvec[keep]),
+            }))
+        keep = counts > 0
+        cids = cids[keep]
+        cents = np.floor(sums[keep] / counts[keep][:, None] * 1e6
+                         + 0.5) / 1e6
+
+    raise AssertionError("unreachable: iters >= 1")
+
+
 def embedding_pca_projection(sf_dir: str, n_components: int = 4) -> ray.data.Dataset:
     """(vec_id, pc0..pc{k-1}) — project every embedding onto the corpus'
     top-k principal components: the dimensionality-reduction prep stage

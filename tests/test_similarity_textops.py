@@ -205,6 +205,48 @@ def test_kmeans_recovers_blobs(ray_session, tmp_path):
     assert list(again.sort_values("vec_id")["cluster"]) == list(got["cluster"])
 
 
+def test_kmeans_cluster_sizes_bruteforce(ray_session, tmp_path):
+    """The oracled quantized-Lloyd variant equals a sequential numpy loop
+    running the SAME math (raw init, floor-quantized recomputes, lower-id
+    ties, empty clusters drop), including a planted duplicate-init case
+    that empties one cluster after round 1."""
+    rng = np.random.default_rng(21)
+    mat = rng.standard_normal((90, 6)).astype(np.float32)
+    mat[1] = mat[0]  # init centroids 0 and 1 identical -> cluster 1 empties
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(90), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float32())),
+    }), os.path.join(str(tmp_path), "embeddings.parquet"))
+    k, iters = 4, 3
+    got = similarity.kmeans_cluster_sizes(
+        str(tmp_path), k=k, iters=iters).to_pandas()
+
+    m = mat.astype(np.float64)
+    cents = m[:k].copy()
+    cids = np.arange(k)
+    for it in range(iters):
+        d2 = ((m[:, None, :] - cents[None]) ** 2).sum(axis=2)
+        assign = cids[np.argmin(d2, axis=1)]
+        if it == iters - 1:
+            break
+        keep, sums = [], []
+        for c in cids:
+            sel = assign == c
+            if sel.any():
+                keep.append(c)
+                sums.append(np.floor(m[sel].mean(axis=0) * 1e6 + 0.5) / 1e6)
+        cids = np.array(keep)
+        cents = np.array(sums)
+    expect = {int(c): (int((assign == c).sum()),
+                       int(np.flatnonzero(assign == c).min()))
+              for c in cids if (assign == c).any()}
+    assert {int(r.cluster_id): (int(r.n_vecs), int(r.min_vec_id))
+            for r in got.itertuples()} == expect
+    # the planted duplicate starved one cluster out
+    assert len(got) < k
+
+
 def test_pack_sequences_invariants(ray_session, tmp_path):
     """Concat-and-chunk packing: documents tile the token stream in doc_id
     order with no gaps or overlaps; a long doc spans multiple sequences; an
