@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": text_ops.unigram_logprob,  # libm ln, rows-only
         "bpe_token_stats": text_ops.bpe_token_stats,  # iterative train, rows-only
         "tfidf_top_terms": text_ops.tfidf_top_terms,
+        "bm25_top_docs": text_ops.bm25_top_docs,
         "decontaminate": decontam.decontaminate,
         "bloom_decontaminate": decontam.bloom_decontaminate,  # sketch, rows-only
         "fuzzy_decontaminate": decontam.fuzzy_decontaminate,  # LSH, rows-only
@@ -287,7 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_mad_by_flag", "user_value_median", "user_activity_skew",
         "adaptive_quality_filter",
         "dedup_lines", "high_balance_inactive_custs", "profile_events",
-        "kmeans_cluster_sizes",
+        "kmeans_cluster_sizes", "bm25_top_docs",
         # round-4 reworked / tiered ops
         "user_funnel", "cohort_retention", "small_quantity_revenue",
         "custs_without_orders",
@@ -627,6 +628,27 @@ r AS (
 SELECT id AS part_id, min(lbl) AS component FROM r GROUP BY id""",
         "copurchase_pagerank": _pagerank_sql(),
         "kmeans_cluster_sizes": _kmeans_sql(),
+        "bm25_top_docs": r"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+           FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+q AS (SELECT word, df FROM df ORDER BY df DESC, word LIMIT 4),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT sum(dl) AS s FROM dl),
+tf AS (SELECT w.doc_id, w.word, count(*) AS tf
+       FROM w JOIN q USING (word) GROUP BY w.doc_id, w.word),
+sc AS (SELECT tf.doc_id,
+              sum(((SELECT n FROM n) * 1000 // q.df) * 22 * (SELECT s FROM s)
+                  * tf.tf
+                  // (10 * (SELECT s FROM s) * tf.tf + 3 * (SELECT s FROM s)
+                      + 9 * dl.dl * (SELECT n FROM n))) AS score_milli
+       FROM tf JOIN q USING (word) JOIN dl ON dl.doc_id = tf.doc_id
+       GROUP BY tf.doc_id)
+SELECT doc_id, CAST(score_milli AS BIGINT) AS score_milli,
+       CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id) AS BIGINT)
+           AS rank
+FROM sc ORDER BY score_milli DESC, doc_id LIMIT 10""",
         "copurchase_triangles": """
 WITH q AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
            FROM lineitem WHERE l_quantity >= 40),

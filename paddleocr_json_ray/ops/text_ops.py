@@ -654,6 +654,118 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def bm25_top_docs(sf_dir: str, n_terms: int = 4,
+                  k: int = 10) -> ray.data.Dataset:
+    """(doc_id, score_milli, rank) — BM25 retrieval over the corpus for a
+    deterministic query (the ``n_terms`` highest-document-frequency words,
+    ties to the lexicographically smaller): the ranking primitive behind
+    quality-targeted sampling and retrieval-based decontamination.
+
+    INTEGER-EXACT BM25 so the result byte-matches the SQL oracle: with
+    k1 = 6/5 and b = 3/4 (the standard 1.2 / 0.75 as exact rationals), the
+    per-term score
+
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    multiplied through by ``10*S`` (S = total corpus tokens, avgdl = S/N)
+    becomes
+
+        score_milli = idf_milli * 22*S*tf // (10*S*tf + 3*S + 9*dl*N)
+
+    — every operand an int64 (idf_milli = N*1000 // df, the same linear
+    integer idf as tfidf_top_terms: ln-idf would be at the mercy of libm
+    ulps).  Safe while idf_milli*22*S*tf < 2^63, which holds through sf1
+    with wide margin (~5e17).
+
+    Plan: one vocabulary-bounded df exchange (combiner partials -> native
+    Sum groupby) also yields N, S and the query terms; scoring is then a
+    single embarrassing pass with block-local top-k, and the driver merges
+    O(k x blocks) candidate rows — never documents."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        toks = 0
+        for t in batch.column("text").to_pylist():
+            words = _RE_TOKEN_ASCII.findall(t)
+            toks += len(words)
+            c.update(set(words))
+        return pa.table({
+            "word": pa.array(list(c.keys()) + [""], type=pa.string()),
+            "ndocs": pa.array(list(c.values()) + [0], type=pa.int64()),
+            "toks": pa.array([0] * len(c) + [toks], type=pa.int64()),
+        })
+
+    df_tab = (ds.map_batches(df_partial, batch_format="pyarrow")
+                .groupby("word").aggregate(Sum("ndocs"), Sum("toks"))
+                .materialize())
+    n_docs = int(ds.count())
+    parts = [t for t in ray.get(df_tab.to_arrow_refs()) if t.num_rows]
+    words = np.concatenate([np.asarray(t.column("word").to_pylist(),
+                                       dtype=object) for t in parts])
+    dfs = np.concatenate([t.column("sum(ndocs)").to_numpy() for t in parts])
+    total_toks = int(sum(int(t.column("sum(toks)").to_numpy().sum())
+                         for t in parts))
+    real = words != ""
+    words, dfs = words[real], dfs[real].astype(np.int64)
+    # query = top-n_terms by (df desc, word asc)
+    w_order = np.argsort(words, kind="stable")
+    pick = w_order[np.argsort(-dfs[w_order], kind="stable")][:n_terms]
+    q_terms = sorted(words[pick].tolist())
+    q_idf = {w: int(n_docs * 1000 // dfs[np.flatnonzero(words == w)[0]])
+             for w in q_terms}
+    q_ref = ray.put((q_terms, q_idf, n_docs, total_toks))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        terms, idf, n, s = ray.get(q_ref)
+        out = {"doc_id": [], "score_milli": []}
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = _RE_TOKEN_ASCII.findall(text)
+            dl = len(toks)
+            c = Counter(toks)
+            total = 0
+            for w in terms:
+                tf = c.get(w, 0)
+                if tf:
+                    total += (idf[w] * 22 * s * tf
+                              // (10 * s * tf + 3 * s + 9 * dl * n))
+            if total > 0:
+                out["doc_id"].append(doc_id)
+                out["score_milli"].append(total)
+        t = pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "score_milli": pa.array(out["score_milli"], type=pa.int64()),
+        })
+        if t.num_rows > k:  # block-local top-k candidates
+            o = np.lexsort((t.column("doc_id").to_numpy(),
+                            -t.column("score_milli").to_numpy()))[:k]
+            t = t.take(pa.array(np.sort(o)))
+        return t
+
+    cand = [t for t in ray.get(
+        ds.map_batches(score, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    allc = pa.concat_tables(cand) if cand else pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "score_milli": pa.array([], type=pa.int64())})
+    ids = allc.column("doc_id").to_numpy()
+    sc = allc.column("score_milli").to_numpy()
+    o = np.lexsort((ids, -sc))[:k]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids[o], type=pa.int64()),
+        "score_milli": pa.array(sc[o], type=pa.int64()),
+        "rank": pa.array(np.arange(1, len(o) + 1, dtype=np.int64)),
+    }))
+
+
 def sample_per_source(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     """(source, doc_id, rank) — STRATIFIED deterministic sample: the k
     documents with the smallest md5(doc_id) per source (every stratum gets

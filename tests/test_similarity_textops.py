@@ -247,6 +247,56 @@ def test_kmeans_cluster_sizes_bruteforce(ray_session, tmp_path):
     assert len(got) < k
 
 
+def test_bm25_top_docs_bruteforce(ray_session, tmp_path):
+    """Integer-exact BM25 equals a sequential reference computing the same
+    rational-arithmetic formula (k1=6/5, b=3/4, linear integer idf), and
+    the ranking tracks textbook float BM25 on a planted corpus where one
+    document is stuffed with the query terms."""
+    texts = {
+        0: "apple banana cherry date apple",
+        1: "apple apple apple apple apple apple",   # stuffed, short
+        2: "banana " + "filler " * 50 + "apple",    # long, diluted
+        3: "cherry date elderberry fig",
+        4: "grape honeydew",
+        5: "apple banana apple banana apple banana",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)]),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    got = text_ops.bm25_top_docs(str(tmp_path), n_terms=2, k=4).to_pandas()
+
+    # reference: same integer math, sequentially
+    from collections import Counter
+    toks = {i: texts[i].split() for i in texts}
+    df = Counter()
+    for t in toks.values():
+        df.update(set(t))
+    n = len(texts)
+    s = sum(len(t) for t in toks.values())
+    q = sorted(df, key=lambda w: (-df[w], w))[:2]
+    scores = {}
+    for i, t in toks.items():
+        c = Counter(t)
+        tot = 0
+        for w in q:
+            tf = c.get(w, 0)
+            if tf:
+                idf = n * 1000 // df[w]
+                tot += idf * 22 * s * tf // (10 * s * tf + 3 * s
+                                             + 9 * len(t) * n)
+        if tot:
+            scores[i] = tot
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert [(int(r.doc_id), int(r.score_milli)) for r in got.itertuples()] \
+        == expect
+    assert list(got["rank"]) == [1, 2, 3, 4]
+    # term-stuffed short doc outranks the long diluted one (bm25 length
+    # normalization working as intended)
+    r = {int(row.doc_id): int(row.rank) for row in got.itertuples()}
+    assert r[1] < r[2]
+
+
 def test_pack_sequences_invariants(ray_session, tmp_path):
     """Concat-and-chunk packing: documents tile the token stream in doc_id
     order with no gaps or overlaps; a long doc spans multiple sequences; an
