@@ -248,7 +248,9 @@ def run_suite() -> dict:
                 "cheapest_supplier_per_part", "bpe_token_stats",
                 "dedup_exact_incremental", "profile_events",
                 "k_anonymity_audit", "fk_integrity_audit", "max_event_gap",
-                "event_disorder_audit", "label_confusion"]
+                "event_disorder_audit", "label_confusion",
+                # round-5 additions
+                "dedup_lines", "kmeans_cluster_sizes", "bm25_top_docs"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

@@ -457,9 +457,9 @@ def _simple_filter(slab: np.ndarray, limit: int) -> np.ndarray:
     f1 = _c128(a + 4) >> 3
     e1 = _c128(a + 3) >> 3
     out = s.copy()
-    out[:, 3] = np.where(mask, _c128(p0s + e1) + 128, out[:, 3])
-    out[:, 2] = np.where(mask, _c128(q0s - f1) + 128, out[:, 2])
-    # note: simple filter slab layout is p1 p0 | q0 q1 at cols 1..4
+    # slab layout is p1 p0 | q0 q1 at cols 1..4: p0 lives at col 2, q0 at 3
+    out[:, 2] = np.where(mask, _c128(p0s + e1) + 128, out[:, 2])
+    out[:, 3] = np.where(mask, _c128(q0s - f1) + 128, out[:, 3])
     return out.astype(np.uint8)
 
 
