@@ -879,3 +879,162 @@ def encode_webp(img: np.ndarray, *, transform: str | None = None,
     if len(body) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# --------------------------------------------------------------- animation
+import os as _os
+
+# same decode-bomb budget knob as GIF/TIFF (ADVICE r4): reject before
+# allocating canvases from untrusted header dimensions
+_MAX_PIXELS = int(_os.environ.get("PJR_DECODE_MAX_PIXELS",
+                                  str(64 * 1024 * 1024)))
+
+
+def _decode_frame_chunk(fourcc: bytes, body: bytes) -> np.ndarray | None:
+    """One ANMF sub-image (VP8L or VP8) -> RGB, via the same dispatch as
+    decode_webp (delegation first for lossy, pure fallback)."""
+    if fourcc == b"VP8L":
+        return decode_vp8l(body)
+    if fourcc == b"VP8 ":
+        from .webp_native import decode_rgb
+
+        pad = body + (b"\x00" if len(body) & 1 else b"")
+        mini = (b"RIFF" + struct.pack("<I", 4 + 8 + len(pad)) + b"WEBP"
+                + b"VP8 " + struct.pack("<I", len(body)) + pad)
+        got = decode_rgb(mini)
+        if got is not None:
+            return got
+        from .vp8 import decode_vp8
+
+        return decode_vp8(body)
+    return None
+
+
+def decode_webp_frames(payload: bytes,
+                       max_frames: int | None = None) -> list | None:
+    """All frames of an animated WebP (VP8X + ANIM + ANMF chunks), each a
+    full canvas-sized HxWx3 uint8 RGB array after compositing: frames draw
+    into their (x, y, w, h) sub-rectangle, dispose-to-background restores
+    the ANIM background color's RGB over the rectangle afterwards (the
+    spec's transparent-black, projected onto this engine's opaque RGB
+    pipeline), dispose-none leaves the canvas.  Opaque frames (no ALPH
+    chunk) make the blend flag a no-op overwrite, matching the spec's
+    alpha-blend with alpha == 255.  A plain still WebP returns [image].
+    Returns None if malformed.
+
+    Reference parity note: the reference's cv::imdecode returns only the
+    FIRST frame of an animation; this is the engine's video-style
+    extension, mirroring decode_gif_frames (functions/gif.py)."""
+    try:
+        return _decode_webp_frames_inner(payload, max_frames)
+    except (IndexError, ValueError, struct.error):
+        return None
+
+
+def _decode_webp_frames_inner(payload, max_frames):
+    if len(payload) < 20 or payload[:4] != b"RIFF" or \
+            payload[8:12] != b"WEBP":
+        return None
+    # walk top-level chunks
+    pos = 12
+    canvas = None
+    bg = np.zeros(3, dtype=np.uint8)
+    frames = []
+    saw_anim = False
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            return None
+        if fourcc == b"VP8X":
+            if size < 10:
+                return None
+            cw = 1 + (body[4] | (body[5] << 8) | (body[6] << 16))
+            ch = 1 + (body[7] | (body[8] << 8) | (body[9] << 16))
+            if cw * ch > _MAX_PIXELS:
+                return None
+            canvas = np.zeros((ch, cw, 3), dtype=np.uint8)
+        elif fourcc == b"ANIM":
+            if size < 6 or canvas is None:
+                return None
+            saw_anim = True
+            # background is stored B, G, R, A
+            bg = np.array([body[2], body[1], body[0]], dtype=np.uint8)
+            canvas[:] = bg
+        elif fourcc == b"ANMF":
+            if not saw_anim or size < 16:
+                return None
+            fx = 2 * (body[0] | (body[1] << 8) | (body[2] << 16))
+            fy = 2 * (body[3] | (body[4] << 8) | (body[5] << 16))
+            fw = 1 + (body[6] | (body[7] << 8) | (body[8] << 16))
+            fh = 1 + (body[9] | (body[10] << 8) | (body[11] << 16))
+            flags = body[15]
+            if fw * fh > _MAX_PIXELS:
+                return None
+            sub = None
+            ipos = 16
+            while ipos + 8 <= len(body):
+                ifour = body[ipos:ipos + 4]
+                isize = struct.unpack_from("<I", body, ipos + 4)[0]
+                ibody = body[ipos + 8:ipos + 8 + isize]
+                if len(ibody) != isize:
+                    return None
+                if ifour in (b"VP8L", b"VP8 "):
+                    sub = _decode_frame_chunk(ifour, ibody)
+                    break
+                ipos += 8 + isize + (isize & 1)
+            if sub is None or sub.shape[:2] != (fh, fw):
+                return None
+            if fy + fh > canvas.shape[0] or fx + fw > canvas.shape[1]:
+                return None
+            canvas[fy:fy + fh, fx:fx + fw] = sub
+            frames.append(canvas.copy())
+            if flags & 0x01:  # dispose to background
+                canvas[fy:fy + fh, fx:fx + fw] = bg
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+        pos += 8 + size + (size & 1)
+    if frames:
+        return frames
+    still = decode_webp(payload)
+    return [still] if still is not None else None
+
+
+def encode_webp_anim(frames, offsets=None, durations_ms=None,
+                     dispose=None, background=(0, 0, 0),
+                     loop: int = 0) -> bytes:
+    """Animated-WebP writer (VP8X + ANIM + ANMF, lossless VP8L frame
+    payloads — frames survive byte-exactly, so compositing is testable
+    exactly).  ``offsets`` are (x, y) pairs with EVEN coordinates (the
+    container stores them divided by 2); ``dispose[i]`` True = dispose to
+    background after frame i.  Canvas size = max extent of the frames."""
+    n = len(frames)
+    offsets = offsets or [(0, 0)] * n
+    durations_ms = durations_ms or [100] * n
+    dispose = dispose or [False] * n
+    cw = max(off[0] + f.shape[1] for off, f in zip(offsets, frames))
+    ch = max(off[1] + f.shape[0] for off, f in zip(offsets, frames))
+
+    def u24(v):
+        return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    out = bytearray()
+    out += chunk(b"VP8X", bytes((0x02, 0, 0, 0)) + u24(cw - 1) + u24(ch - 1))
+    r, g, b = background
+    out += chunk(b"ANIM", bytes((b, g, r, 255)) + struct.pack("<H", loop))
+    for f, (x, y), dur, disp in zip(frames, offsets, durations_ms, dispose):
+        if x & 1 or y & 1:
+            raise ValueError("ANMF offsets must be even")
+        still = encode_webp(np.asarray(f, dtype=np.uint8))
+        vp8l = still[12:]  # the VP8L chunk (with its own header + padding)
+        hdr = (u24(x // 2) + u24(y // 2) + u24(f.shape[1] - 1)
+               + u24(f.shape[0] - 1) + u24(dur)
+               + bytes((0x01 if disp else 0x00,)))
+        out += chunk(b"ANMF", hdr + vp8l)
+    body = b"WEBP" + bytes(out)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

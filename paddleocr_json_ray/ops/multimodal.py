@@ -132,9 +132,10 @@ def media_thumbnails(sf_dir: str, concurrency: int | None = None) -> ray.data.Da
 
 
 class GifFrameSampleStage:
-    """Actor-pool stage: VIDEO-style frame sampling over animated-GIF
-    payloads — full multi-frame decode with compositing (sub-rectangle
-    frames, transparency, disposal), keep every ``every``-th frame, emit
+    """Actor-pool stage: VIDEO-style frame sampling over animated-GIF OR
+    animated-WebP payloads (dispatched by magic bytes) — full multi-frame
+    decode with compositing (sub-rectangle frames, transparency,
+    disposal), keep every ``every``-th frame, emit
     one row per kept frame with a small per-frame feature (mean RGB +
     resized thumbnail mean).  1 payload -> N rows: the flat_map shape of a
     real video frame-extract stage; small batches because payloads are
@@ -149,12 +150,15 @@ class GifFrameSampleStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.gif import decode_gif_frames
+        from ..functions.webp import decode_webp_frames
 
         rows = {"blob_id": [], "frame_idx": [], "height": [], "width": [],
                 "mean_pixel": [], "thumb_mean": []}
         for blob_id, payload in zip(batch.column("blob_id").to_pylist(),
                                     batch.column("payload").to_pylist()):
-            frames = decode_gif_frames(payload, max_frames=self.max_frames)
+            dec = decode_webp_frames if payload[:4] == b"RIFF" \
+                else decode_gif_frames
+            frames = dec(payload, max_frames=self.max_frames)
             if not frames:
                 continue
             for i in range(0, len(frames), self.every):

@@ -772,3 +772,125 @@ def test_lossy_webp_through_envelope():
     code, _, _, _ = ocr_media_ref(
         "b64:" + base64.b64encode(bad).decode(), cfg, *backends)
     assert code == errors.CODE_ERR_BASE64_IM_DECODE
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM + ANMF) — frames ride the byte-exact VP8L
+# codec, so compositing (sub-rectangles, dispose-to-background) is pinned
+# exactly against a numpy reference.  Completes the WebP family next to
+# the animated-GIF support above.
+
+def test_webp_animation_roundtrip_and_compositing():
+    from paddleocr_json_ray.functions.webp import (decode_webp_frames,
+                                                   encode_webp_anim)
+
+    rng = np.random.default_rng(44)
+    f0 = rng.integers(0, 256, (20, 24, 3)).astype(np.uint8)
+    f1 = rng.integers(0, 256, (8, 10, 3)).astype(np.uint8)
+    f2 = rng.integers(0, 256, (6, 6, 3)).astype(np.uint8)
+    bg = (7, 8, 9)
+    pay = encode_webp_anim([f0, f1, f2], offsets=[(0, 0), (4, 2), (10, 8)],
+                           dispose=[False, True, False], background=bg)
+    got = decode_webp_frames(pay)
+    assert got is not None and len(got) == 3
+    canvas = np.zeros((20, 24, 3), np.uint8)
+    canvas[:] = bg
+    canvas[0:20, 0:24] = f0
+    np.testing.assert_array_equal(got[0], canvas)
+    canvas[2:10, 4:14] = f1
+    np.testing.assert_array_equal(got[1], canvas)
+    canvas[2:10, 4:14] = bg  # frame 1 disposes to background
+    canvas[8:14, 10:16] = f2
+    np.testing.assert_array_equal(got[2], canvas)
+    # max_frames truncation; odd offsets rejected by the writer
+    assert len(decode_webp_frames(pay, max_frames=2)) == 2
+    with pytest.raises(ValueError):
+        encode_webp_anim([f1], offsets=[(3, 0)])
+
+
+def test_webp_animation_still_fallback_and_fuzz():
+    from paddleocr_json_ray.functions.webp import (decode_webp_frames,
+                                                   encode_webp,
+                                                   encode_webp_anim)
+
+    img = _rand_img(12, 17, seed=45)
+    got = decode_webp_frames(encode_webp(img))
+    assert got is not None and len(got) == 1
+    np.testing.assert_array_equal(got[0], img)
+    pay = encode_webp_anim([img, img], offsets=[(0, 0), (0, 0)])
+    # truncation / garbage / bomb never raise
+    for cut in (10, 16, 30, len(pay) // 2, len(pay) - 3):
+        out = decode_webp_frames(pay[:cut])
+        assert out is None or isinstance(out, list)
+    bad = bytearray(pay)
+    bad[25] ^= 0xFF
+    out = decode_webp_frames(bytes(bad))
+    assert out is None or isinstance(out, list)
+    # decode-bomb: canvas dims past the pixel budget reject before alloc
+    bomb = bytearray(pay)
+    bomb[20 + 4:20 + 10] = b"\xff\xff\xff\xff\xff\xff"  # VP8X dims
+    assert decode_webp_frames(bytes(bomb)) is None
+
+
+@needs_libwebp
+def test_webp_animation_lossy_frame():
+    """An ANMF frame carrying a lossy "VP8 " chunk decodes through the same
+    delegation-then-pure dispatch as still images."""
+    import struct as _s
+
+    from paddleocr_json_ray.functions.webp import decode_webp_frames
+
+    rng = np.random.default_rng(46)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    still = webp_native.encode_lossy_rgb(img, quality=95)
+    vp8_chunk = still[12:]
+
+    def u24(v):
+        return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+
+    def chunk(fourcc, body):
+        return fourcc + _s.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    anmf = u24(0) + u24(0) + u24(15) + u24(15) + u24(50) + b"\x00" \
+        + vp8_chunk
+    body = (b"WEBP"
+            + chunk(b"VP8X", bytes((0x02, 0, 0, 0)) + u24(15) + u24(15))
+            + chunk(b"ANIM", bytes((0, 0, 0, 255)) + _s.pack("<H", 0))
+            + chunk(b"ANMF", anmf))
+    pay = b"RIFF" + _s.pack("<I", len(body)) + body
+    got = decode_webp_frames(pay)
+    assert got is not None and len(got) == 1
+    ref = webp_native.decode_rgb(still)
+    np.testing.assert_array_equal(got[0], ref)
+
+
+def test_webp_frame_sample_stage_dispatch(ray_session):
+    """The frame sampler handles GIF and animated-WebP payloads in the same
+    batch, dispatching by magic bytes."""
+    import pyarrow as pa
+    import ray.data
+
+    from paddleocr_json_ray.functions.gif import encode_gif_animation
+    from paddleocr_json_ray.functions.webp import encode_webp_anim
+    from paddleocr_json_ray.ops.multimodal import GifFrameSampleStage
+
+    rng = np.random.default_rng(47)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    gif_frames = [pal[rng.integers(0, 8, (14, 18))] for _ in range(4)]
+    webp_frames = [rng.integers(0, 256, (14, 18, 3)).astype(np.uint8)
+                   for _ in range(5)]
+    tab = pa.table({
+        "blob_id": pa.array(["g0", "w0"]),
+        "payload": pa.array([encode_gif_animation(gif_frames),
+                             encode_webp_anim(webp_frames)],
+                            type=pa.binary()),
+    })
+    got = (ray.data.from_arrow(tab)
+           .map_batches(GifFrameSampleStage, batch_format="pyarrow",
+                        concurrency=1, batch_size=2,
+                        fn_constructor_kwargs={"every": 1})
+           .to_pandas())
+    assert len(got[got["blob_id"] == "g0"]) == 4
+    assert len(got[got["blob_id"] == "w0"]) == 5
+    assert (got["height"] == 14).all() and (got["width"] == 18).all()
