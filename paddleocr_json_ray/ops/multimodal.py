@@ -42,9 +42,9 @@ def decode_real_image(payload: bytes) -> "np.ndarray":
     arr = decode_image(payload)
     if arr is None:
         raise NotImplementedError(
-            "only PNG/BMP/JPEG/GIF/TIFF/lossless-WebP decode without cv2/PIL "
-            "in this environment (functions/imagecodecs); other formats need "
-            "a real codec lib")
+            "only PNG/BMP/JPEG/GIF/TIFF/WebP (lossless VP8L + lossy VP8) "
+            "decode without cv2/PIL in this environment "
+            "(functions/imagecodecs); other formats need a real codec lib")
     return arr
 
 

@@ -894,3 +894,42 @@ def test_webp_frame_sample_stage_dispatch(ray_session):
     assert len(got[got["blob_id"] == "g0"]) == 4
     assert len(got[got["blob_id"] == "w0"]) == 5
     assert (got["height"] == 14).all() and (got["width"] == 18).all()
+
+
+@needs_libwebp
+def test_webp_alpha_still_dispatch():
+    """A VP8X container with an ALPH chunk + lossy VP8 chunk (the common
+    web transparent-image layout): both libwebp and the pure fallback
+    decode the RGB and DROP alpha — the reference's cv::imdecode
+    IMREAD_COLOR behavior (cpp/src/task_linux.cpp:67-122)."""
+    import struct as _s
+
+    from paddleocr_json_ray.functions import vp8
+    from paddleocr_json_ray.functions.webp import decode_webp
+
+    rng = np.random.default_rng(48)
+    img = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    still = webp_native.encode_lossy_rgb(img, quality=90)
+    vp8_chunk = still[12:]
+
+    def u24(v):
+        return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+
+    def chunk(fourcc, body):
+        return fourcc + _s.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    alph = b"\x00" + b"\xff" * (16 * 24)  # raw, no filter, opaque
+    body = (b"WEBP"
+            + chunk(b"VP8X", bytes((0x10, 0, 0, 0)) + u24(23) + u24(15))
+            + chunk(b"ALPH", alph) + vp8_chunk)
+    pay = b"RIFF" + _s.pack("<I", len(body)) + body
+    ref = webp_native.decode_rgb(pay)
+    assert ref is not None, "libwebp rejected the VP8X+ALPH container"
+    np.testing.assert_array_equal(decode_webp(pay), ref)
+    # pure fallback path (no delegation): same RGB via the VP8 decoder
+    raw_vp8 = still[20:20 + _s.unpack_from("<I", still, 16)[0]]
+    yuv_mine = vp8.decode_vp8_yuv(raw_vp8)
+    yuv_ref = webp_native.decode_yuv(still)
+    for a, b in zip(yuv_mine, yuv_ref):
+        np.testing.assert_array_equal(a, b)
