@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_audit": text_ops.k_anonymity_audit,
         "fk_integrity_audit": relational.fk_integrity_audit,
         "max_event_gap": windows.max_event_gap,
+        "streaming_tumbling_windows": windows.streaming_tumbling_windows,
         "event_disorder_audit": windows.event_disorder_audit,
         "revenue_by_part_type": relational.revenue_by_part_type,
         "returned_revenue_by_cust": relational.returned_revenue_by_cust,
@@ -289,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_quality_filter",
         "dedup_lines", "high_balance_inactive_custs", "profile_events",
         "kmeans_cluster_sizes", "bm25_top_docs",
+        "streaming_tumbling_windows",
         # round-4 reworked / tiered ops
         "user_funnel", "cohort_retention", "small_quantity_revenue",
         "custs_without_orders",
@@ -820,6 +822,33 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem
        (SELECT CAST(count(*) AS BIGINT) FROM orders
         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
          AS orphan_custkeys""",
+        "streaming_tumbling_windows": """
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, event_type, value,
+         epoch_us(ts) + CASE
+           WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                ::UBIGINT % 10 = 0
+           THEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                     ::UBIGINT // 16 % 14400 AS BIGINT) * 1000000
+           ELSE 0 END AS arr
+  FROM events),
+wm AS (
+  SELECT event_id, ts_us, event_type, value,
+         max(ts_us) OVER (ORDER BY arr, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+  FROM e),
+live AS (
+  SELECT * FROM wm
+  WHERE prev_max IS NULL
+     OR (ts_us - ts_us % 3600000000) + 3600000000 > prev_max - 1800000000)
+SELECT (ts_us - ts_us % 3600000000) AS win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(coalesce(CASE WHEN value >= 0
+                              THEN floor(value * 100 + 0.5)
+                              ELSE -floor(-value * 100 + 0.5) END, 0))
+            AS BIGINT) AS sum_cents
+FROM live GROUP BY 1, 2 ORDER BY win_start, event_type""",
         "max_event_gap": """
 WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS gap
            FROM events)

@@ -605,7 +605,10 @@ def kmeans_cluster_sizes(sf_dir: str, k: int = 8,
     Same scale shape as ``kmeans_embeddings``: centroids broadcast via
     ``ray.put`` each round, each batch emits k partial-sum rows, the
     driver reduces O(k x blocks) control-plane rows and never holds
-    vectors."""
+    vectors.  The ``materialize()`` is a deliberate multi-pass cache of
+    the SMALLEST sf table (embeddings) in the object store; on a corpus
+    that outgrows the store, drop it and let each Lloyd round re-read —
+    the loop structure is unchanged."""
     import pyarrow.parquet as pq
 
     from ..sources.readers import read_table

@@ -2189,3 +2189,162 @@ def event_disorder_audit(sf_dir: str) -> ray.data.Dataset:
             [int(np.max(parts.column("max_late").to_numpy()))]
             if parts.num_rows else [0], type=pa.int64()),
     }))
+
+
+# ------------------------------------------------------- streaming windows
+_STREAM_WIN_US = 3_600_000_000       # 1-hour tumbling windows
+_STREAM_LATE_US = 1_800_000_000      # 30-min allowed lateness
+
+
+def _arrival_us(event_ids: "np.ndarray", ts_us: "np.ndarray") -> "np.ndarray":
+    """Deterministic ingestion-time model: 90% of events arrive at their
+    event time; the md5(event_id)%10==0 tail arrives up to 4 h late
+    (delay = md5_32 // 16 % 14400 seconds).  The events table itself is
+    perfectly time-ordered, so the late tail is what makes watermark
+    semantics observable; md5 of the decimal id keeps the model
+    engine-independent (the same idiom as the md5-rank sampling ops)."""
+    import hashlib
+
+    h = np.fromiter(
+        (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+         for i in event_ids), dtype=np.uint64, count=len(event_ids))
+    delay = np.where(h % 10 == 0, (h // 16 % 14400).astype(np.int64)
+                     * 1_000_000, 0)
+    return ts_us + delay
+
+
+def streaming_tumbling_windows(sf_dir: str, window_us: int = _STREAM_WIN_US,
+                               lateness_us: int = _STREAM_LATE_US
+                               ) -> ray.data.Dataset:
+    """(win_start, event_type, n_events, sum_cents) — STREAMING tumbling
+    windows with watermark semantics: events arrive in INGESTION order
+    (``_arrival_us``: event time + a deterministic heavy-tail delay, NOT
+    time order), the watermark trails the running max observed event time
+    by ``lateness_us``, and an event whose window has already closed
+    (win_end <= watermark at its arrival, watermark computed over
+    STRICTLY PRIOR arrivals) is DROPPED, exactly as a Flink/Beam-style
+    pipe discards late data (~6-8% of this corpus at the defaults).
+    Surviving events aggregate per (hour window, event_type).
+
+    Distributed form of the sequential stream: the per-arrival watermark
+    is a prefix MAX over arrival order, so ONE (arrival, event_id) sort
+    makes blocks contiguous arrival segments; pass 1 ships one
+    (first arrival key, max_ts) row
+    per block, the driver folds the O(blocks) exclusive prefix maxes and
+    broadcasts them; pass 2 (same materialized sort, batch_size=None ->
+    identical block boundaries) resolves each event's watermark from the
+    block base + an in-block shifted cummax, filters late arrivals, and
+    emits per-(window, type) combiner partials.  The driver merges
+    window-domain-bounded partial rows — control-plane sized at any
+    corpus scale.  Oracled: the prefix max is SQL's running-max window
+    frame (ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)."""
+    import ray
+
+    from ..sources.readers import read_table
+
+    W, L = int(window_us), int(lateness_us)
+
+    def add_arrival(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy().astype(np.int64)
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        return batch.append_column("arr", pa.array(_arrival_us(e, t),
+                                                   type=pa.int64()))
+
+    srt = read_table(sf_dir, "events",
+                     ["event_id", "ts", "event_type", "value"]) \
+        .map_batches(add_arrival, batch_format="pyarrow") \
+        .sort(["arr", "event_id"]).materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        # block identity = the FIRST row's (arr, event_id) pair: the sort
+        # is a total order, so the pair is unique even when an arr value
+        # ties across a block boundary (a bare min-arr key would collide)
+        if batch.num_rows == 0:
+            return pa.table({"arr0": pa.array([], type=pa.int64()),
+                             "eid0": pa.array([], type=pa.int64()),
+                             "max_ts": pa.array([], type=pa.int64())})
+        e = batch.column("arr").to_numpy()
+        i = batch.column("event_id").to_numpy()
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table({"arr0": pa.array([int(e[0])], type=pa.int64()),
+                         "eid0": pa.array([int(i[0])], type=pa.int64()),
+                         "max_ts": pa.array([int(t.max())], type=pa.int64())})
+
+    stats = [t for t in ray.get(
+        srt.map_batches(block_stats, batch_format="pyarrow",
+                        batch_size=None).to_arrow_refs()) if t.num_rows]
+    st = pa.concat_tables(stats)
+    firsts = list(zip(st.column("arr0").to_pylist(),
+                      st.column("eid0").to_pylist()))
+    maxs = st.column("max_ts").to_numpy().astype(np.int64)
+    order = sorted(range(len(firsts)), key=lambda k: firsts[k])
+    sentinel = np.iinfo(np.int64).min // 4
+    base_by_first = {}
+    run = sentinel
+    for k in order:
+        base_by_first[firsts[k]] = run
+        run = max(run, int(maxs[k]))
+    base_ref = ray.put(base_by_first)
+
+    def window_partials(batch: pa.Table, ref) -> pa.Table:
+        empty = pa.table({"win_start": pa.array([], type=pa.int64()),
+                          "event_type": pa.array([], type=pa.string()),
+                          "n_events": pa.array([], type=pa.int64()),
+                          "sum_cents": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        base_by_first = ray.get(ref)
+        e = batch.column("arr").to_numpy().astype(np.int64)
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        b = base_by_first[(int(e[0]), int(eid[0]))]
+        prev_max = np.r_[b, np.maximum(b, np.maximum.accumulate(ts)[:-1])]
+        win_start = ts - ts % W
+        keep = win_start + W > prev_max - L
+        if not keep.any():
+            return empty
+        ws = win_start[keep]
+        types = np.asarray(batch.column("event_type").to_pylist(),
+                           dtype=object)[keep]
+        vals = batch.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)[keep]
+        cents = np.where(np.isnan(vals), 0.0,
+                         np.where(vals >= 0, np.floor(vals * 100 + 0.5),
+                                  -np.floor(-vals * 100 + 0.5))) \
+            .astype(np.int64)
+        t_uniq, t_inv = np.unique(types, return_inverse=True)
+        w_uniq, w_inv = np.unique(ws, return_inverse=True)
+        comp = w_inv * len(t_uniq) + t_inv
+        n = np.bincount(comp, minlength=len(w_uniq) * len(t_uniq))
+        s = np.bincount(comp, weights=cents.astype(np.float64),
+                        minlength=len(w_uniq) * len(t_uniq))
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "win_start": pa.array(w_uniq[nz // len(t_uniq)],
+                                  type=pa.int64()),
+            "event_type": pa.array(t_uniq[nz % len(t_uniq)].tolist(),
+                                   type=pa.string()),
+            "n_events": pa.array(n[nz].astype(np.int64)),
+            "sum_cents": pa.array(s[nz].astype(np.int64)),
+        })
+
+    parts = [t for t in ray.get(
+        srt.map_batches(window_partials, batch_format="pyarrow",
+                        batch_size=None, fn_args=(base_ref,))
+           .to_arrow_refs()) if t.num_rows]
+    acc: dict = {}
+    for t in parts:
+        for w, ty, n, s in zip(t.column("win_start").to_pylist(),
+                               t.column("event_type").to_pylist(),
+                               t.column("n_events").to_pylist(),
+                               t.column("sum_cents").to_pylist()):
+            k = (w, ty)
+            pn, ps = acc.get(k, (0, 0))
+            acc[k] = (pn + n, ps + s)
+    keys = sorted(acc)
+    return ray.data.from_arrow(pa.table({
+        "win_start": pa.array([k[0] for k in keys], type=pa.int64()),
+        "event_type": pa.array([k[1] for k in keys], type=pa.string()),
+        "n_events": pa.array([acc[k][0] for k in keys], type=pa.int64()),
+        "sum_cents": pa.array([acc[k][1] for k in keys], type=pa.int64()),
+    }))

@@ -161,3 +161,65 @@ def test_rfm_and_outliers_degenerate(ray_session, tmp_path, n):
              "n_kept": 1, "n_trimmed": 0}]
     else:
         assert len(out) == 0
+
+
+def test_streaming_tumbling_windows_bruteforce(ray_session, tmp_path):
+    """Watermark semantics vs a sequential reference on a corpus with
+    PLANTED arrival ties (the block-boundary hazard) and heavy disorder:
+    event times stride backwards/forwards so many arrivals share the same
+    arrival key and several windows close mid-stream."""
+    import hashlib
+
+    rng = np.random.default_rng(77)
+    n = 5_000
+    W, L = 3_600_000_000, 1_800_000_000
+    base = 1_700_000_000_000_000
+    # clustered event times with jumps so windows genuinely close
+    ts = base + np.sort(rng.integers(0, 3 * 86_400, size=n)) * 1_000_000
+    ev = np.arange(n, dtype=np.int64)
+    types = np.array(["a", "b", "c"], dtype=object)[ev % 3]
+    vals = np.where(ev % 7 == 0, np.nan,
+                    rng.normal(0, 50, size=n)).astype(np.float64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(ev),
+        "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+        "event_type": pa.array(types.tolist()),
+        "value": pa.array([None if np.isnan(v) else float(v)
+                           for v in vals], type=pa.float64()),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+
+    got = windows.streaming_tumbling_windows(str(tmp_path)).to_pandas()
+
+    # sequential reference with the SAME arrival model
+    def md5_32(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    arr = np.array([t + ((md5_32(i) // 16 % 14400) * 1_000_000
+                         if md5_32(i) % 10 == 0 else 0)
+                    for i, t in zip(ev, ts)], dtype=np.int64)
+    order = np.lexsort((ev, arr))
+    acc = {}
+    wm = None
+    n_dropped = 0
+    for k in order:
+        t = int(ts[k])
+        win = t - t % W
+        if wm is not None and win + W <= wm - L:
+            n_dropped += 1
+        else:
+            v = vals[k]
+            c = 0 if np.isnan(v) else \
+                (int(np.floor(v * 100 + 0.5)) if v >= 0
+                 else -int(np.floor(-v * 100 + 0.5)))
+            pn, ps = acc.get((win, types[k]), (0, 0))
+            acc[(win, types[k])] = (pn + 1, ps + c)
+        wm = t if wm is None else max(wm, t)
+    assert n_dropped > 0, "corpus must exercise the late-drop path"
+    expect = {k: acc[k] for k in acc}
+    got_map = {(int(r.win_start), r.event_type):
+               (int(r.n_events), int(r.sum_cents))
+               for r in got.itertuples()}
+    assert got_map == expect
+    # output ordering contract
+    keys = list(zip(got["win_start"], got["event_type"]))
+    assert keys == sorted(keys)
