@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity_audit": relational.fk_integrity_audit,
         "max_event_gap": windows.max_event_gap,
         "streaming_tumbling_windows": windows.streaming_tumbling_windows,
+        "streaming_late_drops": windows.streaming_late_drops,
         "event_disorder_audit": windows.event_disorder_audit,
         "revenue_by_part_type": relational.revenue_by_part_type,
         "returned_revenue_by_cust": relational.returned_revenue_by_cust,
@@ -290,7 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_quality_filter",
         "dedup_lines", "high_balance_inactive_custs", "profile_events",
         "kmeans_cluster_sizes", "bm25_top_docs",
-        "streaming_tumbling_windows",
+        "streaming_tumbling_windows", "streaming_late_drops",
         # round-4 reworked / tiered ops
         "user_funnel", "cohort_retention", "small_quantity_revenue",
         "custs_without_orders",
@@ -849,6 +850,31 @@ SELECT (ts_us - ts_us % 3600000000) AS win_start, event_type,
                               ELSE -floor(-value * 100 + 0.5) END, 0))
             AS BIGINT) AS sum_cents
 FROM live GROUP BY 1, 2 ORDER BY win_start, event_type""",
+        "streaming_late_drops": """
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) + CASE
+           WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                ::UBIGINT % 10 = 0
+           THEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                     ::UBIGINT // 16 % 14400 AS BIGINT) * 1000000
+           ELSE 0 END AS arr
+  FROM events),
+wm AS (
+  SELECT ts_us,
+         max(ts_us) OVER (ORDER BY arr, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+  FROM e),
+d AS (
+  SELECT prev_max - 1800000000
+         - ((ts_us - ts_us % 3600000000) + 3600000000) AS ovr
+  FROM wm
+  WHERE prev_max IS NOT NULL
+    AND (ts_us - ts_us % 3600000000) + 3600000000 <= prev_max - 1800000000)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_dropped,
+       (SELECT CAST(coalesce(max(ovr), 0) AS BIGINT) FROM d) AS max_over_us""",
         "max_event_gap": """
 WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS gap
            FROM events)

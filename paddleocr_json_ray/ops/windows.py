@@ -2348,3 +2348,89 @@ def streaming_tumbling_windows(sf_dir: str, window_us: int = _STREAM_WIN_US,
         "n_events": pa.array([acc[k][0] for k in keys], type=pa.int64()),
         "sum_cents": pa.array([acc[k][1] for k in keys], type=pa.int64()),
     }))
+
+
+def streaming_late_drops(sf_dir: str, window_us: int = _STREAM_WIN_US,
+                         lateness_us: int = _STREAM_LATE_US
+                         ) -> ray.data.Dataset:
+    """(n_total, n_dropped, max_over_us) — the monitoring face of
+    ``streaming_tumbling_windows``: how many arrivals were discarded as
+    late, and the worst overshoot (how far past its window's close the
+    latest arrival landed, in microseconds).  Same arrival model, same
+    distributed prefix-max scan; partials are three integers per block."""
+    import ray
+
+    from ..sources.readers import read_table
+
+    W, L = int(window_us), int(lateness_us)
+
+    def add_arrival(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy().astype(np.int64)
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        return batch.append_column("arr", pa.array(_arrival_us(e, t),
+                                                   type=pa.int64()))
+
+    srt = read_table(sf_dir, "events", ["event_id", "ts"]) \
+        .map_batches(add_arrival, batch_format="pyarrow") \
+        .sort(["arr", "event_id"]).materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"arr0": pa.array([], type=pa.int64()),
+                             "eid0": pa.array([], type=pa.int64()),
+                             "max_ts": pa.array([], type=pa.int64())})
+        e = batch.column("arr").to_numpy()
+        i = batch.column("event_id").to_numpy()
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table({"arr0": pa.array([int(e[0])], type=pa.int64()),
+                         "eid0": pa.array([int(i[0])], type=pa.int64()),
+                         "max_ts": pa.array([int(t.max())], type=pa.int64())})
+
+    stats = [t for t in ray.get(
+        srt.map_batches(block_stats, batch_format="pyarrow",
+                        batch_size=None).to_arrow_refs()) if t.num_rows]
+    st = pa.concat_tables(stats)
+    firsts = list(zip(st.column("arr0").to_pylist(),
+                      st.column("eid0").to_pylist()))
+    maxs = st.column("max_ts").to_numpy().astype(np.int64)
+    sentinel = np.iinfo(np.int64).min // 4
+    base_by_first = {}
+    run = sentinel
+    for k in sorted(range(len(firsts)), key=lambda j: firsts[j]):
+        base_by_first[firsts[k]] = run
+        run = max(run, int(maxs[k]))
+    base_ref = ray.put(base_by_first)
+
+    def drop_partial(batch: pa.Table, ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "nd": pa.array([], type=pa.int64()),
+                             "mo": pa.array([], type=pa.int64())})
+        base_by = ray.get(ref)
+        e = batch.column("arr").to_numpy().astype(np.int64)
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        b = base_by[(int(e[0]), int(eid[0]))]
+        prev_max = np.r_[b, np.maximum(b, np.maximum.accumulate(ts)[:-1])]
+        win_end = ts - ts % W + W
+        over = prev_max - L - win_end   # dropped iff >= 0
+        dropped = over >= 0
+        mo = int(over[dropped].max()) if dropped.any() else 0
+        return pa.table({"n": pa.array([batch.num_rows], type=pa.int64()),
+                         "nd": pa.array([int(dropped.sum())],
+                                        type=pa.int64()),
+                         "mo": pa.array([mo], type=pa.int64())})
+
+    parts = [t for t in ray.get(
+        srt.map_batches(drop_partial, batch_format="pyarrow",
+                        batch_size=None, fn_args=(base_ref,))
+           .to_arrow_refs()) if t.num_rows]
+    n = sum(int(x) for t in parts for x in t.column("n").to_pylist())
+    nd = sum(int(x) for t in parts for x in t.column("nd").to_pylist())
+    mo = max((int(x) for t in parts for x in t.column("mo").to_pylist()),
+             default=0)
+    return ray.data.from_arrow(pa.table({
+        "n_total": pa.array([n], type=pa.int64()),
+        "n_dropped": pa.array([nd], type=pa.int64()),
+        "max_over_us": pa.array([mo], type=pa.int64()),
+    }))

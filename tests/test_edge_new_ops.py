@@ -223,3 +223,32 @@ def test_streaming_tumbling_windows_bruteforce(ray_session, tmp_path):
     # output ordering contract
     keys = list(zip(got["win_start"], got["event_type"]))
     assert keys == sorted(keys)
+
+
+def test_streaming_late_drops_consistency(ray_session, tmp_path):
+    """The drop audit agrees with the window op on the same corpus: total
+    minus kept equals dropped, and zero-disorder input reports 0 drops
+    (single row survives — the 0-row to_pandas column-drop hazard)."""
+    rng = np.random.default_rng(78)
+    n = 3_000
+    base = 1_700_000_000_000_000
+    ts = base + np.sort(rng.integers(0, 2 * 86_400, size=n)) * 1_000_000
+    ev = np.arange(n, dtype=np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(ev),
+        "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+        "event_type": pa.array((np.array(["x", "y"], dtype=object)[ev % 2]).tolist()),
+        "value": pa.array(rng.normal(0, 10, size=n)),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    audit = windows.streaming_late_drops(str(tmp_path)).to_pandas()
+    wins = windows.streaming_tumbling_windows(str(tmp_path)).to_pandas()
+    assert int(audit["n_total"][0]) == n
+    assert int(audit["n_total"][0]) - int(wins["n_events"].sum()) \
+        == int(audit["n_dropped"][0])
+    assert (int(audit["max_over_us"][0]) > 0) == \
+        (int(audit["n_dropped"][0]) > 0)
+    # zero-disorder corpus: huge lateness budget -> nothing drops
+    quiet = windows.streaming_late_drops(
+        str(tmp_path), lateness_us=10**15).to_pandas()
+    assert len(quiet) == 1 and int(quiet["n_dropped"][0]) == 0
+    assert int(quiet["max_over_us"][0]) == 0
