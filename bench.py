@@ -250,7 +250,8 @@ def run_suite() -> dict:
                 "k_anonymity_audit", "fk_integrity_audit", "max_event_gap",
                 "event_disorder_audit", "label_confusion",
                 # round-5 additions
-                "dedup_lines", "kmeans_cluster_sizes", "bm25_top_docs"]
+                "dedup_lines", "kmeans_cluster_sizes", "bm25_top_docs",
+                "streaming_tumbling_windows", "streaming_late_drops"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:
