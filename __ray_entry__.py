@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_event_gap": windows.max_event_gap,
         "streaming_tumbling_windows": windows.streaming_tumbling_windows,
         "streaming_late_drops": windows.streaming_late_drops,
+        "streaming_user_sessions": windows.streaming_user_sessions,
         "event_disorder_audit": windows.event_disorder_audit,
         "revenue_by_part_type": relational.revenue_by_part_type,
         "returned_revenue_by_cust": relational.returned_revenue_by_cust,
@@ -292,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines", "high_balance_inactive_custs", "profile_events",
         "kmeans_cluster_sizes", "bm25_top_docs",
         "streaming_tumbling_windows", "streaming_late_drops",
+        "streaming_user_sessions",
         # round-4 reworked / tiered ops
         "user_funnel", "cohort_retention", "small_quantity_revenue",
         "custs_without_orders",
@@ -875,6 +877,44 @@ d AS (
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_total,
        (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_dropped,
        (SELECT CAST(coalesce(max(ovr), 0) AS BIGINT) FROM d) AS max_over_us""",
+        "streaming_user_sessions": """
+WITH e AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us,
+         epoch_us(ts) + CASE
+           WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                ::UBIGINT % 10 = 0
+           THEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                     ::UBIGINT // 16 % 14400 AS BIGINT) * 1000000
+           ELSE 0 END AS arr
+  FROM events),
+wm AS (
+  SELECT event_id, user_id, ts, ts_us,
+         max(ts_us) OVER (ORDER BY arr, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+  FROM e),
+live AS (
+  SELECT event_id, user_id, ts FROM wm
+  WHERE prev_max IS NULL
+     OR (ts_us - ts_us % 3600000000) + 3600000000 > prev_max - 1800000000),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM live
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us
+FROM numbered GROUP BY user_id, session_id""",
         "max_event_gap": """
 WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS gap
            FROM events)

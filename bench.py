@@ -251,7 +251,8 @@ def run_suite() -> dict:
                 "event_disorder_audit", "label_confusion",
                 # round-5 additions
                 "dedup_lines", "kmeans_cluster_sizes", "bm25_top_docs",
-                "streaming_tumbling_windows", "streaming_late_drops"]
+                "streaming_tumbling_windows", "streaming_late_drops",
+                "streaming_user_sessions"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:

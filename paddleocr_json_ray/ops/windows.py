@@ -148,6 +148,13 @@ def user_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US) -> ray.data.Dataset
     from ..sources.readers import read_table
 
     ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return _sessionize_ds(ds, gap_us)
+
+
+def _sessionize_ds(ds: "ray.data.Dataset",
+                   gap_us: int) -> "ray.data.Dataset":
+    """The sessionization exchange over any (user_id, event_id, ts)
+    dataset (user_sessions' core, shared with the streaming variant)."""
     srt = ds.sort(["user_id", "ts", "event_id"])
 
     def block_sessions(batch: pa.Table) -> pa.Table:
@@ -2434,3 +2441,85 @@ def streaming_late_drops(sf_dir: str, window_us: int = _STREAM_WIN_US,
         "n_dropped": pa.array([nd], type=pa.int64()),
         "max_over_us": pa.array([mo], type=pa.int64()),
     }))
+
+
+def _live_events(sf_dir: str, window_us: int, lateness_us: int,
+                 columns: tuple) -> "ray.data.Dataset":
+    """Watermark-surviving events under the ``_arrival_us`` ingestion
+    model: the shared filter stage of the streaming window/session ops.
+    Returns the requested columns (plus event_id/ts) for every arrival
+    whose tumbling window was still open at its arrival time."""
+    import ray
+
+    from ..sources.readers import read_table
+
+    W, L = int(window_us), int(lateness_us)
+    cols = list(dict.fromkeys(["event_id", "ts", *columns]))
+
+    def add_arrival(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy().astype(np.int64)
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        return batch.append_column("arr", pa.array(_arrival_us(e, t),
+                                                   type=pa.int64()))
+
+    srt = read_table(sf_dir, "events", cols) \
+        .map_batches(add_arrival, batch_format="pyarrow") \
+        .sort(["arr", "event_id"]).materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"arr0": pa.array([], type=pa.int64()),
+                             "eid0": pa.array([], type=pa.int64()),
+                             "max_ts": pa.array([], type=pa.int64())})
+        e = batch.column("arr").to_numpy()
+        i = batch.column("event_id").to_numpy()
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table({"arr0": pa.array([int(e[0])], type=pa.int64()),
+                         "eid0": pa.array([int(i[0])], type=pa.int64()),
+                         "max_ts": pa.array([int(t.max())], type=pa.int64())})
+
+    stats = [t for t in ray.get(
+        srt.map_batches(block_stats, batch_format="pyarrow",
+                        batch_size=None).to_arrow_refs()) if t.num_rows]
+    st = pa.concat_tables(stats)
+    firsts = list(zip(st.column("arr0").to_pylist(),
+                      st.column("eid0").to_pylist()))
+    maxs = st.column("max_ts").to_numpy().astype(np.int64)
+    sentinel = np.iinfo(np.int64).min // 4
+    base_by_first = {}
+    run = sentinel
+    for k in sorted(range(len(firsts)), key=lambda j: firsts[j]):
+        base_by_first[firsts[k]] = run
+        run = max(run, int(maxs[k]))
+    base_ref = ray.put(base_by_first)
+
+    def live(batch: pa.Table, ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.drop_columns(["arr"])
+        base_by = ray.get(ref)
+        e = batch.column("arr").to_numpy().astype(np.int64)
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        b = base_by[(int(e[0]), int(eid[0]))]
+        prev_max = np.r_[b, np.maximum(b, np.maximum.accumulate(ts)[:-1])]
+        keep = (ts - ts % W) + W > prev_max - L
+        return batch.filter(pa.array(keep)).drop_columns(["arr"])
+
+    return srt.map_batches(live, batch_format="pyarrow", batch_size=None,
+                           fn_args=(base_ref,))
+
+
+def streaming_user_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US,
+                            window_us: int = _STREAM_WIN_US,
+                            lateness_us: int = _STREAM_LATE_US
+                            ) -> ray.data.Dataset:
+    """Sessionization over the WATERMARK-SURVIVING stream: arrivals whose
+    window already closed are dropped (the streaming_tumbling_windows
+    discipline), then the survivors sessionize per user in EVENT time —
+    the eventual-result semantics of a session-window operator with
+    allowed lateness, where an accepted late event may retroactively
+    extend or bridge sessions.  Output shape matches ``user_sessions``.
+    Two exchanges by necessity (arrival-order scan, then user/time sort);
+    both reuse the existing distributed machinery."""
+    live = _live_events(sf_dir, window_us, lateness_us, ("user_id",))
+    return _sessionize_ds(live, gap_us)

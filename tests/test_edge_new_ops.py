@@ -252,3 +252,74 @@ def test_streaming_late_drops_consistency(ray_session, tmp_path):
         str(tmp_path), lateness_us=10**15).to_pandas()
     assert len(quiet) == 1 and int(quiet["n_dropped"][0]) == 0
     assert int(quiet["max_over_us"][0]) == 0
+
+
+def test_streaming_sessions_bridge_and_drop(ray_session, tmp_path):
+    """An accepted late event BRIDGES two sessions (retroactive merge);
+    a dropped late event does not.  Sequential reference on a planted
+    timeline (no md5 tail here — the delays come from the planted
+    event_ids matching/avoiding the md5 lateness bucket is irrelevant at
+    this scale; we just assert vs the same arrival model)."""
+    import hashlib
+
+    base = 1_700_000_000_000_000
+    HOUR = 3_600_000_000
+    # user 1: two bursts 40 min apart (gap 30 min -> 2 sessions unless an
+    # in-between event survives and bridges them)
+    rows = [
+        (0, 1, base),
+        (1, 1, base + 5 * 60_000_000),
+        (2, 1, base + 25 * 60_000_000),   # bridge candidate
+        (3, 1, base + 45 * 60_000_000),
+        (4, 1, base + 50 * 60_000_000),
+        (5, 2, base + 2 * HOUR),
+        (6, 2, base + 30 * HOUR),
+    ]
+    ev = np.array([r[0] for r in rows], dtype=np.int64)
+    us = np.array([r[1] for r in rows], dtype=np.int64)
+    ts = np.array([r[2] for r in rows], dtype=np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(ev),
+        "ts": pa.array(ts.tolist(), type=pa.timestamp("us")),
+        "user_id": pa.array(us),
+        "event_type": pa.array(["x"] * len(ev)),
+        "value": pa.array([1.0] * len(ev)),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+
+    got = windows.streaming_user_sessions(str(tmp_path)).to_pandas() \
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+    # sequential reference: same arrival model + watermark + sessionize
+    def md5_32(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    arr = np.array([t + ((md5_32(i) // 16 % 14400) * 1_000_000
+                         if md5_32(i) % 10 == 0 else 0)
+                    for i, t in zip(ev, ts)], dtype=np.int64)
+    order = np.lexsort((ev, arr))
+    wm = None
+    keep = []
+    for k in order:
+        t = int(ts[k])
+        win = t - t % HOUR
+        if not (wm is not None and win + HOUR <= wm - HOUR // 2):
+            keep.append(k)
+        wm = t if wm is None else max(wm, t)
+    keep.sort(key=lambda k: (us[k], ts[k], ev[k]))
+    sess = []
+    for k in keep:
+        if sess and sess[-1][0] == us[k] \
+                and ts[k] - sess[-1][2] <= 30 * 60_000_000:
+            u, s0, _, n = sess[-1]
+            sess[-1] = (u, s0, int(ts[k]), n + 1)
+        else:
+            sess.append((int(us[k]), int(ts[k]), int(ts[k]), 1))
+    expect = []
+    sid = {}
+    for u, s0, s1, n in sess:
+        sid[u] = sid.get(u, 0) + 1
+        expect.append((u, sid[u], n, s0, s1))
+    got_t = [(int(r.user_id), int(r.session_id), int(r.n_events),
+              int(r.session_start_us), int(r.session_end_us))
+             for r in got.itertuples()]
+    assert got_t == expect
