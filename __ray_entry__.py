@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats": text_ops.bpe_token_stats,  # iterative train, rows-only
         "tfidf_top_terms": text_ops.tfidf_top_terms,
         "bm25_top_docs": text_ops.bm25_top_docs,
+        "dsir_target_affinity": text_ops.dsir_target_affinity,
         "decontaminate": decontam.decontaminate,
         "bloom_decontaminate": decontam.bloom_decontaminate,  # sketch, rows-only
         "fuzzy_decontaminate": decontam.fuzzy_decontaminate,  # LSH, rows-only
@@ -293,7 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines", "high_balance_inactive_custs", "profile_events",
         "kmeans_cluster_sizes", "bm25_top_docs",
         "streaming_tumbling_windows", "streaming_late_drops",
-        "streaming_user_sessions",
+        "streaming_user_sessions", "dsir_target_affinity",
         # round-4 reworked / tiered ops
         "user_funnel", "cohort_retention", "small_quantity_revenue",
         "custs_without_orders",
@@ -633,6 +634,29 @@ r AS (
 SELECT id AS part_id, min(lbl) AS component FROM r GROUP BY id""",
         "copurchase_pagerank": _pagerank_sql(),
         "kmeans_cluster_sizes": _kmeans_sql(),
+        "dsir_target_affinity": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+w AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i
+  FROM toks),
+bk AS (
+  SELECT a.doc_id,
+         ('0x' || substr(md5(a.word || ' ' || b.word), 1, 8))::UBIGINT
+             % 1024 AS b
+  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+rawc AS (SELECT b, count(*) AS r FROM bk GROUP BY b),
+tgtc AS (SELECT bk.b, count(*) AS t
+         FROM bk JOIN documents USING (doc_id)
+         WHERE source = 'src0' GROUP BY bk.b),
+tot AS (SELECT (SELECT count(*) FROM bk) AS nr,
+               (SELECT count(*) FROM bk JOIN documents USING (doc_id)
+                WHERE source = 'src0') AS nt)
+SELECT bk.doc_id,
+       CAST(sum(coalesce(t, 0) * nr * 1000 // (r * nt)) AS BIGINT)
+           AS target_affinity_milli
+FROM bk JOIN rawc USING (b) LEFT JOIN tgtc USING (b) CROSS JOIN tot
+GROUP BY bk.doc_id""",
         "bm25_top_docs": r"""
 WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
            FROM documents),

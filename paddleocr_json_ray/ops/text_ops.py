@@ -1371,3 +1371,95 @@ def doc_length_outliers(sf_dir: str,
         "p05": pa.array(lo, type=pa.float64()),
         "p95": pa.array(hi, type=pa.float64()),
         "n_kept": pa.array(kept), "n_trimmed": pa.array(trimmed)}))
+
+
+def dsir_target_affinity(sf_dir: str, target_source: str = "src0",
+                         n_buckets: int = 1024) -> ray.data.Dataset:
+    """(doc_id, target_affinity_milli) — DSIR-SHAPED data selection score
+    (Xie et al., "Data Selection for Language Models via Importance
+    Resampling"): hashed-bigram bucket features, per-document affinity to
+    a TARGET distribution (here: the ``target_source`` docs) relative to
+    the raw corpus.  Deviation from the paper, documented: the per-bucket
+    weight is the LINEAR normalized-frequency ratio in milli units
+    (t_b * N_raw * 1000 // (r_b * N_target)) rather than a log-ratio —
+    the integer form is hash-exact against the SQL oracle where libm's
+    ln() is not, and is order-equivalent per bucket.
+
+    Buckets are md5(bigram) % n_buckets (the engine-independent md5 idiom
+    shared with the sampling ops).  Plan: one bucket-count exchange
+    (per-batch bincount partials over raw + target, merged on the driver
+    into two n_buckets-long arrays — control-plane sized), broadcast
+    once; scoring is a single embarrassing pass.  Documents with no
+    bigram (fewer than two tokens) are absent, matching the SQL."""
+    import hashlib
+
+    import numpy as np
+
+    ds = _read_documents(sf_dir, columns=("doc_id", "text", "source"))
+
+    def _buckets(text: str) -> np.ndarray:
+        w = _RE_TOKEN_ASCII.findall(text)
+        if len(w) < 2:
+            return np.empty(0, dtype=np.int64)
+        return np.fromiter(
+            (int(hashlib.md5((a + " " + b).encode()).hexdigest()[:8], 16)
+             % n_buckets for a, b in zip(w, w[1:])),
+            dtype=np.int64, count=len(w) - 1)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        raw = np.zeros(n_buckets, dtype=np.int64)
+        tgt = np.zeros(n_buckets, dtype=np.int64)
+        for text, src in zip(batch.column("text").to_pylist(),
+                             batch.column("source").to_pylist()):
+            b = _buckets(text)
+            if len(b):
+                raw += np.bincount(b, minlength=n_buckets)
+                if src == target_source:
+                    tgt += np.bincount(b, minlength=n_buckets)
+        return pa.table({"raw": pa.array([raw.tobytes()], type=pa.binary()),
+                         "tgt": pa.array([tgt.tobytes()], type=pa.binary())})
+
+    import ray
+
+    parts = [t for t in ray.get(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+          .to_arrow_refs()) if t.num_rows]
+    import numpy as np
+
+    raw = np.zeros(n_buckets, dtype=np.int64)
+    tgt = np.zeros(n_buckets, dtype=np.int64)
+    for t in parts:
+        for rb, tb in zip(t.column("raw").to_pylist(),
+                          t.column("tgt").to_pylist()):
+            raw += np.frombuffer(rb, dtype=np.int64)
+            tgt += np.frombuffer(tb, dtype=np.int64)
+    nr, nt = int(raw.sum()), int(tgt.sum())
+    if nt == 0:
+        raise ValueError(f"no documents with source={target_source!r}")
+    # per-bucket milli weight; buckets with r_b == 0 are never queried
+    # (a document's own bigrams are part of the raw counts)
+    w_milli = np.zeros(n_buckets, dtype=np.int64)
+    nz = raw > 0
+    w_milli[nz] = tgt[nz] * nr * 1000 // (raw[nz] * nt)
+    w_ref = ray.put(w_milli)
+
+    def score(batch: pa.Table, ref) -> pa.Table:
+        import numpy as np
+
+        w = ray.get(ref)
+        ids, scores = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            b = _buckets(text)
+            if len(b) == 0:
+                continue
+            ids.append(doc_id)
+            scores.append(int(w[b].sum()))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "target_affinity_milli": pa.array(scores, type=pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", fn_args=(w_ref,))

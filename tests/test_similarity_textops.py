@@ -557,3 +557,48 @@ def test_label_confusion_tie_breaks_to_lowest_label(ray_session, tmp_path):
     assert got.loc[(0, 0)] == 20 and got.loc[(1, 0)] == 20  # tie -> label 0
     assert got.loc[(2, 2)] == 20
     assert (1, 1) not in got.index
+
+
+def test_dsir_target_affinity_bruteforce(ray_session, tmp_path):
+    """Hashed-bigram importance: documents sharing the target source's
+    bigram distribution score higher than off-distribution ones; values
+    equal a sequential reference of the same integer formula."""
+    import hashlib
+
+    texts = {
+        0: ("alpha beta gamma delta alpha beta", "src0"),
+        1: ("alpha beta gamma delta", "src1"),        # target-like
+        2: ("omega psi chi phi omega psi", "src1"),   # off-distribution
+        3: ("alpha beta alpha beta", "src0"),
+        4: ("zz", "src1"),                            # 1 token: no bigram
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[i][0] for i in sorted(texts)]),
+        "source": pa.array([texts[i][1] for i in sorted(texts)]),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    got = text_ops.dsir_target_affinity(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")["target_affinity_milli"]
+
+    def buckets(t):
+        w = t.split()
+        return [int(hashlib.md5((a + " " + b).encode()).hexdigest()[:8], 16)
+                % 1024 for a, b in zip(w, w[1:])]
+
+    raw, tgt = {}, {}
+    for i, (t, s) in texts.items():
+        for b in buckets(t):
+            raw[b] = raw.get(b, 0) + 1
+            if s == "src0":
+                tgt[b] = tgt.get(b, 0) + 1
+    nr = sum(raw.values())
+    nt = sum(tgt.values())
+    expect = {}
+    for i, (t, s) in texts.items():
+        bs = buckets(t)
+        if bs:
+            expect[i] = sum(tgt.get(b, 0) * nr * 1000 // (raw[b] * nt)
+                            for b in bs)
+    assert got.to_dict() == expect
+    assert 4 not in got.index          # no-bigram doc absent
+    assert got[1] > got[2]             # target-like beats off-distribution
