@@ -252,7 +252,7 @@ def run_suite() -> dict:
                 # round-5 additions
                 "dedup_lines", "kmeans_cluster_sizes", "bm25_top_docs",
                 "streaming_tumbling_windows", "streaming_late_drops",
-                "streaming_user_sessions"]
+                "streaming_user_sessions", "dsir_target_affinity"]
     flag = run_flagship(NUM_CPUS)
     timings["flagship_extraction"] = round(flag["elapsed_s"], 3)
     for name in headline:
